@@ -1,0 +1,243 @@
+"""Transformer decoder with incremental KV-cached decoding.
+
+Training path parity: reference ``otrans/decoder/transformer.py:18-183`` —
+embedding (optionally weight-tied with the output projection), additive
+sinusoidal positions (x·sqrt(d) + pe), N layers of causal MHSA → cross-attn →
+FFN with pre/post-norm and optional ``concat_after``, final projection to the
+vocabulary.
+
+Decode path: the reference recomputes the full prefix every step with no KV
+cache (``otrans/decoder/transformer.py:185-208``, an acknowledged TODO at
+``README.md:13``). Here decoding is O(1) per step: ``init_cache`` precomputes
+cross-attention K/V from the encoder memory once and allocates static
+[B, H, U_max, Dh] self-attention buffers; ``decode_step`` appends one position
+and attends over the cached prefix — shaped for ``lax.while_loop`` beam
+search (see ``recognize/beam.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.masks import attn_mask_from_pad, causal_mask
+from .modules import (
+    MultiHeadCrossAttention,
+    MultiHeadSelfAttention,
+    PositionwiseFeedForward,
+    TorchLinear,
+    sinusoid_position_encoding,
+)
+
+Dtype = Any
+
+
+class TransformerDecoderLayer(nn.Module):
+    d_model: int
+    n_heads: int
+    d_ff: int
+    slf_attn_dropout: float = 0.0
+    src_attn_dropout: float = 0.0
+    ffn_dropout: float = 0.0
+    residual_dropout: float = 0.1
+    normalize_before: bool = False
+    concat_after: bool = False
+    activation: str = "glu"
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
+        self.norm2 = nn.LayerNorm(dtype=self.dtype, name="norm2")
+        self.norm3 = nn.LayerNorm(dtype=self.dtype, name="norm3")
+        self.slf_attn = MultiHeadSelfAttention(
+            self.n_heads, self.d_model, self.slf_attn_dropout, dtype=self.dtype, name="slf_attn"
+        )
+        self.src_attn = MultiHeadCrossAttention(
+            self.n_heads, self.d_model, self.src_attn_dropout, dtype=self.dtype, name="src_attn"
+        )
+        self.ffn = PositionwiseFeedForward(
+            self.d_model, self.d_ff, self.activation, self.ffn_dropout, dtype=self.dtype, name="ffn"
+        )
+        if self.concat_after:
+            self.concat_linear1 = TorchLinear(self.d_model, dtype=self.dtype, name="concat_linear1")
+            self.concat_linear2 = TorchLinear(self.d_model, dtype=self.dtype, name="concat_linear2")
+        self.res_dropout = nn.Dropout(self.residual_dropout)
+
+    def __call__(self, x, memory, self_mask, memory_mask, *, deterministic: bool = True):
+        residual = x
+        h = self.norm1(x) if self.normalize_before else x
+        attn_out, _ = self.slf_attn(h, self_mask, deterministic=deterministic)
+        if self.concat_after:
+            attn_out = self.concat_linear1(jnp.concatenate([h, attn_out], axis=-1))
+        x = residual + self.res_dropout(attn_out, deterministic=deterministic)
+        if not self.normalize_before:
+            x = self.norm1(x)
+
+        residual = x
+        h = self.norm2(x) if self.normalize_before else x
+        attn_out, _ = self.src_attn(h, memory, memory_mask, deterministic=deterministic)
+        if self.concat_after:
+            attn_out = self.concat_linear2(jnp.concatenate([h, attn_out], axis=-1))
+        x = residual + self.res_dropout(attn_out, deterministic=deterministic)
+        if not self.normalize_before:
+            x = self.norm2(x)
+
+        residual = x
+        h = self.norm3(x) if self.normalize_before else x
+        x = residual + self.res_dropout(self.ffn(h, deterministic=deterministic), deterministic=deterministic)
+        if not self.normalize_before:
+            x = self.norm3(x)
+        return x
+
+    def init_layer_cache(self, memory, batch: int, max_len: int):
+        """Precompute cross K/V and allocate self-attn cache buffers."""
+        ck, cv = self.src_attn.project_kv(memory)
+        d_k = self.d_model // self.n_heads
+        shape = (batch, self.n_heads, max_len, d_k)
+        return {
+            "k": jnp.zeros(shape, self.dtype),
+            "v": jnp.zeros(shape, self.dtype),
+            "ck": ck,
+            "cv": cv,
+        }
+
+    def decode_step(self, x_t, cache, index, memory_mask):
+        """x_t: [B, 1, D]; returns (y_t [B, 1, D], new cache)."""
+        residual = x_t
+        h = self.norm1(x_t) if self.normalize_before else x_t
+        attn_out, new_k, new_v = self.slf_attn.decode_step(h, cache["k"], cache["v"], index)
+        if self.concat_after:
+            attn_out = self.concat_linear1(jnp.concatenate([h, attn_out], axis=-1))
+        x = residual + attn_out
+        if not self.normalize_before:
+            x = self.norm1(x)
+
+        residual = x
+        h = self.norm2(x) if self.normalize_before else x
+        attn_out, _ = self.src_attn.attend(h, cache["ck"], cache["cv"], memory_mask)
+        if self.concat_after:
+            attn_out = self.concat_linear2(jnp.concatenate([h, attn_out], axis=-1))
+        x = residual + attn_out
+        if not self.normalize_before:
+            x = self.norm2(x)
+
+        residual = x
+        h = self.norm3(x) if self.normalize_before else x
+        x = residual + self.ffn(h)
+        if not self.normalize_before:
+            x = self.norm3(x)
+        return x, {"k": new_k, "v": new_v, "ck": cache["ck"], "cv": cache["cv"]}
+
+
+class TransformerDecoder(nn.Module):
+    vocab_size: int
+    d_model: int = 256
+    n_heads: int = 4
+    d_ff: int = 2048
+    memory_dim: int = 256  # accepted for config parity (must equal d_model)
+    n_blocks: int = 6
+    pos_dropout: float = 0.0
+    slf_attn_dropout: float = 0.0
+    src_attn_dropout: float = 0.0
+    ffn_dropout: float = 0.0
+    residual_dropout: float = 0.1
+    activation: str = "glu"
+    normalize_before: bool = False
+    concat_after: bool = False
+    share_embedding: bool = True
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        # torch nn.Embedding default init: N(0, 1)
+        self.embedding = nn.Embed(
+            self.vocab_size,
+            self.d_model,
+            embedding_init=nn.initializers.normal(1.0),
+            dtype=self.dtype,
+            name="embedding",
+        )
+        self.layers = [
+            TransformerDecoderLayer(
+                d_model=self.d_model,
+                n_heads=self.n_heads,
+                d_ff=self.d_ff,
+                slf_attn_dropout=self.slf_attn_dropout,
+                src_attn_dropout=self.src_attn_dropout,
+                ffn_dropout=self.ffn_dropout,
+                residual_dropout=self.residual_dropout,
+                normalize_before=self.normalize_before,
+                concat_after=self.concat_after,
+                activation=self.activation,
+                dtype=self.dtype,
+                name=f"block_{i}",
+            )
+            for i in range(self.n_blocks)
+        ]
+        if self.normalize_before:
+            self.after_norm = nn.LayerNorm(dtype=self.dtype, name="after_norm")
+        if not self.share_embedding:
+            self.output_layer = TorchLinear(self.vocab_size, dtype=self.dtype, name="output_layer")
+        self.pos_dropout_layer = nn.Dropout(self.pos_dropout)
+
+    def _embed(self, tokens, start: int = 0, deterministic: bool = True):
+        t = tokens.shape[1]
+        x = self.embedding(tokens)
+        pe = sinusoid_position_encoding(jnp.arange(start, start + t), self.d_model)[None]
+        x = x * jnp.asarray(np.sqrt(self.d_model), self.dtype) + pe.astype(self.dtype)
+        return self.pos_dropout_layer(x, deterministic=deterministic)
+
+    def _project(self, h):
+        if self.share_embedding:
+            emb = self.embedding.embedding.astype(self.dtype)  # [V, D]
+            return jnp.einsum("btd,vd->btv", h, emb, preferred_element_type=jnp.float32)
+        return self.output_layer(h).astype(jnp.float32)
+
+    def __call__(self, targets_in, memory, memory_pad_mask, tgt_pad_mask=None, *, deterministic: bool = True):
+        """Teacher-forced forward.
+
+        targets_in: i[B, U] (BOS-prefixed, no final EOS);
+        memory: [B, T, D]; memory_pad_mask: bool[B, T]; tgt_pad_mask: bool[B, U].
+        Returns f32 logits [B, U, V].
+        """
+        u = targets_in.shape[1]
+        self_mask = causal_mask(u)
+        if tgt_pad_mask is not None:
+            self_mask = jnp.logical_and(self_mask, attn_mask_from_pad(tgt_pad_mask))
+        mem_mask = attn_mask_from_pad(memory_pad_mask)
+        x = self._embed(targets_in, deterministic=deterministic)
+        for layer in self.layers:
+            x = layer(x, memory, self_mask, mem_mask, deterministic=deterministic)
+        if self.normalize_before:
+            x = self.after_norm(x)
+        return self._project(x)
+
+    def init_cache(self, memory, max_len: int):
+        """Build the decode cache pytree for a [B, T, D] memory batch."""
+        b = memory.shape[0]
+        return [layer.init_layer_cache(memory, b, max_len) for layer in self.layers]
+
+    def decode_step(self, token_t, cache, index, memory_pad_mask):
+        """One incremental step.
+
+        token_t: i[B] current input token; index: i32 scalar position (0-based);
+        Returns (log_probs f32[B, V], new_cache).
+        """
+        x = self._embed(token_t[:, None], start=0)  # embed then fix position below
+        # position-dependent PE: recompute at `index` (traced) — _embed used
+        # start=0 over length 1, i.e. position 0; adjust by the PE delta.
+        pe0 = sinusoid_position_encoding(jnp.zeros((1,), jnp.int32), self.d_model)[None]
+        pe_t = sinusoid_position_encoding(index[None] if index.ndim == 0 else index, self.d_model)[None]
+        x = x + (pe_t - pe0).astype(self.dtype)
+        mem_mask = memory_pad_mask[:, None, None, :]
+        new_cache = []
+        for layer, lc in zip(self.layers, cache):
+            x, nlc = layer.decode_step(x, lc, index, mem_mask)
+            new_cache.append(nlc)
+        if self.normalize_before:
+            x = self.after_norm(x)
+        logits = self._project(x)[:, 0, :]
+        return jax.nn.log_softmax(logits, axis=-1), new_cache

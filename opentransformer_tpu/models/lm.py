@@ -1,0 +1,228 @@
+"""Language models: recurrent (LSTM) and Transformer.
+
+Parity: reference ``otrans/model/lm.py`` — ``rnn_lm`` is embedding → LSTM
+stack → Linear with optional tied weights and a stepwise ``predict`` carrying
+hidden state; ``transformer_lm`` is embedding + positions → N causal
+self-attention blocks → Linear. The reference's transformer-LM ``predict``
+recomputes the whole prefix each step (``model/lm.py:126-141``); ours exposes
+an O(1) KV-cached ``decode_step`` so shallow fusion rides the same
+``lax.while_loop`` as the beam search.
+
+Both train with label smoothing over (BOS⧺tokens → tokens⧺EOS) pairs, the
+text-collate contract (``otrans/data/loader.py:24-63``).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import PAD
+from ..ops.loss import label_smoothing_loss
+from ..ops.masks import attn_mask_from_pad, causal_mask
+from .modules import (
+    MultiHeadSelfAttention,
+    PositionwiseFeedForward,
+    sinusoid_position_encoding,
+    TorchLinear,
+)
+
+Dtype = Any
+
+
+class TransformerLMLayer(nn.Module):
+    d_model: int
+    n_heads: int
+    d_ff: int
+    residual_dropout: float = 0.1
+    normalize_before: bool = False
+    activation: str = "relu"
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
+        self.norm2 = nn.LayerNorm(dtype=self.dtype, name="norm2")
+        self.slf_attn = MultiHeadSelfAttention(self.n_heads, self.d_model, 0.0, dtype=self.dtype, name="slf_attn")
+        self.ffn = PositionwiseFeedForward(self.d_model, self.d_ff, self.activation, 0.0, dtype=self.dtype, name="ffn")
+        self.res_dropout = nn.Dropout(self.residual_dropout)
+
+    def __call__(self, x, attn_mask, *, deterministic: bool = True):
+        residual = x
+        h = self.norm1(x) if self.normalize_before else x
+        out, _ = self.slf_attn(h, attn_mask, deterministic=deterministic)
+        x = residual + self.res_dropout(out, deterministic=deterministic)
+        if not self.normalize_before:
+            x = self.norm1(x)
+        residual = x
+        h = self.norm2(x) if self.normalize_before else x
+        x = residual + self.res_dropout(self.ffn(h, deterministic=deterministic), deterministic=deterministic)
+        if not self.normalize_before:
+            x = self.norm2(x)
+        return x
+
+    def decode_step(self, x_t, cache, index):
+        residual = x_t
+        h = self.norm1(x_t) if self.normalize_before else x_t
+        out, new_k, new_v = self.slf_attn.decode_step(h, cache["k"], cache["v"], index)
+        x = residual + out
+        if not self.normalize_before:
+            x = self.norm1(x)
+        residual = x
+        h = self.norm2(x) if self.normalize_before else x
+        x = residual + self.ffn(h)
+        if not self.normalize_before:
+            x = self.norm2(x)
+        return x, {"k": new_k, "v": new_v}
+
+
+class TransformerLanguageModel(nn.Module):
+    vocab_size: int
+    num_blocks: int = 6
+    d_model: int = 256
+    n_heads: int = 4
+    d_ff: int = 1024
+    residual_dropout: float = 0.1
+    smoothing: float = 0.1
+    share_embedding: bool = True
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.embedding = nn.Embed(
+            self.vocab_size, self.d_model,
+            embedding_init=nn.initializers.normal(1.0), dtype=self.dtype, name="embedding",
+        )
+        self.blocks = [
+            TransformerLMLayer(
+                d_model=self.d_model, n_heads=self.n_heads, d_ff=self.d_ff,
+                residual_dropout=self.residual_dropout, dtype=self.dtype, name=f"block_{i}",
+            )
+            for i in range(self.num_blocks)
+        ]
+        if not self.share_embedding:
+            self.output_layer = TorchLinear(self.vocab_size, dtype=self.dtype, name="output_layer")
+
+    def _embed(self, tokens, start: int = 0):
+        t = tokens.shape[1]
+        x = self.embedding(tokens)
+        pe = sinusoid_position_encoding(jnp.arange(start, start + t), self.d_model)[None]
+        return x * jnp.asarray(np.sqrt(self.d_model), self.dtype) + pe.astype(self.dtype)
+
+    def _project(self, h):
+        if self.share_embedding:
+            emb = self.embedding.embedding.astype(self.dtype)
+            return jnp.einsum("btd,vd->btv", h, emb, preferred_element_type=jnp.float32)
+        return self.output_layer(h).astype(jnp.float32)
+
+    def logits(self, tokens, pad_mask=None, *, deterministic: bool = True):
+        u = tokens.shape[1]
+        mask = causal_mask(u)
+        if pad_mask is not None:
+            mask = jnp.logical_and(mask, attn_mask_from_pad(pad_mask))
+        x = self._embed(tokens)
+        for blk in self.blocks:
+            x = blk(x, mask, deterministic=deterministic)
+        return self._project(x)
+
+    def __call__(self, src, tgt, tgt_length, *, deterministic: bool = True):
+        """src = BOS⧺tokens, tgt = tokens⧺EOS. Returns (loss, aux)."""
+        pad_mask = src != PAD
+        pad_mask = pad_mask.at[:, 0].set(True)  # BOS shares id-space with EOS=1, always valid
+        logits = self.logits(src, pad_mask, deterministic=deterministic)
+        return label_smoothing_loss(logits, tgt, self.smoothing, pad_id=PAD), {}
+
+    def init_cache(self, batch: int, max_len: int):
+        d_k = self.d_model // self.n_heads
+        shape = (batch, self.n_heads, max_len, d_k)
+        return [
+            {"k": jnp.zeros(shape, self.dtype), "v": jnp.zeros(shape, self.dtype)}
+            for _ in range(self.num_blocks)
+        ]
+
+    def decode_step(self, token_t, cache, index):
+        """token_t: i[B] → (log_probs f32[B, V], new cache)."""
+        x = self._embed(token_t[:, None], start=0)
+        pe0 = sinusoid_position_encoding(jnp.zeros((1,), jnp.int32), self.d_model)[None]
+        pe_t = sinusoid_position_encoding(index[None] if index.ndim == 0 else index, self.d_model)[None]
+        x = x + (pe_t - pe0).astype(self.dtype)
+        new_cache = []
+        for blk, lc in zip(self.blocks, cache):
+            x, nlc = blk.decode_step(x, lc, index)
+            new_cache.append(nlc)
+        logits = self._project(x)[:, 0, :]
+        return jax.nn.log_softmax(logits, axis=-1), new_cache
+
+
+class RecurrentLanguageModel(nn.Module):
+    vocab_size: int
+    num_layers: int = 2
+    hidden_size: int = 1024
+    dropout: float = 0.1
+    residual_dropout: float = 0.1  # accepted for config parity
+    smoothing: float = 0.1
+    share_embedding: bool = True
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.embedding = nn.Embed(
+            self.vocab_size, self.hidden_size,
+            embedding_init=nn.initializers.normal(1.0), dtype=self.dtype, name="embedding",
+        )
+        # one nn.RNN per stacked layer; the same module serves the full
+        # sequence path and the one-step decode path (length-1 sequence), so
+        # params are shared between training and beam-search fusion.
+        self.rnns = [
+            nn.RNN(
+                nn.OptimizedLSTMCell(self.hidden_size, dtype=self.dtype),
+                return_carry=True,
+                name=f"lstm_{i}",
+            )
+            for i in range(self.num_layers)
+        ]
+        if not self.share_embedding:
+            self.output_layer = TorchLinear(self.vocab_size, dtype=self.dtype, name="output_layer")
+        self.drop = nn.Dropout(self.dropout)
+
+    def _project(self, h):
+        if self.share_embedding:
+            emb = self.embedding.embedding.astype(self.dtype)
+            return jnp.einsum("btd,vd->btv", h, emb, preferred_element_type=jnp.float32)
+        return self.output_layer(h).astype(jnp.float32)
+
+    def init_hidden(self, batch: int):
+        return [
+            (jnp.zeros((batch, self.hidden_size), self.dtype),
+             jnp.zeros((batch, self.hidden_size), self.dtype))
+            for _ in range(self.num_layers)
+        ]
+
+    def _run(self, tokens, hidden, *, deterministic: bool = True):
+        """tokens: i[B, T] → (h [B, T, D], final hidden)."""
+        x = self.embedding(tokens)
+        finals = []
+        for i, rnn in enumerate(self.rnns):
+            carry, x = rnn(x, initial_carry=(hidden[i][0], hidden[i][1]))
+            if i + 1 < len(self.rnns):
+                x = self.drop(x, deterministic=deterministic)
+            finals.append(carry)
+        return x, finals
+
+    def __call__(self, src, tgt, tgt_length, *, deterministic: bool = True):
+        hidden = self.init_hidden(src.shape[0])
+        h, _ = self._run(src, hidden, deterministic=deterministic)
+        logits = self._project(h)
+        return label_smoothing_loss(logits, tgt, self.smoothing, pad_id=PAD), {}
+
+    def decode_step(self, token_t, hidden, index=None):
+        """token_t: i[B] → (log_probs f32[B, V], new hidden). Stepwise predict
+        (reference ``model/lm.py:75-91``)."""
+        x = self.embedding(token_t)[:, None, :]  # [B, 1, D]
+        new_hidden = []
+        for i, rnn in enumerate(self.rnns):
+            carry, x = rnn(x, initial_carry=(hidden[i][0], hidden[i][1]))
+            new_hidden.append(carry)
+        logits = self._project(x)[:, 0, :]
+        return jax.nn.log_softmax(logits, axis=-1), new_hidden

@@ -1,0 +1,59 @@
+"""Model registry: type-string → model builder.
+
+Mirrors the reference's registry dicts (``otrans/model/__init__.py:6-14``):
+End2End models {'speech2text', 'ctc'} and LMs {'rnn_lm', 'transformer_lm'},
+built from the ``model`` section of the YAML config.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .lm import RecurrentLanguageModel, TransformerLanguageModel
+from .speech2text import CTCModel, SpeechToText
+
+
+def _as_dict(cfg: Any) -> dict:
+    return dict(cfg) if not isinstance(cfg, dict) else cfg
+
+
+def build_model(model_cfg: Any, dtype=jnp.float32) -> nn.Module:
+    """Build a model from the YAML ``model`` section (dict-like)."""
+    mtype = model_cfg["type"]
+    if mtype == "speech2text":
+        return SpeechToText(
+            frontend_type=model_cfg.get("frontend_type", "conv"),
+            frontend_cfg=_as_dict(model_cfg["frontend"]),
+            encoder_type=model_cfg.get("encoder_type", "transformer"),
+            encoder_cfg=_as_dict(model_cfg["encoder"]),
+            decoder_cfg=_as_dict(model_cfg["decoder"]),
+            ctc_weight=float(model_cfg.get("ctc_weight", 0.0)),
+            smoothing=float(model_cfg.get("smoothing", 0.1)),
+            dtype=dtype,
+        )
+    if mtype == "ctc":
+        return CTCModel(
+            frontend_type=model_cfg.get("frontend_type", "conv"),
+            frontend_cfg=_as_dict(model_cfg["frontend"]),
+            encoder_type=model_cfg.get("encoder_type", "transformer"),
+            encoder_cfg=_as_dict(model_cfg["encoder"]),
+            vocab_size=int(model_cfg["vocab_size"]),
+            lookahead_steps=int(model_cfg.get("lookahead_steps", 0)),
+            dtype=dtype,
+        )
+    if mtype == "transformer_lm":
+        keys = TransformerLanguageModel.__dataclass_fields__
+        kw = {k: v for k, v in _as_dict(model_cfg).items() if k in keys and k != "dtype"}
+        return TransformerLanguageModel(dtype=dtype, **kw)
+    if mtype == "rnn_lm":
+        keys = RecurrentLanguageModel.__dataclass_fields__
+        kw = {k: v for k, v in _as_dict(model_cfg).items() if k in keys and k != "dtype"}
+        return RecurrentLanguageModel(dtype=dtype, **kw)
+    raise KeyError(f"unknown model type: {mtype!r}")
+
+
+LM_TYPES = ("rnn_lm", "transformer_lm")
+E2E_TYPES = ("speech2text", "ctc")

@@ -1,0 +1,204 @@
+"""End-to-end models: attention-based SpeechToText and pure-CTC.
+
+``SpeechToText`` — parity with reference ``otrans/model/speech2text.py:15-90``:
+frontend → encoder → decoder, teacher forcing with the shifted-target scheme
+(target_in = targets[:, :-1], target_out = targets[:, 1:]), label-smoothing
+loss, optional hybrid CTC loss (1-w)·att + w·ctc on the encoder memory.
+
+``CTCModel`` — parity with reference ``otrans/model/ctc.py`` (whose decode
+path crashes as shipped, SURVEY §8.4 — ours works): frontend → encoder →
+CTCAssistor, with the optional causal look-ahead depthwise conv over future
+frames.
+
+Targets contract (same as the reference collate): targets[B, U+2] =
+BOS ⧺ y ⧺ EOS ⧺ PAD…, ``targets_length`` counts y+EOS (no BOS).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..data import PAD
+from ..ops.loss import ctc_loss, label_smoothing_loss
+from ..ops.masks import length_to_mask, mask_to_length
+from .decoder import TransformerDecoder
+from .encoder import ConformerEncoder, TransformerEncoder
+from .frontend import ConcatFrontEnd, ConvFrontEnd
+from .modules import TorchLinear
+
+Dtype = Any
+
+FRONTENDS = {"conv": ConvFrontEnd, "concat": ConcatFrontEnd}
+ENCODERS = {"transformer": TransformerEncoder, "conformer": ConformerEncoder}
+
+
+def _build_frontend(frontend_type: str, cfg: dict, dtype):
+    cls = FRONTENDS[frontend_type]
+    kw = {k: v for k, v in dict(cfg).items() if k in cls.__dataclass_fields__}
+    return cls(dtype=dtype, **kw, name="frontend")
+
+
+def _build_encoder(encoder_type: str, cfg: dict, dtype):
+    cls = ENCODERS[encoder_type]
+    kw = {k: v for k, v in dict(cfg).items() if k in cls.__dataclass_fields__}
+    return cls(dtype=dtype, **kw, name="encoder")
+
+
+class CTCAssistor(nn.Module):
+    """Frame-level vocabulary projection + CTC loss head.
+
+    Reference ``otrans/model/ctc.py:12-66``: Linear to vocab with
+    nn.CTCLoss(blank=0, zero_infinity=True); optional causal look-ahead
+    depthwise conv mixing ``lookahead_steps`` future frames into each frame
+    before projection.
+    """
+
+    vocab_size: int
+    lookahead_steps: int = 0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def project(self, memory):
+        h = memory
+        if self.lookahead_steps > 0:
+            d = memory.shape[-1]
+            # depthwise conv over [t .. t+lookahead]: pad right only (causal
+            # in reverse — sees only current + future frames)
+            h = jnp.pad(h, ((0, 0), (0, self.lookahead_steps), (0, 0)))
+            h = nn.Conv(
+                features=d,
+                kernel_size=(self.lookahead_steps + 1,),
+                feature_group_count=d,
+                padding="VALID",
+                dtype=self.dtype,
+                name="look_ahead_conv",
+            )(h)
+        return TorchLinear(self.vocab_size, dtype=self.dtype, name="output_layer")(h).astype(jnp.float32)
+
+    def __call__(self, memory, memory_lengths, labels, label_lengths):
+        logits = self.project(memory)
+        return ctc_loss(logits, memory_lengths, labels, label_lengths, blank_id=0)
+
+
+class SpeechToText(nn.Module):
+    """frontend → encoder → decoder with label smoothing (+ optional CTC)."""
+
+    frontend_type: str
+    frontend_cfg: dict
+    encoder_type: str
+    encoder_cfg: dict
+    decoder_cfg: dict
+    ctc_weight: float = 0.0
+    smoothing: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.frontend = _build_frontend(self.frontend_type, self.frontend_cfg, self.dtype)
+        self.encoder = _build_encoder(self.encoder_type, self.encoder_cfg, self.dtype)
+        dec_kw = {
+            k: v
+            for k, v in dict(self.decoder_cfg).items()
+            if k in TransformerDecoder.__dataclass_fields__
+        }
+        self.decoder = TransformerDecoder(dtype=self.dtype, **dec_kw, name="decoder")
+        if self.ctc_weight > 0.0:
+            self.assistor = CTCAssistor(
+                vocab_size=self.decoder_cfg["vocab_size"], dtype=self.dtype, name="ctc"
+            )
+
+    def encode(self, feats, feat_mask, *, deterministic: bool = True, train: bool = False):
+        x, mask = self.frontend(
+            feats.astype(self.dtype), feat_mask, deterministic=deterministic, train=train
+        )
+        enc_out = self.encoder(x, mask, deterministic=deterministic, **(
+            {"train": train} if self.encoder_type == "conformer" else {}
+        ))
+        memory, memory_mask = enc_out[0], enc_out[1]
+        return memory, memory_mask
+
+    def __call__(self, feats, feat_mask, targets, targets_length, *, deterministic: bool = True, train: bool = False):
+        """Returns (scalar loss f32, aux losses dict)."""
+        memory, memory_mask = self.encode(feats, feat_mask, deterministic=deterministic, train=train)
+
+        target_in = targets[:, :-1]
+        target_out = targets[:, 1:]
+        # pad mask over decoder inputs: BOS + y (+EOS at last real slot)
+        u = target_in.shape[1]
+        tgt_mask = length_to_mask(targets_length + 1, u)  # +1 for BOS, bounded by U+1
+        logits = self.decoder(target_in, memory, memory_mask, tgt_mask, deterministic=deterministic)
+        att_loss = label_smoothing_loss(logits, target_out, self.smoothing, pad_id=PAD)
+
+        aux = {}
+        if self.ctc_weight > 0.0:
+            # CTC labels: y without BOS/EOS (strip both specials)
+            labels = jnp.where(target_out == 1, PAD, target_out)  # EOS id 1 → PAD
+            label_lengths = targets_length - 1  # drop EOS
+            mem_lengths = mask_to_length(memory_mask)
+            closs = self.assistor(memory, mem_lengths, labels, label_lengths)
+            aux["ctc_loss"] = closs
+            aux["att_loss"] = att_loss
+            loss = (1.0 - self.ctc_weight) * att_loss + self.ctc_weight * closs
+        else:
+            loss = att_loss
+        return loss, aux
+
+    # -- decode-side entry points (used via model.apply(..., method=...)) ---
+    def init_cache(self, memory, max_len: int):
+        return self.decoder.init_cache(memory, max_len)
+
+    def decode_step(self, token_t, cache, index, memory_pad_mask):
+        return self.decoder.decode_step(token_t, cache, index, memory_pad_mask)
+
+    def decode_full(self, targets_in, memory, memory_pad_mask):
+        """Full-prefix logits (greedy/debug path)."""
+        return self.decoder(targets_in, memory, memory_pad_mask, None, deterministic=True)
+
+    def ctc_logits(self, memory):
+        return self.assistor.project(memory)
+
+
+class CTCModel(nn.Module):
+    """frontend → encoder → CTC head (reference ``otrans/model/ctc.py:69-134``)."""
+
+    frontend_type: str
+    frontend_cfg: dict
+    encoder_type: str
+    encoder_cfg: dict
+    vocab_size: int
+    lookahead_steps: int = 0
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.frontend = _build_frontend(self.frontend_type, self.frontend_cfg, self.dtype)
+        self.encoder = _build_encoder(self.encoder_type, self.encoder_cfg, self.dtype)
+        self.assistor = CTCAssistor(
+            vocab_size=self.vocab_size, lookahead_steps=self.lookahead_steps, dtype=self.dtype, name="ctc"
+        )
+
+    def encode(self, feats, feat_mask, *, deterministic: bool = True, train: bool = False):
+        x, mask = self.frontend(
+            feats.astype(self.dtype), feat_mask, deterministic=deterministic, train=train
+        )
+        enc_out = self.encoder(x, mask, deterministic=deterministic, **(
+            {"train": train} if self.encoder_type == "conformer" else {}
+        ))
+        return enc_out[0], enc_out[1]
+
+    def __call__(self, feats, feat_mask, targets, targets_length, *, deterministic: bool = True, train: bool = False):
+        memory, memory_mask = self.encode(feats, feat_mask, deterministic=deterministic, train=train)
+        target_out = targets[:, 1:]
+        labels = jnp.where(target_out == 1, PAD, target_out)
+        label_lengths = targets_length - 1
+        mem_lengths = mask_to_length(memory_mask)
+        loss = self.assistor(memory, mem_lengths, labels, label_lengths)
+        return loss, {}
+
+    def recognize_logits(self, feats, feat_mask):
+        """Frame log-probs for CTC decoding: (f32[B, T', V], bool[B, T'])."""
+        memory, memory_mask = self.encode(feats, feat_mask)
+        logits = self.assistor.project(memory)
+        return jax.nn.log_softmax(logits, axis=-1), memory_mask
