@@ -1,0 +1,121 @@
+"""Checkpointing: orbax-backed save/resume, keep-last-N pruning, averaging.
+
+Reference behaviors covered (``otrans/train/trainer.py:270-310``,
+``tools/average.py``, ``otrans/utils.py:46-101``):
+  * per-epoch checkpoints named ``model.epoch.N`` with the config embedded
+    (so decoding can run without -c, like ``eval.py:24-28``)
+  * optimizer state + scheduler global_step saved alongside for resume
+  * keep-last-N pruning
+  * post-hoc weight averaging over an epoch range (the recipe that produced
+    the reference's 6.7% CER averages the last 10 epochs)
+
+The checkpoint payload is a pure pytree (numpy arrays after restore);
+sharded params are saved from whatever mesh they live on and restored
+host-local, then re-placed by the caller.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(jax.device_get(x)), tree)
+
+
+class Checkpointer:
+    """Manages ``<expdir>/model.epoch.N`` orbax checkpoints."""
+
+    def __init__(self, expdir: str, config: Optional[dict] = None):
+        self.expdir = os.path.abspath(expdir)
+        os.makedirs(self.expdir, exist_ok=True)
+        self._ckpt = ocp.PyTreeCheckpointer()
+        if config is not None:
+            with open(os.path.join(self.expdir, "config.json"), "w") as f:
+                json.dump(config, f, ensure_ascii=False)
+
+    # -- paths ------------------------------------------------------------
+    def epoch_path(self, epoch: int) -> str:
+        return os.path.join(self.expdir, f"model.epoch.{epoch}")
+
+    def list_epochs(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.expdir):
+            m = re.fullmatch(r"model\.epoch\.(\d+)", name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    # -- save/restore -----------------------------------------------------
+    def save(self, epoch: int, state, extra: Optional[dict] = None, keep_last_n: int = 0) -> str:
+        payload = {
+            "params": _to_host(state.params),
+            "opt_state": _to_host(state.opt_state),
+            "extra": dict(extra or {}),
+        }
+        path = self.epoch_path(epoch)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        self._ckpt.save(path, payload)
+        if keep_last_n > 0:
+            self.prune(keep_last_n)
+        return path
+
+    def save_params_only(self, name: str, params) -> str:
+        path = os.path.join(self.expdir, name)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        self._ckpt.save(path, {"params": _to_host(params)})
+        return path
+
+    def restore(self, path: str) -> dict:
+        return self._ckpt.restore(path if os.path.isabs(path) else os.path.join(self.expdir, path))
+
+    def restore_latest(self) -> tuple[int, dict] | None:
+        epochs = self.list_epochs()
+        if not epochs:
+            return None
+        e = epochs[-1]
+        return e, self.restore(self.epoch_path(e))
+
+    def prune(self, keep_last_n: int) -> None:
+        epochs = self.list_epochs()
+        for e in epochs[:-keep_last_n]:
+            shutil.rmtree(self.epoch_path(e), ignore_errors=True)
+
+    # -- averaging --------------------------------------------------------
+    def average(self, start_epoch: int, end_epoch: int, out_name: Optional[str] = None) -> str:
+        """Average params over [start_epoch, end_epoch] inclusive.
+
+        Writes ``model.average.from{s}to{e}`` (name format matched by the
+        decode driver, reference ``eval.py:101-106``).
+        """
+        epochs = [e for e in self.list_epochs() if start_epoch <= e <= end_epoch]
+        if not epochs:
+            raise FileNotFoundError(f"no checkpoints in [{start_epoch}, {end_epoch}] under {self.expdir}")
+        acc = None
+        for e in epochs:
+            params = self.restore(self.epoch_path(e))["params"]
+            if acc is None:
+                acc = jax.tree_util.tree_map(lambda x: x.astype(np.float64), params)
+            else:
+                acc = jax.tree_util.tree_map(lambda a, x: a + x, acc, params)
+        n = float(len(epochs))
+        avg = jax.tree_util.tree_map(lambda a: (a / n).astype(np.float32), acc)
+        out_name = out_name or f"model.average.from{start_epoch}to{end_epoch}"
+        return self.save_params_only(out_name, avg)
+
+    def load_config(self) -> Optional[dict]:
+        p = os.path.join(self.expdir, "config.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return None

@@ -1,0 +1,300 @@
+"""Trainer: jit-compiled train step over a device mesh.
+
+Reference semantics preserved (``otrans/train/trainer.py:140-260``):
+  * gradient accumulation: micro-batch losses scaled by 1/accum_steps, one
+    optimizer update per ``accum_steps`` micro-batches
+  * clip-by-global-norm, then optional per-param Gaussian grad noise
+    (std ``grad_noise``, divided by accum_steps)
+  * NaN-grad-norm guard: the update is skipped entirely (params, moments and
+    the schedule step are untouched)
+  * Noam et al. schedules step per optimizer update, not per micro-batch
+  * MixSpeech: pairwise input mixing with a Beta(0.5, 0.5) λ and dual losses
+  * window-100 mean loss, aux-loss meters, interval logging
+  * per-epoch checkpoint + optimizer state, keep-last-N pruning
+
+TPU-native execution model (replaces DataParallel/DDP + NCCL):
+  * params live on a `Mesh` with NamedShardings (dp replicate + optional tp
+    shard, see ``parallel/mesh.py``); batches are sharded over the ``data``
+    axis; XLA emits the gradient all-reduce over ICI.
+  * two compiled functions: ``_grad_step`` (per micro-batch, donates the
+    accumulator) and ``_update_step`` (per optimizer update, donates params
+    and opt state). The learning rate is a host scalar argument so all seven
+    schedulers stay host-side python.
+  * scalars (loss/grad-norm) are fetched only at log intervals to keep the
+    device queue free of host syncs.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from functools import partial
+from typing import Any, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..parallel.mesh import batch_sharding, param_shardings, replicated
+from .scheduler import build_optimizer, build_scheduler
+from .utils import AuxiliaryLossAverageMeter, AverageMeter, MeanLoss, Visualizer
+
+logger = logging.getLogger(__name__)
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    nan_skips: jnp.ndarray  # i32 counter of skipped (non-finite) updates
+
+
+def global_norm(tree) -> jnp.ndarray:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves))
+
+
+class Trainer:
+    """Drives epochs over a loader of (utt_ids, inputs, targets) batches.
+
+    ``batch_fn`` adapts a loader batch to the model's apply signature — the
+    default handles the speech (feats/mask/targets/lengths) contract; the LM
+    path passes (src, tgt, tgt_length).
+    """
+
+    def __init__(
+        self,
+        params_cfg: Any,  # the 'train' config section
+        model,
+        mesh=None,
+        expdir: str = "exp",
+        checkpointer=None,
+        is_mixspeech: bool = False,
+        is_visual: bool = False,
+        log_interval: int = 10,
+        keep_last_n: int = 30,
+        dev_loader=None,
+        batch_fn=None,
+        static_kwargs: Optional[dict] = None,
+    ):
+        self.model = model
+        self.mesh = mesh
+        self.expdir = expdir
+        self.checkpointer = checkpointer
+        self.is_mixspeech = is_mixspeech
+        self.log_interval = log_interval
+        self.keep_last_n = keep_last_n
+        self.dev_loader = dev_loader
+        self.batch_fn = batch_fn or default_speech_batch
+        if static_kwargs is None:
+            # speech models thread a static `train` flag (conformer conv norm);
+            # LMs don't accept it.
+            static_kwargs = {"train": True} if hasattr(model, "frontend_type") else {}
+        self.static_kwargs = static_kwargs
+
+        self.accum_steps = int(params_cfg.get("accum_steps", 1))
+        self.grad_clip = float(params_cfg.get("clip_grad", 0.0))
+        self.grad_noise = float(params_cfg.get("grad_noise", 0.0))
+        self.epochs = int(params_cfg.get("epochs", 1))
+
+        self.tx = build_optimizer(params_cfg.get("optimizer", {}), params_cfg.get("optimizer_type", "adam"))
+        self.schedule = build_scheduler(
+            params_cfg.get("scheduler", {}), params_cfg.get("scheduler_type", "transformer")
+        )
+
+        self.global_step = 1  # optimizer updates, matches reference counting
+        self.global_epoch = 0
+        self.mean_loss = MeanLoss()
+        self.visualizer = Visualizer(f"{expdir}/tb") if is_visual else None
+
+        self._grad_fn = None
+        self._update_fn = None
+
+    # ------------------------------------------------------------------ init
+    def init_state(self, rng, sample_batch) -> TrainState:
+        args = self.batch_fn(sample_batch)
+        params = self.model.init(rng, *args)
+        if self.mesh is not None:
+            shardings = param_shardings(params, self.mesh)
+            params = jax.device_put(params, shardings)
+        opt_state = self.tx.init(params)
+        return TrainState(params=params, opt_state=opt_state, nan_skips=jnp.zeros((), jnp.int32))
+
+    # ------------------------------------------------------------ jitted fns
+    def _build_grad_fn(self):
+        model = self.model
+        accum = self.accum_steps
+        mix = self.is_mixspeech
+        static_kwargs = dict(self.static_kwargs)
+
+        def loss_fn(params, args, rng):
+            if mix:
+                feats, feat_mask, targets, targets_length = args
+                b = (feats.shape[0] // 2) * 2
+                lam_rng, rng = jax.random.split(rng)
+                lam = jax.random.beta(lam_rng, 0.5, 0.5)
+                mixed = lam * feats[0:b:2] + (1.0 - lam) * feats[1:b:2]
+                mmask = jnp.logical_or(feat_mask[0:b:2], feat_mask[1:b:2])
+                l1, _ = model.apply(
+                    params, mixed, mmask, targets[0:b:2], targets_length[0:b:2],
+                    deterministic=False, rngs={"dropout": rng}, **static_kwargs,
+                )
+                l2, _ = model.apply(
+                    params, mixed, mmask, targets[1:b:2], targets_length[1:b:2],
+                    deterministic=False, rngs={"dropout": rng}, **static_kwargs,
+                )
+                loss = lam * l1 + (1.0 - lam) * l2
+                aux = {}
+            else:
+                loss, aux = model.apply(
+                    params, *args, deterministic=False, rngs={"dropout": rng}, **static_kwargs
+                )
+            return loss / accum, (loss, aux)
+
+        def grad_step(params, grad_accum, args, rng):
+            (scaled, (loss, aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, args, rng
+            )
+            grad_accum = jax.tree_util.tree_map(lambda a, g: a + g.astype(a.dtype), grad_accum, grads)
+            return grad_accum, loss, aux
+
+        return jax.jit(grad_step, donate_argnums=(1,))
+
+    def _build_update_fn(self):
+        tx = self.tx
+        clip = self.grad_clip
+        noise = self.grad_noise
+        accum = self.accum_steps
+
+        def update(params, opt_state, grads, nan_skips, lr, rng):
+            gnorm = global_norm(grads)
+            if clip > 0:
+                scale = jnp.minimum(1.0, clip / (gnorm + 1e-6))
+                grads = jax.tree_util.tree_map(lambda g: g * scale.astype(g.dtype), grads)
+            if noise > 0:
+                leaves, treedef = jax.tree_util.tree_flatten(grads)
+                keys = jax.random.split(rng, len(leaves))
+                leaves = [
+                    g + (jax.random.normal(k, g.shape, g.dtype) * noise) / accum
+                    for g, k in zip(leaves, keys)
+                ]
+                grads = jax.tree_util.tree_unflatten(treedef, leaves)
+
+            ok = jnp.isfinite(gnorm)
+
+            def do_update(_):
+                updates, new_opt = tx.update(grads, opt_state, params)
+                updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+                return optax.apply_updates(params, updates), new_opt
+
+            def skip(_):
+                return params, opt_state
+
+            new_params, new_opt = jax.lax.cond(ok, do_update, skip, None)
+            return new_params, new_opt, nan_skips + (1 - ok.astype(jnp.int32)), gnorm
+
+        return jax.jit(update, donate_argnums=(0, 1))
+
+    def _zeros_like_grads(self, params):
+        zeros = jax.tree_util.tree_map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
+        if self.mesh is not None:
+            zeros = jax.device_put(zeros, param_shardings(zeros, self.mesh))
+        return zeros
+
+    def _shard_batch(self, tree):
+        if self.mesh is None:
+            return tree
+        sh = batch_sharding(self.mesh)
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+    # ----------------------------------------------------------------- train
+    def train(self, state: TrainState, train_loader, rng) -> TrainState:
+        if self._grad_fn is None:
+            self._grad_fn = self._build_grad_fn()
+            self._update_fn = self._build_update_fn()
+
+        for epoch in range(self.global_epoch, self.epochs):
+            state = self.train_one_epoch(epoch, state, train_loader, rng)
+            self.global_epoch = epoch + 1
+            if hasattr(train_loader, "set_epoch"):
+                train_loader.set_epoch(epoch + 1)
+            if self.checkpointer is not None:
+                self.checkpointer.save(
+                    epoch, state, extra={"global_step": self.global_step}, keep_last_n=self.keep_last_n
+                )
+        return state
+
+    def train_one_epoch(self, epoch: int, state: TrainState, train_loader, rng) -> TrainState:
+        if self._grad_fn is None:
+            self._grad_fn = self._build_grad_fn()
+            self._update_fn = self._build_update_fn()
+        step_loss = AverageMeter()
+        aux_meter = AuxiliaryLossAverageMeter()
+        grad_accum = self._zeros_like_grads(state.params)
+        micro = 0
+        span_t0 = time.time()
+        params, opt_state, nan_skips = state.params, state.opt_state, state.nan_skips
+        pending_loss = None
+        batches = list(train_loader) if not hasattr(train_loader, "__len__") else train_loader
+        n_batches = len(batches)
+
+        for step, batch in enumerate(batches):
+            _, inputs, targets = batch
+            args = self._shard_batch(self.batch_fn((None, inputs, targets)))
+            rng, r1 = jax.random.split(rng)
+            grad_accum, loss, aux = self._grad_fn(params, grad_accum, args, r1)
+            pending_loss = loss
+            step_loss.update(float(loss), 1)
+            aux_meter.update({k: float(v) for k, v in aux.items()}, 1)
+            micro += 1
+
+            if micro == self.accum_steps or step == n_batches - 1:
+                lr = self.schedule(self.global_step, self.global_epoch)
+                rng, r2 = jax.random.split(rng)
+                params, opt_state, nan_skips, gnorm = self._update_fn(
+                    params, opt_state, grad_accum, nan_skips, lr, r2
+                )
+                self.global_step += 1
+                self.mean_loss.update(step_loss.avg)
+                grad_accum = self._zeros_like_grads(params)
+                micro = 0
+
+                if self.visualizer is not None:
+                    self.visualizer.add_scalar("train_loss", step_loss.avg, self.global_step)
+                    self.visualizer.add_scalar("lr", lr, self.global_step)
+                if self.global_step % self.log_interval == 0:
+                    span = time.time() - span_t0
+                    span_t0 = time.time()
+                    logger.info(
+                        "-Training-Epoch-%d(%.5f%%), Global Step:%d, lr:%.8f, Loss:%.5f, "
+                        "AvgLoss: %.5f, Run Time:%.3f%s",
+                        epoch, (step + 1) / max(n_batches, 1) * 100, self.global_step, lr,
+                        step_loss.avg, self.mean_loss.mean(), span, aux_meter.avg_infos,
+                    )
+                step_loss.reset()
+                aux_meter.reset()
+
+        del pending_loss
+        return TrainState(params=params, opt_state=opt_state, nan_skips=nan_skips)
+
+
+def default_speech_batch(batch):
+    """(utt, inputs, targets) dicts → model.apply args for SpeechToText/CTC."""
+    _, inputs, targets = batch
+    return (
+        jnp.asarray(inputs["inputs"]),
+        jnp.asarray(inputs["mask"], bool),
+        jnp.asarray(targets["targets"]),
+        jnp.asarray(targets["targets_length"]),
+    )
+
+
+def lm_batch(batch):
+    """(utt, inputs, targets) → (src, tgt, tgt_length) for LM training."""
+    _, inputs, targets = batch
+    return (
+        jnp.asarray(inputs["inputs"]),
+        jnp.asarray(targets["targets"]),
+        jnp.asarray(targets["targets_length"]),
+    )

@@ -1,0 +1,111 @@
+"""Training runtime tests: schedulers, loss decrease on a mesh, checkpointing."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opentransformer_tpu.models.registry import build_model
+from opentransformer_tpu.ops.masks import length_to_mask
+from opentransformer_tpu.parallel.mesh import make_mesh
+from opentransformer_tpu.train.scheduler import build_scheduler
+from opentransformer_tpu.train.trainer import Trainer
+from tests.test_models import small_model_cfg, VOCAB
+
+
+def test_noam_schedule():
+    s = build_scheduler({"model_size": 256, "warmup_steps": 100, "factor": 1.0}, "transformer")
+    # reference formula: factor * d^-0.5 * min(step^-0.5, step*warmup^-1.5)
+    for step in (1, 10, 100, 1000):
+        expect = 256 ** -0.5 * min(step ** -0.5, step * 100 ** -1.5)
+        assert math.isclose(s(step, 0), expect)
+    # peak at warmup boundary
+    assert s(100, 0) >= s(50, 0) and s(100, 0) >= s(200, 0)
+
+
+def test_linear_and_exp_schedules():
+    s = build_scheduler({"final_step": 10, "start_lr": 1.0, "final_lr": 0.0}, "step-linear")
+    assert math.isclose(s(0, 0), 1.0) and math.isclose(s(5, 0), 0.5) and math.isclose(s(20, 0), 0.0)
+    s = build_scheduler({"final_epoch": 4, "start_lr": 0.4, "final_lr": 0.0}, "epoch-linear")
+    assert math.isclose(s(0, 2), 0.2)
+    s = build_scheduler({"init_lr": 0.5, "decay_factor": 1.1, "min_lr": 1e-6}, "step-exp")
+    v1, v2 = s(1, 0), s(2, 0)
+    assert v2 < v1 < 0.5
+
+
+def synth_batch(rng, b=8, t=33, f=20, u=6):
+    feats = jnp.asarray(rng.normal(size=(b, t, f)), jnp.float32)
+    mask = length_to_mask(jnp.asarray([t] * b), t)
+    tgt = np.zeros((b, u + 2), np.int32)
+    for i in range(b):
+        tgt[i, 0] = 1
+        tgt[i, 1 : u + 1] = rng.integers(3, VOCAB, u)
+        tgt[i, u + 1] = 1
+    inputs = {"inputs": feats, "mask": mask}
+    targets = {"targets": jnp.asarray(tgt), "targets_length": jnp.asarray([u + 1] * b)}
+    return (None, inputs, targets)
+
+
+def test_train_loss_decreases_on_mesh():
+    """Full jitted train loop on a 4x2 (data x model) virtual mesh."""
+    mesh = make_mesh(n_data=4, n_model=2)
+    model = build_model(small_model_cfg())
+    train_cfg = {
+        "optimizer_type": "adam",
+        "optimizer": {"lr": 1e-3, "betas": [0.9, 0.98], "eps": 1e-9, "weight_decay": 1e-6},
+        "scheduler_type": "constant",
+        "scheduler": {"lr": 1e-3},
+        "clip_grad": 5,
+        "accum_steps": 2,
+        "epochs": 1,
+    }
+    trainer = Trainer(train_cfg, model, mesh=mesh, log_interval=1000)
+    rng = np.random.default_rng(0)
+    batches = [synth_batch(rng) for _ in range(2)]
+    state = trainer.init_state(jax.random.PRNGKey(0), batches[0])
+
+    losses = []
+    key = jax.random.PRNGKey(1)
+    for it in range(12):
+        # measure loss on fixed batch before update
+        args = trainer.batch_fn(batches[0])
+        loss, _ = model.apply(state.params, *args)
+        losses.append(float(loss))
+        state = trainer.train_one_epoch(it, state, batches, key)
+    assert losses[-1] < losses[0] * 0.8, losses
+    assert int(state.nan_skips) == 0
+
+
+def test_checkpoint_roundtrip_and_average(tmp_path):
+    from opentransformer_tpu.train.checkpoint import Checkpointer
+    from opentransformer_tpu.train.trainer import TrainState
+
+    model = build_model(small_model_cfg())
+    rng = np.random.default_rng(0)
+    batch = synth_batch(rng, b=2)
+    train_cfg = {"optimizer_type": "adam", "optimizer": {}, "scheduler_type": "constant",
+                 "scheduler": {"lr": 1e-3}, "epochs": 1}
+    trainer = Trainer(train_cfg, model)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+
+    ck = Checkpointer(str(tmp_path / "exp"), config={"model": {"type": "speech2text"}})
+    for epoch in range(4):
+        scaled = TrainState(
+            params=jax.tree_util.tree_map(lambda x: x + epoch, state.params),
+            opt_state=state.opt_state,
+            nan_skips=state.nan_skips,
+        )
+        ck.save(epoch, scaled, extra={"global_step": epoch * 10}, keep_last_n=3)
+
+    assert ck.list_epochs() == [1, 2, 3]  # epoch 0 pruned
+    e, payload = ck.restore_latest()
+    assert e == 3 and payload["extra"]["global_step"] == 30
+
+    ck.average(1, 3)
+    avg = ck.restore("model.average.from1to3")["params"]
+    base = jax.tree_util.tree_map(np.asarray, state.params)
+    leaf = jax.tree_util.tree_leaves(base)[0]
+    leaf_avg = jax.tree_util.tree_leaves(avg)[0]
+    np.testing.assert_allclose(leaf_avg, leaf + 2.0, rtol=1e-6)  # mean(1,2,3)=2
+    assert ck.load_config()["model"]["type"] == "speech2text"
