@@ -1,0 +1,212 @@
+"""Recognizers: model + optional LM → n-best transcripts.
+
+Parity surface (reference ``otrans/recognize/base.py`` and
+``recognize/__init__.py:5-16``): ``build_recognizer`` factory keyed by model
+type, LM shallow fusion (transformer or RNN LM), n-best LM rescoring,
+id→text translation with EOS stop and PAD skip.
+
+Everything numeric is jitted; only string assembly happens on host.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import EOS, PAD
+from ..models.lm import RecurrentLanguageModel, TransformerLanguageModel
+from .beam import BeamHypotheses, beam_search, greedy_search
+from .ctc_decode import ctc_greedy_decode
+
+
+def make_lm_adapter(lm_model, lm_params, max_len: int):
+    """(lm_init, lm_step) closures for shallow fusion inside the beam loop."""
+    if lm_model is None:
+        return None, None
+    if isinstance(lm_model, TransformerLanguageModel):
+
+        def lm_init(n: int):
+            d_k = lm_model.d_model // lm_model.n_heads
+            shape = (n, lm_model.n_heads, max_len + 1, d_k)
+            return [
+                {"k": jnp.zeros(shape, lm_model.dtype), "v": jnp.zeros(shape, lm_model.dtype)}
+                for _ in range(lm_model.num_blocks)
+            ]
+
+        def lm_step(tokens, state, index):
+            return lm_model.apply(lm_params, tokens, state, index, method="decode_step")
+
+        return lm_init, lm_step
+
+    if isinstance(lm_model, RecurrentLanguageModel):
+
+        def lm_init(n: int):
+            return [
+                (jnp.zeros((n, lm_model.hidden_size), lm_model.dtype),
+                 jnp.zeros((n, lm_model.hidden_size), lm_model.dtype))
+                for _ in range(lm_model.num_layers)
+            ]
+
+        def lm_step(tokens, state, index):
+            return lm_model.apply(lm_params, tokens, state, method="decode_step")
+
+        return lm_init, lm_step
+
+    raise TypeError(f"unsupported LM type {type(lm_model)}")
+
+
+class Recognizer:
+    def __init__(self, model, params, idx2unit: Optional[dict] = None):
+        self.model = model
+        self.params = params
+        self.idx2unit = idx2unit or {}
+
+    def translate(self, ids) -> str:
+        """id sequence → text; stop at EOS, skip PAD (reference
+        ``recognize/base.py:90-116``)."""
+        out = []
+        for i in np.asarray(ids).tolist():
+            if i == EOS:
+                break
+            if i == PAD:
+                continue
+            out.append(self.idx2unit.get(int(i), "<UNK>"))
+        return " ".join(out)
+
+    def nbest_translate(self, tokens) -> list[list[str]]:
+        """[B, K, U] token array (BOS stripped by caller) → texts."""
+        return [[self.translate(hyp) for hyp in utt] for utt in np.asarray(tokens)]
+
+
+class SpeechToTextRecognizer(Recognizer):
+    """Batch beam search with KV cache + optional LM fusion + rescoring."""
+
+    def __init__(
+        self,
+        model,
+        params,
+        lm=None,
+        lm_params=None,
+        beam_width: int = 5,
+        max_len: int = 100,
+        penalty: float = 0.6,
+        lamda: float = 5.0,
+        lm_weight: float = 0.1,
+        idx2unit: Optional[dict] = None,
+    ):
+        super().__init__(model, params, idx2unit)
+        self.lm = lm
+        self.lm_params = lm_params
+        self.beam_width = int(beam_width)
+        self.max_len = int(max_len)
+        self.penalty = float(penalty)
+        self.lamda = float(lamda)
+        self.lm_weight = float(lm_weight)
+        self._jit_recognize = self._build()
+
+    def _build(self):
+        model = self.model
+        lm_init, lm_step_model = (None, None)
+        max_len, beam, penalty, lamda, lm_w = (
+            self.max_len, self.beam_width, self.penalty, self.lamda, self.lm_weight,
+        )
+        lm, lm_params = self.lm, self.lm_params
+
+        @jax.jit
+        def run(params, feats, feat_mask) -> BeamHypotheses:
+            memory, memory_mask = model.apply(params, feats, feat_mask, method="encode")
+
+            def decode_step(tokens, cache, index, mem_mask):
+                return model.apply(params, tokens, cache, index, mem_mask, method="decode_step")
+
+            def init_cache(mem, n):
+                return model.apply(params, mem, n, method="init_cache")
+
+            if lm is not None:
+                lm_i, lm_s = make_lm_adapter(lm, lm_params, max_len)
+            else:
+                lm_i = lm_s = None
+
+            if beam == 1 and lm is None:
+                return greedy_search(decode_step, init_cache, memory, memory_mask, max_len)
+            return beam_search(
+                decode_step, init_cache, memory, memory_mask,
+                beam_width=beam, max_len=max_len, penalty=penalty, lamda=lamda,
+                lm_step=lm_s, lm_init=lm_i, lm_weight=lm_w,
+            )
+
+        return run
+
+    def recognize_arrays(self, feats, feat_mask) -> BeamHypotheses:
+        return self._jit_recognize(self.params, feats, feat_mask)
+
+    def recognize(self, feats, feat_mask):
+        """Returns (nbest texts [B][K], scores f32[B, K])."""
+        hyp = self.recognize_arrays(feats, feat_mask)
+        tokens = np.asarray(hyp.tokens)[:, :, 1:]  # strip BOS
+        return self.nbest_translate(tokens), np.asarray(hyp.scores)
+
+
+class CTCRecognizer(Recognizer):
+    """Greedy CTC decoding on device (reference ``recognize/ctc.py:38-58``
+    does the collapse in a host loop; ours is vectorized). Prefix beam search
+    lives in ``ctc_decode.py`` / the native decoder."""
+
+    def __init__(self, model, params, idx2unit=None):
+        super().__init__(model, params, idx2unit)
+
+        @jax.jit
+        def run(params, feats, feat_mask):
+            logp, mask = model.apply(params, feats, feat_mask, method="recognize_logits")
+            return ctc_greedy_decode(logp, mask)
+
+        self._jit_recognize = run
+
+    def recognize(self, feats, feat_mask):
+        tokens, lengths = self._jit_recognize(self.params, feats, feat_mask)
+        tokens = np.asarray(tokens)
+        lengths = np.asarray(lengths)
+        texts = [[self.translate(tokens[i, : lengths[i]])] for i in range(tokens.shape[0])]
+        scores = np.zeros((tokens.shape[0], 1), np.float32)
+        return texts, scores
+
+
+def lm_rescore(recognizer: Recognizer, lm, lm_params, hyp: BeamHypotheses, weight: float = 0.1):
+    """N-best rescoring by mean LM log-prob (reference ``recognize/base.py:52-88``
+    defined this but never wired it; here it's callable)."""
+    b, k, u = hyp.tokens.shape
+    tokens = hyp.tokens.reshape(b * k, u)
+    logits = lm.apply(lm_params, tokens, method="logits")
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nxt = tokens[:, 1:]
+    tok_lp = jnp.take_along_axis(logp[:, :-1], nxt[..., None], axis=-1)[..., 0]
+    pos = jnp.arange(u - 1)[None, :]
+    valid = pos < (hyp.lengths.reshape(b * k, 1))  # BOS..len tokens
+    mean_lp = jnp.sum(tok_lp * valid, -1) / jnp.maximum(jnp.sum(valid, -1), 1)
+    new_scores = hyp.scores + weight * mean_lp.reshape(b, k)
+    order = jnp.argsort(-new_scores, axis=1)
+    return BeamHypotheses(
+        tokens=jnp.take_along_axis(hyp.tokens, order[:, :, None], axis=1),
+        scores=jnp.take_along_axis(new_scores, order, axis=1),
+        lengths=jnp.take_along_axis(hyp.lengths, order, axis=1),
+    )
+
+
+def build_recognizer(model_type: str, model, params, lm=None, lm_params=None, args: Any = None, idx2unit=None):
+    """Factory matching reference ``recognize/__init__.py:5-16``."""
+    args = args or {}
+    get = args.get if hasattr(args, "get") else lambda k, d=None: getattr(args, k, d)
+    if model_type == "speech2text":
+        return SpeechToTextRecognizer(
+            model, params, lm=lm, lm_params=lm_params,
+            beam_width=get("beam_width", 5), max_len=get("max_len", 100),
+            penalty=get("penalty", 0.6), lamda=get("lamda", 5.0),
+            lm_weight=get("lm_weight", 0.1), idx2unit=idx2unit,
+        )
+    if model_type == "ctc":
+        return CTCRecognizer(model, params, idx2unit=idx2unit)
+    raise KeyError(f"unknown model type for recognition: {model_type!r}")

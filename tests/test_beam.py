@@ -1,0 +1,176 @@
+"""Beam search tests: KV-cached fast path vs a naive full-prefix reference
+implementation (the reference algorithm's semantics re-implemented slowly),
+greedy equivalence, CTC collapse, LM fusion smoke."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from opentransformer_tpu.data import BOS, EOS
+from opentransformer_tpu.models.registry import build_model
+from opentransformer_tpu.ops.masks import length_to_mask, NEG_INF
+from opentransformer_tpu.recognize.base import SpeechToTextRecognizer, lm_rescore
+from opentransformer_tpu.recognize.beam import length_penalty
+from opentransformer_tpu.recognize.ctc_decode import ctc_greedy_decode, ctc_prefix_beam_search
+from tests.test_models import small_model_cfg, make_batch, VOCAB
+
+
+def naive_beam_search(model, params, feats, feat_mask, beam, max_len, penalty=0.6, lamda=5.0):
+    """Slow full-prefix beam search replicating reference semantics
+    (otrans/recognize/speech2text.py:39-192) for parity checking."""
+    memory, memory_mask = model.apply(params, feats, feat_mask, method="encode")
+    b = feats.shape[0]
+    memory = jnp.repeat(memory, beam, axis=0)
+    memory_mask = jnp.repeat(memory_mask, beam, axis=0)
+    preds = np.full((b * beam, 1), BOS, np.int32)
+    scores = np.tile(np.array([[0.0] + [NEG_INF] * (beam - 1)], np.float32), (b, 1)).reshape(-1, 1)
+    end_flag = np.zeros((b * beam, 1), bool)
+
+    for _ in range(max_len):
+        logits = model.apply(params, jnp.asarray(preds), memory, memory_mask, method="decode_full")
+        logp = np.asarray(jax.nn.log_softmax(logits[:, -1], axis=-1))  # [b*beam, V]
+        top_v = np.sort(logp, axis=1)[:, ::-1][:, :beam]
+        top_i = np.argsort(-logp, axis=1)[:, :beam]
+        # finished-beam masking
+        for r in range(b * beam):
+            if end_flag[r, 0]:
+                top_v[r] = [0.0] + [NEG_INF] * (beam - 1)
+                top_i[r] = EOS
+        cand = (scores + top_v).reshape(b, beam * beam)
+        best_flat = np.argsort(-cand, axis=1)[:, :beam]
+        best_scores = np.take_along_axis(cand, best_flat, axis=1)
+        parent = best_flat // beam
+        tok = np.take_along_axis(top_i.reshape(b, beam * beam), best_flat, axis=1)
+        new_preds = np.zeros((b * beam, preds.shape[1] + 1), np.int32)
+        for ib in range(b):
+            for kk in range(beam):
+                row = ib * beam + kk
+                prow = ib * beam + parent[ib, kk]
+                new_preds[row, :-1] = preds[prow]
+                new_preds[row, -1] = tok[ib, kk]
+        preds = new_preds
+        scores = best_scores.reshape(-1, 1)
+        end_flag = (preds[:, -1:] == EOS)
+        if end_flag.all():
+            break
+
+    # finalize: length penalty
+    preds = preds.reshape(b, beam, -1)
+    scores = scores.reshape(b, beam)
+    lengths = np.zeros((b, beam), np.int32)
+    for ib in range(b):
+        for kk in range(beam):
+            seq = preds[ib, kk, 1:]
+            eos_pos = np.where(seq == EOS)[0]
+            lengths[ib, kk] = (eos_pos[0] if len(eos_pos) else len(seq)) + 1
+    final = scores / np.asarray(length_penalty(jnp.asarray(lengths), penalty, lamda))
+    order = np.argsort(-final, axis=1)
+    return (
+        np.take_along_axis(preds, order[:, :, None], axis=1),
+        np.take_along_axis(final, order, axis=1),
+        np.take_along_axis(lengths, order, axis=1),
+    )
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = build_model(small_model_cfg())
+    feats, feat_mask, targets, targets_length = make_batch()
+    params = model.init(jax.random.PRNGKey(7), feats, feat_mask, targets, targets_length)
+    return model, params, feats, feat_mask
+
+
+def test_beam_matches_naive_reference(model_and_params):
+    model, params, feats, feat_mask = model_and_params
+    max_len, beam = 8, 3
+    rec = SpeechToTextRecognizer(model, params, beam_width=beam, max_len=max_len)
+    hyp = rec.recognize_arrays(feats, feat_mask)
+    ref_tokens, ref_scores, ref_lengths = naive_beam_search(
+        model, params, feats, feat_mask, beam, max_len
+    )
+    got_scores = np.asarray(hyp.scores)
+    np.testing.assert_allclose(got_scores, ref_scores, rtol=1e-3, atol=1e-3)
+    got = np.asarray(hyp.tokens)
+    for ib in range(got.shape[0]):
+        for kk in range(got.shape[1]):
+            L = ref_lengths[ib, kk]
+            np.testing.assert_array_equal(got[ib, kk, :L], ref_tokens[ib, kk, :L])
+    np.testing.assert_array_equal(np.asarray(hyp.lengths), ref_lengths)
+
+
+def test_greedy_is_beam1(model_and_params):
+    model, params, feats, feat_mask = model_and_params
+    rec1 = SpeechToTextRecognizer(model, params, beam_width=1, max_len=8)
+    hyp = rec1.recognize_arrays(feats, feat_mask)
+    # naive argmax rollout
+    ref_tokens, _, ref_lengths = naive_beam_search(model, params, feats, feat_mask, 1, 8, penalty=0.0)
+    got = np.asarray(hyp.tokens)
+    for ib in range(got.shape[0]):
+        L = ref_lengths[ib, 0]
+        np.testing.assert_array_equal(got[ib, 0, :L], ref_tokens[ib, 0, :L])
+
+
+def test_lm_fusion_and_rescore_smoke(model_and_params):
+    from opentransformer_tpu.models.lm import TransformerLanguageModel
+
+    model, params, feats, feat_mask = model_and_params
+    lm = TransformerLanguageModel(vocab_size=VOCAB, num_blocks=1, d_model=32, n_heads=2, d_ff=64)
+    toks = jnp.ones((2, 5), jnp.int32)
+    lm_params = lm.init(jax.random.PRNGKey(1), toks, toks, jnp.asarray([5, 5]))
+    rec = SpeechToTextRecognizer(
+        model, params, lm=lm, lm_params=lm_params, beam_width=3, max_len=8, lm_weight=0.2
+    )
+    texts, scores = rec.recognize(feats, feat_mask)
+    assert len(texts) == 2 and len(texts[0]) == 3
+    assert np.all(np.diff(scores, axis=1) <= 1e-6)  # sorted desc
+
+    hyp = rec.recognize_arrays(feats, feat_mask)
+    rescored = lm_rescore(rec, lm, lm_params, hyp, weight=0.5)
+    assert np.all(np.diff(np.asarray(rescored.scores), axis=1) <= 1e-6)
+
+
+def test_ctc_greedy_collapse():
+    # hand-built frame posteriors: blank=0
+    # sequence: [1 1 0 2 2 0 0 3] -> collapse -> [1, 2, 3]
+    ids = [1, 1, 0, 2, 2, 0, 0, 3]
+    v = 5
+    lp = np.full((1, len(ids), v), -10.0, np.float32)
+    for t, s in enumerate(ids):
+        lp[0, t, s] = 0.0
+    mask = np.ones((1, len(ids)), bool)
+    tokens, lengths = ctc_greedy_decode(jnp.asarray(lp), jnp.asarray(mask))
+    assert int(lengths[0]) == 3
+    np.testing.assert_array_equal(np.asarray(tokens)[0, :3], [1, 2, 3])
+
+    # repeated symbol separated by blank must stay duplicated: [1 0 1] -> [1, 1]
+    ids = [1, 0, 1]
+    lp = np.full((1, 3, v), -10.0, np.float32)
+    for t, s in enumerate(ids):
+        lp[0, t, s] = 0.0
+    tokens, lengths = ctc_greedy_decode(jnp.asarray(lp), jnp.asarray(np.ones((1, 3), bool)))
+    assert int(lengths[0]) == 2
+    np.testing.assert_array_equal(np.asarray(tokens)[0, :2], [1, 1])
+
+    # masked frames ignored
+    lp = np.full((1, 4, v), -10.0, np.float32)
+    for t, s in enumerate([1, 2, 3, 4]):
+        lp[0, t, s] = 0.0
+    mask = np.asarray([[True, True, False, False]])
+    tokens, lengths = ctc_greedy_decode(jnp.asarray(lp), jnp.asarray(mask))
+    assert int(lengths[0]) == 2
+    np.testing.assert_array_equal(np.asarray(tokens)[0, :2], [1, 2])
+
+
+def test_ctc_prefix_beam_search_beats_greedy_ambiguity():
+    """Classic CTC case where greedy and prefix-sum disagree."""
+    # V=2 (blank, 'a'); frames: p(blank)=0.6/0.4, p(a)=0.4/0.6 per frame.
+    # greedy path: [blank, a] -> 'a'. prefix sums: P('')=0.24;
+    # P('a') = 0.4*0.4(a,blank? ...) — total mass of 'a' > ''.
+    probs = np.log(np.array([[0.6, 0.4], [0.4, 0.6]], np.float32))
+    out = ctc_prefix_beam_search(probs, 2, beam_width=4, blank=0)
+    total = {p: s for p, s in out}
+    assert (1,) in total and () in total
+    # P('') = .6*.4 = .24 ; P('a') = .6*.6 + .4*.4 + .4*.6 = .76
+    np.testing.assert_allclose(np.exp(total[()]), 0.24, rtol=1e-5)
+    np.testing.assert_allclose(np.exp(total[(1,)]), 0.76, rtol=1e-5)
