@@ -1,0 +1,166 @@
+"""Data pipeline tests: kaldi ark I/O roundtrip, datasets, collate contract,
+bucketing shape quantization, SpecAugment semantics."""
+
+import os
+
+import numpy as np
+import pytest
+
+from opentransformer_tpu.data import BOS, EOS, PAD, load_vocab, write_vocab
+from opentransformer_tpu.data.augment import spec_augment
+from opentransformer_tpu.data.bucket import BySequenceLengthSampler
+from opentransformer_tpu.data.kaldi_io import load_mat, read_ark, read_scp, write_ark
+from opentransformer_tpu.data.loader import FeatureLoader, collate_speech
+
+
+def make_vocab(path, units):
+    vocab = {"<PAD>": 0, "<S/E>": 1, "<UNK>": 2}
+    for i, u in enumerate(units):
+        vocab[u] = 3 + i
+    write_vocab(vocab, path)
+    return vocab
+
+
+@pytest.fixture
+def kaldi_data(tmp_path):
+    """Synthetic kaldi-format dataset: ark of random feats + text + vocab."""
+    rng = np.random.default_rng(0)
+    units = [chr(ord("a") + i) for i in range(10)]
+    vocab_path = str(tmp_path / "vocab")
+    make_vocab(vocab_path, units)
+
+    feats, texts = {}, []
+    for i in range(12):
+        t = int(rng.integers(20, 90))
+        feats[f"utt{i:02d}"] = rng.normal(size=(t, 20)).astype(np.float32)
+        n_chars = int(rng.integers(2, 8))
+        chars = rng.choice(units, n_chars)
+        texts.append(f"utt{i:02d} " + " ".join(chars))
+    ark = str(tmp_path / "feats.ark")
+    scp = str(tmp_path / "feats.scp")
+    write_ark(ark, feats, scp_path=scp)
+    text_path = str(tmp_path / "text")
+    with open(text_path, "w") as f:
+        f.write("\n".join(texts) + "\n")
+    return {"vocab": vocab_path, "scp": scp, "text": text_path, "feats": feats}
+
+
+def test_ark_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    mats = {f"u{i}": rng.normal(size=(5 + i, 13)).astype(np.float32) for i in range(4)}
+    ark, scp = str(tmp_path / "a.ark"), str(tmp_path / "a.scp")
+    write_ark(ark, mats, scp_path=scp)
+
+    seq = dict(read_ark(ark))
+    assert set(seq) == set(mats)
+    for k in mats:
+        np.testing.assert_array_equal(seq[k], mats[k])
+
+    scp_map = read_scp(scp)
+    for k, rx in scp_map.items():
+        np.testing.assert_array_equal(load_mat(rx), mats[k])
+
+
+def test_kaldi_dataset_and_loader(kaldi_data):
+    params = {
+        "data": {
+            "dataset_type": "kaldi",
+            "vocab": kaldi_data["vocab"],
+            "batch_size": 4,
+            "train": {"feat": [kaldi_data["scp"]], "text": [kaldi_data["text"]]},
+        }
+    }
+    loader = FeatureLoader(params, "train")
+    vocab = load_vocab(kaldi_data["vocab"])
+    n = 0
+    for utt_ids, inputs, targets in loader:
+        n += 1
+        b, t, f = inputs["inputs"].shape
+        assert f == 20 and b <= 4
+        assert inputs["mask"].shape == (b, t)
+        assert t % 32 == 0  # quantized frame padding
+        y = targets["targets"]
+        assert y.shape[1] % 8 == 0
+        for i in range(b):
+            L = int(targets["targets_length"][i])  # y + EOS
+            assert y[i, 0] == BOS
+            assert y[i, L] == EOS
+            assert np.all(y[i, L + 1 :] == PAD)
+            tl = int(inputs["inputs_length"][i])
+            np.testing.assert_array_equal(
+                inputs["inputs"][i, :tl], kaldi_data["feats"][utt_ids[i]]
+            )
+            assert np.all(inputs["inputs"][i, tl:] == 0)
+    assert n == len(loader) == 3
+
+
+def test_bucket_sampler_static_shapes():
+    rng = np.random.default_rng(2)
+    pairs = [(i, int(rng.integers(10, 950))) for i in range(200)]
+    s = BySequenceLengthSampler(pairs, bucket_boundaries=[100, 300, 600, 1000],
+                                batch_size=8, seed=3)
+    seen = set()
+    total = 0
+    for boundary, idxs in s:
+        assert boundary in (100, 300, 600, 1000)
+        total += len(idxs)
+        seen.update(idxs)
+        # every utterance fits its boundary
+        lengths = dict(pairs)
+        assert all(lengths[i] <= boundary for i in idxs)
+    assert total == 200 and len(seen) == 200
+
+    first = [tuple(b[1]) for b in s]
+    s.set_epoch(1)
+    second = [tuple(b[1]) for b in s]
+    assert first != second  # epoch reshuffle
+
+
+def test_bucket_auto_batch_size():
+    pairs = [(i, 500) for i in range(40)]
+    s = BySequenceLengthSampler(pairs, bucket_boundaries=[500, 1000],
+                                max_frames_one_batch=4000, batch_size=99)
+    for boundary, idxs in s:
+        assert len(idxs) <= 4000 // 500
+
+
+def test_spec_augment_zero_masks():
+    rng = np.random.default_rng(0)
+    x = np.abs(rng.normal(size=(200, 40))).astype(np.float32) + 1.0
+    out = spec_augment(x, rng=rng)
+    assert out.shape == x.shape
+    # masked entries must be exactly zero, rest untouched
+    changed = out != x
+    assert np.all(out[changed] == 0.0)
+    # masks are full rows/cols
+    zero_rows = np.where(np.all(out == 0, axis=1))[0]
+    zero_cols = np.where(np.all(out == 0, axis=0))[0]
+    assert len(zero_rows) <= 0.05 * 200 * 2 + 2
+    assert len(zero_cols) <= int(40 * 0.3) * 2
+
+
+def test_text_loader(tmp_path):
+    units = ["x", "y", "z"]
+    vocab_path = str(tmp_path / "vocab")
+    make_vocab(vocab_path, units)
+    text_path = str(tmp_path / "text")
+    with open(text_path, "w") as f:
+        f.write("u0 x y z\nu1 z z\nu2 y\n")
+    params = {
+        "data": {
+            "dataset_type": "text",
+            "batch_size": 2,
+            "src_vocab": vocab_path,
+            "tgt_vocab": vocab_path,
+            "train": {"src": [text_path], "tgt": [text_path]},
+        }
+    }
+    loader = FeatureLoader(params, "train")
+    v = load_vocab(vocab_path)
+    for utt_ids, inputs, targets in loader:
+        src, tgt = inputs["inputs"], targets["targets"]
+        for i in range(len(utt_ids)):
+            L = int(inputs["inputs_length"][i])
+            assert src[i, 0] == BOS
+            assert tgt[i, L - 1] == EOS
+            np.testing.assert_array_equal(src[i, 1:L], tgt[i, : L - 1])

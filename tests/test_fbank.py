@@ -1,0 +1,100 @@
+"""fbank kernel tests.
+
+Golden parity vs ``torchaudio.compliance.kaldi.fbank(dither=0)`` runs when
+torchaudio is installed (not in this image — the test auto-skips but remains
+the contract). Structural tests below hold unconditionally: frame counts,
+tone→mel-bin localization, mel filterbank partition-of-unity, batch==single.
+"""
+
+import numpy as np
+import pytest
+
+from opentransformer_tpu.ops.fbank import (
+    fbank_numpy,
+    fbank_jax,
+    mel_banks,
+    mel_scale,
+    num_frames,
+)
+
+
+def ref_fbank(wav, sr=16000, num_mel_bins=40):
+    import torch
+    import torchaudio as ta
+
+    return ta.compliance.kaldi.fbank(
+        torch.from_numpy(wav).reshape(1, -1), num_mel_bins=num_mel_bins,
+        sample_frequency=sr, dither=0.0,
+    ).numpy()
+
+
+@pytest.mark.parametrize("n_samples", [400, 1600, 16000, 16123])
+@pytest.mark.parametrize("num_mel_bins", [40, 80])
+def test_fbank_matches_torchaudio(n_samples, num_mel_bins):
+    pytest.importorskip("torchaudio")
+    rng = np.random.default_rng(0)
+    wav = (rng.normal(size=n_samples) * 0.1).astype(np.float32)
+    ref = ref_fbank(wav, num_mel_bins=num_mel_bins)
+    got = fbank_numpy(wav, num_mel_bins=num_mel_bins)
+    assert got.shape == ref.shape == (num_frames(n_samples), num_mel_bins)
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_frame_counts_snip_edges():
+    # kaldi snip-edges: 1 + (N - 400) // 160 for 16k/25ms/10ms
+    assert num_frames(400) == 1
+    assert num_frames(399) == 0
+    assert num_frames(560) == 2
+    assert num_frames(16000) == 98
+
+
+def test_mel_banks_structure():
+    m = mel_banks(40, 512, 16000.0)
+    assert m.shape == (40, 257)
+    assert np.all(m >= 0)
+    assert np.allclose(m[:, -1], 0.0)  # nyquist column zero
+    # interior fft bins are covered with total weight ~1 (triangles overlap)
+    interior = m[:, 30:200].sum(axis=0)
+    assert np.all(interior > 0.5) and np.all(interior < 1.5)
+
+
+def test_tone_lands_in_expected_mel_bin():
+    sr, f0 = 16000.0, 1000.0
+    t = np.arange(16000) / sr
+    wav = (0.5 * np.sin(2 * np.pi * f0 * t)).astype(np.float32)
+    feats = fbank_numpy(wav, num_mel_bins=40)
+    peak_bin = int(np.argmax(feats.mean(axis=0)))
+    # which mel bin has its center closest to 1kHz?
+    mel_low, mel_high = mel_scale(20.0), mel_scale(8000.0)
+    delta = (mel_high - mel_low) / 41
+    centers = mel_low + (np.arange(40) + 1) * delta
+    expect = int(np.argmin(np.abs(centers - mel_scale(f0))))
+    assert abs(peak_bin - expect) <= 1
+
+
+def test_fbank_jax_matches_numpy_batched():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    n1, n2 = 16000, 9600
+    w1 = (rng.normal(size=n1) * 0.1).astype(np.float32)
+    w2 = (rng.normal(size=n2) * 0.1).astype(np.float32)
+    batch = np.zeros((2, n1), np.float32)
+    batch[0] = w1
+    batch[1, :n2] = w2
+    feats, lens = fbank_jax(jnp.asarray(batch), jnp.asarray([n1, n2]))
+    feats = np.asarray(feats)
+    assert int(lens[0]) == num_frames(n1) and int(lens[1]) == num_frames(n2)
+    np.testing.assert_allclose(feats[0, : int(lens[0])], fbank_numpy(w1), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(feats[1, : int(lens[1])], fbank_numpy(w2), rtol=2e-3, atol=2e-3)
+
+
+def test_fbank_realistic_signal():
+    """Sine-sweep signal: parity should hold on structured audio too."""
+    pytest.importorskip("torchaudio")
+    sr = 16000
+    t = np.arange(sr) / sr
+    wav = (0.5 * np.sin(2 * np.pi * (200 + 1000 * t) * t)).astype(np.float32)
+    ref = ref_fbank(wav, num_mel_bins=80)
+    got = fbank_numpy(wav, num_mel_bins=80)
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
