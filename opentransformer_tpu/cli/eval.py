@@ -1,0 +1,158 @@
+"""Decoding CLI — parity with the reference ``eval.py`` (``eval.py:205-236``).
+
+Loads an orbax checkpoint (config embedded in the expdir), optionally an
+external LM, decodes the chosen set with batch beam search, and writes the
+reference-compatible artifacts: ``predict.txt`` (1-best), ``predict.log``
+(n-best with scores), ``RESULT`` (corpus CER + oracle top-n CER + RTF).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import re
+import time
+
+import jax
+import numpy as np
+
+from ..config import Config, load_config
+from ..data import load_idx2unit_map
+from ..data.loader import FeatureLoader
+from ..models.registry import build_model
+from ..ops.levenshtein import ErrorRateAccumulator, edit_distance
+from ..recognize.base import build_recognizer
+from ..train.checkpoint import Checkpointer
+
+logger = logging.getLogger(__name__)
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Decode with a trained model")
+    p.add_argument("-m", "--load_model", type=str, required=True,
+                   help="checkpoint dir (model.epoch.N / model.average.fromXtoY) or expdir")
+    p.add_argument("-c", "--config", type=str, default=None)
+    p.add_argument("-b", "--batch_size", type=int, default=None)
+    p.add_argument("-bw", "--beam_width", type=int, default=5)
+    p.add_argument("-pn", "--penalty", type=float, default=0.6)
+    p.add_argument("-ld", "--lamda", type=float, default=5.0)
+    p.add_argument("-ml", "--max_len", type=int, default=100)
+    p.add_argument("-lm", "--load_language_model", type=str, default=None)
+    p.add_argument("-lmw", "--lm_weight", type=float, default=0.1)
+    p.add_argument("-d", "--decode_set", type=str, default="test")
+    p.add_argument("-ns", "--num_sample", type=int, default=0, help="decode only N samples")
+    p.add_argument("-debug", "--debug", action="store_true")
+    p.add_argument("-s", "--suffix", type=str, default=None)
+    return p
+
+
+def load_checkpoint(path: str):
+    """Returns (params, config). Accepts an expdir or a checkpoint dir."""
+    path = path.rstrip("/")
+    if os.path.basename(path).startswith("model."):
+        expdir = os.path.dirname(path)
+        ck = Checkpointer(expdir)
+        payload = ck.restore(os.path.basename(path))
+    else:
+        ck = Checkpointer(path)
+        latest = ck.restore_latest()
+        if latest is None:
+            raise FileNotFoundError(f"no checkpoints under {path}")
+        payload = latest[1]
+    return payload["params"], ck.load_config()
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s - %(levelname)s - %(message)s")
+
+    params_np, cfg_dict = load_checkpoint(args.load_model)
+    if args.config:
+        cfg = load_config(args.config)
+    elif cfg_dict is not None:
+        cfg = Config(cfg_dict)
+    else:
+        raise ValueError("no config embedded in checkpoint; pass -c")
+
+    model = build_model(cfg["model"])
+    params = jax.tree_util.tree_map(jax.numpy.asarray, params_np)
+
+    lm = lm_params = None
+    if args.load_language_model:
+        lm_params_np, lm_cfg = load_checkpoint(args.load_language_model)
+        lm = build_model(Config(lm_cfg)["model"])
+        lm_params = jax.tree_util.tree_map(jax.numpy.asarray, lm_params_np)
+
+    idx2unit = load_idx2unit_map(cfg["data"]["vocab"])
+    recognizer = build_recognizer(
+        cfg["model"]["type"], model, params, lm=lm, lm_params=lm_params,
+        args=vars(args), idx2unit=idx2unit,
+    )
+
+    loader = FeatureLoader(cfg, args.decode_set, is_eval=True, batch_size=args.batch_size)
+    targets_dict = getattr(loader.dataset, "targets_dict", {})
+
+    # decode-dir naming from flags (reference eval.py:83-116)
+    name = f"decode_{args.decode_set}_bw{args.beam_width}_pn{args.penalty}_ml{args.max_len}"
+    if args.load_language_model:
+        name += f"_lm{args.lm_weight}"
+    if args.suffix:
+        name += f"_{args.suffix}"
+    ckpt_base = os.path.basename(args.load_model.rstrip("/"))
+    m = re.search(r"from(\d+)to(\d+)", ckpt_base)
+    if m:
+        name += f"_avg{m.group(1)}-{m.group(2)}"
+    expdir = args.load_model.rstrip("/")
+    if os.path.basename(expdir).startswith("model."):
+        expdir = os.path.dirname(expdir)
+    decode_dir = os.path.join(expdir, name)
+    os.makedirs(decode_dir, exist_ok=True)
+
+    cer = ErrorRateAccumulator()
+    oracle = ErrorRateAccumulator()
+    accu_time = 0.0
+    total_frames = 0
+    n_decoded = 0
+
+    with open(os.path.join(decode_dir, "predict.txt"), "w", encoding="utf-8") as ftxt, open(
+        os.path.join(decode_dir, "predict.log"), "w", encoding="utf-8"
+    ) as flog:
+        for utt_ids, inputs, targets in loader:
+            t0 = time.time()
+            texts, scores = recognizer.recognize(
+                jax.numpy.asarray(inputs["inputs"]), jax.numpy.asarray(inputs["mask"]),
+            )
+            accu_time += time.time() - t0
+            total_frames += int(np.sum(inputs["inputs_length"]))
+
+            for i, utt in enumerate(utt_ids):
+                best = texts[i][0]
+                ftxt.write(f"{utt} {best}\n")
+                ref_ids = targets_dict.get(utt, [])
+                ref = " ".join(idx2unit.get(t, "<UNK>") for t in ref_ids)
+                dists = [edit_distance(ref.split(), h.split()) for h in texts[i]]
+                cer.update(ref.split(), best.split())
+                best_n = int(np.argmin(dists)) if dists else 0
+                oracle.update(ref.split(), texts[i][best_n].split())
+                for k, (h, s) in enumerate(zip(texts[i], scores[i])):
+                    flog.write(f"{utt} nbest{k} score={float(s):.4f} {h}\n")
+                n_decoded += 1
+            logger.info("decoded %d utts, CER %.2f%%", n_decoded, cer.rate * 100)
+            if (args.num_sample and n_decoded >= args.num_sample) or (args.debug and n_decoded >= 10):
+                break
+
+    # RTF: frames are 10ms each; reference formula eval.py:198-202
+    rtf = accu_time / max(total_frames, 1) * 100
+    with open(os.path.join(decode_dir, "RESULT"), "w", encoding="utf-8") as f:
+        f.write(f"CER {cer.rate * 100:.2f}% ({cer.errors}/{cer.tokens})\n")
+        f.write(f"ORACLE_CER {oracle.rate * 100:.2f}%\n")
+        f.write(f"RTF {rtf:.6f}\n")
+        f.write(f"UTTS {n_decoded} DECODE_SECONDS {accu_time:.3f}\n")
+    logger.info("CER %.2f%% | oracle %.2f%% | RTF %.4f | results in %s",
+                cer.rate * 100, oracle.rate * 100, rtf, decode_dir)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

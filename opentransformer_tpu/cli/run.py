@@ -1,0 +1,111 @@
+"""Training CLI — parity with the reference ``run.py`` flags (``run.py:73-95``).
+
+Differences from the reference are TPU-native by design:
+  * ``-n`` counts chips used for data parallelism; ``--tp`` adds tensor
+    parallelism within the same mesh (replaces DataParallel/DDP + NCCL).
+  * checkpoints are orbax directories managed by ``train.checkpoint``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import shutil
+
+import jax
+import numpy as np
+
+from ..config import load_config
+from ..data.loader import FeatureLoader
+from ..models.registry import LM_TYPES, build_model
+from ..parallel.mesh import make_mesh, param_shardings
+from ..train.checkpoint import Checkpointer
+from ..train.trainer import Trainer, TrainState, default_speech_batch, lm_batch
+
+logger = logging.getLogger(__name__)
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train a speech/LM model on TPU")
+    p.add_argument("-c", "--config", type=str, required=True)
+    p.add_argument("-n", "--ngpu", type=int, default=0,
+                   help="number of chips for data parallelism (0 = all)")
+    p.add_argument("--tp", type=int, default=1, help="tensor-parallel degree")
+    p.add_argument("-s", "--seed", type=int, default=1234)
+    p.add_argument("-l", "--logging_level", type=str, default="INFO")
+    p.add_argument("-ct", "--continue_training", action="store_true")
+    p.add_argument("-kl", "--keep_last_n_checkpoints", type=int, default=30)
+    p.add_argument("-ms", "--mixspeech", action="store_true")
+    p.add_argument("-debug", "--debug", action="store_true")
+    p.add_argument("--expdir", type=str, default=None)
+    p.add_argument("--log_interval", type=int, default=10)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    logging.basicConfig(
+        level=getattr(logging, args.logging_level.upper(), logging.INFO),
+        format="%(asctime)s - %(levelname)s - %(message)s",
+        force=True,
+    )
+    cfg = load_config(args.config)
+    expdir = args.expdir or os.path.join("egs_exp", cfg["train"].get("save_name", "exp"))
+    os.makedirs(expdir, exist_ok=True)
+    shutil.copy(args.config, os.path.join(expdir, os.path.basename(args.config)))
+
+    np.random.seed(args.seed)
+    rng = jax.random.PRNGKey(args.seed)
+
+    n_dev = len(jax.devices())
+    n_data = args.ngpu or max(n_dev // args.tp, 1)
+    mesh = make_mesh(n_data=n_data, n_model=args.tp) if n_data * args.tp > 1 else None
+    logger.info("devices=%d mesh=%s", n_dev, dict(mesh.shape) if mesh else None)
+
+    model_cfg = cfg["model"]
+    model = build_model(model_cfg)
+    is_lm = model_cfg["type"] in LM_TYPES
+    batch_fn = lm_batch if is_lm else default_speech_batch
+
+    loader = FeatureLoader(cfg, "train", seed=args.seed)
+    logger.info("train loader: %d batches", len(loader))
+
+    ck = Checkpointer(expdir, config=cfg.raw)
+    trainer = Trainer(
+        cfg["train"], model, mesh=mesh, expdir=expdir, checkpointer=ck,
+        is_mixspeech=args.mixspeech, log_interval=args.log_interval,
+        keep_last_n=args.keep_last_n_checkpoints, batch_fn=batch_fn,
+        is_debug=args.debug,
+    )
+
+    first = next(iter(loader))
+    state = trainer.init_state(rng, first)
+    if args.continue_training:
+        template = {
+            "params": jax.tree_util.tree_map(np.asarray, state.params),
+            "opt_state": jax.tree_util.tree_map(np.asarray, state.opt_state),
+            "extra": {"global_step": 0},
+        }
+        latest = ck.restore_latest(item=template)
+        if latest is not None:
+            epoch, payload = latest
+            if mesh is not None:
+                place = lambda t: jax.device_put(t, param_shardings(t, mesh))
+            else:
+                place = lambda t: jax.tree_util.tree_map(jax.numpy.asarray, t)
+            state = TrainState(
+                params=place(payload["params"]),
+                opt_state=jax.tree_util.tree_map(jax.numpy.asarray, payload["opt_state"]),
+                nan_skips=state.nan_skips,
+            )
+            trainer.global_epoch = epoch + 1
+            trainer.global_step = int(payload["extra"].get("global_step", 1))
+            logger.info("resumed from epoch %d (global step %d)", epoch, trainer.global_step)
+
+    trainer.train(state, loader, rng)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -76,15 +76,21 @@ class Checkpointer:
         self._ckpt.save(path, {"params": _to_host(params)})
         return path
 
-    def restore(self, path: str) -> dict:
-        return self._ckpt.restore(path if os.path.isabs(path) else os.path.join(self.expdir, path))
+    def restore(self, path: str, item=None) -> dict:
+        """Restore a checkpoint; pass ``item`` (a template pytree of the same
+        structure) to reconstruct exotic containers — optax namedtuple states
+        come back as plain lists/dicts otherwise."""
+        full = path if os.path.isabs(path) else os.path.join(self.expdir, path)
+        if item is not None:
+            return self._ckpt.restore(full, item=item)
+        return self._ckpt.restore(full)
 
-    def restore_latest(self) -> tuple[int, dict] | None:
+    def restore_latest(self, item=None) -> tuple[int, dict] | None:
         epochs = self.list_epochs()
         if not epochs:
             return None
         e = epochs[-1]
-        return e, self.restore(self.epoch_path(e))
+        return e, self.restore(self.epoch_path(e), item=item)
 
     def prune(self, keep_last_n: int) -> None:
         epochs = self.list_epochs()

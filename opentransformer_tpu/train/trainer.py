@@ -77,7 +77,10 @@ class Trainer:
         dev_loader=None,
         batch_fn=None,
         static_kwargs: Optional[dict] = None,
+        is_debug: bool = False,
     ):
+        # -debug truncates an epoch after 30 steps (reference trainer.py:254-255)
+        self.is_debug = is_debug
         self.model = model
         self.mesh = mesh
         self.expdir = expdir
@@ -274,6 +277,9 @@ class Trainer:
                     )
                 step_loss.reset()
                 aux_meter.reset()
+
+            if self.is_debug and step > 30:
+                break
 
         del pending_loss
         return TrainState(params=params, opt_state=opt_state, nan_skips=nan_skips)
