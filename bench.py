@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Benchmark: batch beam-search decoding throughput on one TPU chip.
+
+North-star (BASELINE.md): decoded utts/sec/chip + RTFx at CER parity on
+AISHELL-1; throughput goal >=20x real-time per v5e chip. This bench measures
+the full decode path (conv frontend -> 12L encoder -> KV-cached 6L decoder
+beam search, beam=5, AISHELL flagship geometry d=256 / vocab 4233, bf16
+compute) on synthetic 5-second utterances, with EOS disabled so every decode
+runs the full max_len steps — a worst-case (no early exit) measurement.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": RTFx, "unit": "x_realtime", "vs_baseline": RTFx/20}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = 16
+FRAMES = 500  # 10ms frames -> 5.0 s of audio per utterance
+MAX_LEN = 24  # decode steps forced (no early exit); AISHELL avg ~15 chars
+BEAM = 5
+ITERS = 5
+
+
+def main() -> None:
+    import os
+
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_bench_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from __graft_entry__ import FLAGSHIP_MODEL_CFG
+    from opentransformer_tpu.models.registry import build_model
+    from opentransformer_tpu.ops.masks import length_to_mask
+    from opentransformer_tpu.recognize.beam import beam_search
+
+    model = build_model(FLAGSHIP_MODEL_CFG, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(BATCH, FRAMES, 40)), jnp.float32)
+    mask = length_to_mask(jnp.asarray([FRAMES] * BATCH), FRAMES)
+    tgt = jnp.ones((BATCH, 8), jnp.int32)
+    tlen = jnp.asarray([6] * BATCH, jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), feats, mask, tgt, tlen)
+
+    @jax.jit
+    def decode(params, feats, mask):
+        memory, memory_mask = model.apply(params, feats, mask, method="encode")
+
+        def decode_step(tokens, cache, index, mem_mask):
+            return model.apply(params, tokens, cache, index, mem_mask, method="decode_step")
+
+        def init_cache(mem, n):
+            return model.apply(params, mem, n, method="init_cache")
+
+        return beam_search(
+            decode_step, init_cache, memory, memory_mask,
+            beam_width=BEAM, max_len=MAX_LEN, penalty=0.6,
+            eos_id=-1,  # force full-length decodes (worst case)
+        )
+
+    # warmup / compile
+    hyp = decode(params, feats, mask)
+    np.asarray(hyp.tokens)
+
+    # fetch results every iteration: async dispatch through the remote TPU
+    # tunnel otherwise under-reports (identical in-flight dispatches collapse)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        hyp = decode(params, feats, mask)
+        np.asarray(hyp.tokens)
+    elapsed = time.perf_counter() - t0
+
+    utts = BATCH * ITERS
+    audio_seconds = utts * FRAMES * 0.01
+    rtfx = audio_seconds / elapsed
+    utts_per_sec = utts / elapsed
+
+    print(json.dumps({
+        "metric": "aishell_flagship_beam5_decode_rtfx_per_chip",
+        "value": round(rtfx, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtfx / 20.0, 3),
+        "utts_per_sec_per_chip": round(utts_per_sec, 2),
+        "config": f"B{BATCH} T{FRAMES} beam{BEAM} steps{MAX_LEN} bf16 no-early-exit",
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

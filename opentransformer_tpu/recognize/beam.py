@@ -55,8 +55,13 @@ def beam_search(
     lm_init: Optional[Callable] = None,  # (n: int) -> state
     lm_weight: float = 0.1,
     vocab_size: Optional[int] = None,
+    eos_id: int = EOS,
 ) -> BeamHypotheses:
-    """Run batched beam search fully on device. All shapes static."""
+    """Run batched beam search fully on device. All shapes static.
+
+    ``eos_id`` overrides the end token (benchmarks pass an out-of-vocab id to
+    force full-length decodes — a worst-case throughput measurement).
+    """
     b, t, _ = memory.shape
     k = beam_width
 
@@ -67,7 +72,7 @@ def beam_search(
     cache = init_cache(tiled_memory, max_len + 1)
     lm_state = lm_init(b * k) if lm_step is not None else None
 
-    tokens = jnp.full((b * k, max_len + 1), EOS, jnp.int32)
+    tokens = jnp.full((b * k, max_len + 1), eos_id, jnp.int32)
     tokens = tokens.at[:, 0].set(BOS)
     # [0, -inf, ...] per utterance so step-0 duplicates can't win
     init_scores = jnp.full((k,), NEG_INF, jnp.float32).at[0].set(0.0)
@@ -95,7 +100,7 @@ def beam_search(
             axis=1,
         )
         top_vals = jnp.where(fin, fin_vals, top_vals)
-        top_idx = jnp.where(fin, jnp.full_like(top_idx, EOS), top_idx)
+        top_idx = jnp.where(fin, jnp.full_like(top_idx, eos_id), top_idx)
 
         cand = scores.reshape(b, k, 1) + top_vals.reshape(b, k, k)  # [B, K, K]
         best_scores, best_flat = jax.lax.top_k(cand.reshape(b, k * k), k)  # [B, K]
@@ -109,7 +114,7 @@ def beam_search(
         if lm_state is not None:
             lm_state = jax.tree_util.tree_map(lambda x: jnp.take(x, flat_parent, axis=0), lm_state)
         end_flag = jnp.take(end_flag.reshape(-1), flat_parent).reshape(b, k)
-        end_flag = jnp.logical_or(end_flag, tok == EOS)
+        end_flag = jnp.logical_or(end_flag, tok == eos_id)
         return step + 1, tokens, best_scores, end_flag, new_cache, lm_state
 
     step, tokens, scores, end_flag, cache, lm_state = jax.lax.while_loop(
@@ -119,7 +124,7 @@ def beam_search(
     # lengths: #tokens before the first EOS after BOS, including BOS
     tokens_bk = tokens.reshape(b, k, max_len + 1)
     after_bos = tokens_bk[:, :, 1:]
-    is_eos = after_bos == EOS
+    is_eos = after_bos == eos_id
     first_eos = jnp.argmax(is_eos, axis=-1)  # 0 if none — but EOS-fill guarantees presence
     has_eos = jnp.any(is_eos, axis=-1)
     lengths = jnp.where(has_eos, first_eos, max_len) + 1  # + BOS
@@ -138,11 +143,12 @@ def greedy_search(
     memory: jnp.ndarray,
     memory_mask: jnp.ndarray,
     max_len: int,
+    eos_id: int = EOS,
 ) -> BeamHypotheses:
     """Argmax decoding as a jitted while_loop (beam=1 fast path)."""
     b = memory.shape[0]
     cache = init_cache(memory, max_len + 1)
-    tokens = jnp.full((b, max_len + 1), EOS, jnp.int32).at[:, 0].set(BOS)
+    tokens = jnp.full((b, max_len + 1), eos_id, jnp.int32).at[:, 0].set(BOS)
     scores = jnp.zeros((b,), jnp.float32)
     end_flag = jnp.zeros((b,), bool)
 
@@ -156,17 +162,17 @@ def greedy_search(
         logp, cache = decode_step(cur, cache, step, memory_mask)
         tok = jnp.argmax(logp, axis=-1).astype(jnp.int32)
         val = jnp.max(logp, axis=-1)
-        tok = jnp.where(end_flag, EOS, tok)
+        tok = jnp.where(end_flag, eos_id, tok)
         scores = scores + jnp.where(end_flag, 0.0, val)
         tokens = jax.lax.dynamic_update_index_in_dim(tokens, tok, step + 1, axis=1)
-        end_flag = jnp.logical_or(end_flag, tok == EOS)
+        end_flag = jnp.logical_or(end_flag, tok == eos_id)
         return step + 1, tokens, scores, end_flag, cache
 
     step, tokens, scores, end_flag, cache = jax.lax.while_loop(
         cond, body, (jnp.asarray(0, jnp.int32), tokens, scores, end_flag, cache)
     )
     after_bos = tokens[:, 1:]
-    is_eos = after_bos == EOS
+    is_eos = after_bos == eos_id
     lengths = jnp.where(jnp.any(is_eos, -1), jnp.argmax(is_eos, -1), max_len) + 1
     return BeamHypotheses(
         tokens=tokens[:, None, :], scores=scores[:, None], lengths=lengths[:, None]
