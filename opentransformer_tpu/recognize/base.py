@@ -152,26 +152,58 @@ class SpeechToTextRecognizer(Recognizer):
 
 
 class CTCRecognizer(Recognizer):
-    """Greedy CTC decoding on device (reference ``recognize/ctc.py:38-58``
-    does the collapse in a host loop; ours is vectorized). Prefix beam search
-    lives in ``ctc_decode.py`` / the native decoder."""
+    """CTC decoding: on-device vectorized greedy collapse (the reference's
+    host python loop, ``recognize/ctc.py:38-58``, vectorized), or prefix beam
+    search via the native C++ decoder with optional ARPA n-gram fusion
+    (replacing the reference's external ``ctcdecode_edited``)."""
 
-    def __init__(self, model, params, idx2unit=None):
+    def __init__(self, model, params, idx2unit=None, beam_width: int = 1,
+                 nbest: int = 1, lm_path: str = None, alpha: float = 0.0,
+                 beta: float = 0.0):
         super().__init__(model, params, idx2unit)
+        self.beam_width = int(beam_width)
+        self.nbest = int(nbest)
+        self.alpha, self.beta = float(alpha), float(beta)
+        self.lm = None
+        if lm_path:
+            from .native_ctc import NgramLM
+
+            units = [idx2unit.get(i, f"<{i}>") for i in range(max(idx2unit) + 1)] if idx2unit else []
+            self.lm = NgramLM(lm_path, units)
 
         @jax.jit
-        def run(params, feats, feat_mask):
+        def greedy(params, feats, feat_mask):
             logp, mask = model.apply(params, feats, feat_mask, method="recognize_logits")
             return ctc_greedy_decode(logp, mask)
 
-        self._jit_recognize = run
+        @jax.jit
+        def logits(params, feats, feat_mask):
+            return model.apply(params, feats, feat_mask, method="recognize_logits")
+
+        self._jit_greedy = greedy
+        self._jit_logits = logits
 
     def recognize(self, feats, feat_mask):
-        tokens, lengths = self._jit_recognize(self.params, feats, feat_mask)
-        tokens = np.asarray(tokens)
-        lengths = np.asarray(lengths)
-        texts = [[self.translate(tokens[i, : lengths[i]])] for i in range(tokens.shape[0])]
-        scores = np.zeros((tokens.shape[0], 1), np.float32)
+        if self.beam_width <= 1:
+            tokens, lengths = self._jit_greedy(self.params, feats, feat_mask)
+            tokens = np.asarray(tokens)
+            lengths = np.asarray(lengths)
+            texts = [[self.translate(tokens[i, : lengths[i]])] for i in range(tokens.shape[0])]
+            return texts, np.zeros((tokens.shape[0], 1), np.float32)
+
+        from .native_ctc import ctc_beam_decode
+        from ..ops.masks import mask_to_length
+
+        logp, mask = self._jit_logits(self.params, feats, feat_mask)
+        counts = np.asarray(mask_to_length(mask), np.int32)
+        tokens, lens, scores = ctc_beam_decode(
+            np.asarray(logp), counts, beam_width=self.beam_width,
+            alpha=self.alpha, beta=self.beta, lm=self.lm, nbest=self.nbest,
+        )
+        texts = [
+            [self.translate(tokens[i, k, : lens[i, k]]) for k in range(self.nbest)]
+            for i in range(tokens.shape[0])
+        ]
         return texts, scores
 
 
@@ -208,5 +240,10 @@ def build_recognizer(model_type: str, model, params, lm=None, lm_params=None, ar
             lm_weight=get("lm_weight", 0.1), idx2unit=idx2unit,
         )
     if model_type == "ctc":
-        return CTCRecognizer(model, params, idx2unit=idx2unit)
+        return CTCRecognizer(
+            model, params, idx2unit=idx2unit,
+            beam_width=get("ctc_beam_width", get("beam_width", 1)),
+            nbest=get("nbest", 1), lm_path=get("ngram_lm", None),
+            alpha=get("alpha", 0.0), beta=get("beta", 0.0),
+        )
     raise KeyError(f"unknown model type for recognition: {model_type!r}")

@@ -1,0 +1,100 @@
+"""Native C++ CTC decoder tests: parity with the pure-python prefix search,
+LM fusion behavior, batch threading."""
+
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+from opentransformer_tpu.recognize.ctc_decode import ctc_prefix_beam_search
+
+native = pytest.importorskip("opentransformer_tpu.recognize.native_ctc")
+
+
+def random_logprobs(rng, t, v):
+    x = rng.normal(size=(t, v)).astype(np.float32)
+    x = x - np.log(np.sum(np.exp(x), axis=1, keepdims=True))
+    return x
+
+
+def test_native_matches_python_prefix_search():
+    rng = np.random.default_rng(0)
+    t, v = 12, 6
+    lp = random_logprobs(rng, t, v)
+    py = ctc_prefix_beam_search(lp, t, beam_width=8, blank=0, prune_k=v)
+    tokens, lens, scores = native.ctc_beam_decode(
+        lp[None], np.asarray([t], np.int32), beam_width=8, blank=0, prune_k=v, nbest=3
+    )
+    best_native = tuple(tokens[0, 0, : lens[0, 0]].tolist())
+    assert best_native == py[0][0]
+    np.testing.assert_allclose(scores[0, 0], py[0][1], rtol=1e-4, atol=1e-4)
+
+
+def test_native_probability_math():
+    # same 2-frame case as the python test: P('')=0.24, P('a')=0.76
+    probs = np.log(np.array([[0.6, 0.4], [0.4, 0.6]], np.float32))
+    tokens, lens, scores = native.ctc_beam_decode(
+        probs[None], np.asarray([2], np.int32), beam_width=4, prune_k=2, nbest=2
+    )
+    assert lens[0, 0] == 1 and tokens[0, 0, 0] == 1
+    np.testing.assert_allclose(np.exp(scores[0, 0]), 0.76, rtol=1e-5)
+    assert lens[0, 1] == 0
+    np.testing.assert_allclose(np.exp(scores[0, 1]), 0.24, rtol=1e-5)
+
+
+def test_batch_decode_threads():
+    rng = np.random.default_rng(1)
+    b, t, v = 8, 20, 10
+    lp = np.stack([random_logprobs(rng, t, v) for _ in range(b)])
+    counts = np.asarray([t] * b, np.int32)
+    tokens, lens, scores = native.ctc_beam_decode(lp, counts, beam_width=6, nbest=1, num_threads=4)
+    # per-utterance must equal single decode
+    for i in range(b):
+        ti, li, si = native.ctc_beam_decode(lp[i : i + 1], counts[i : i + 1], beam_width=6, nbest=1)
+        np.testing.assert_array_equal(tokens[i], ti[0])
+        np.testing.assert_allclose(scores[i], si[0], rtol=1e-5)
+
+
+def test_arpa_lm_fusion(tmp_path):
+    """A biased bigram LM should flip an ambiguous acoustic decision."""
+    arpa = textwrap.dedent("""\
+        \\data\\
+        ngram 1=4
+        ngram 2=2
+
+        \\1-grams:
+        -0.5\ta\t-0.3
+        -1.5\tb\t-0.3
+        -0.6\tc\t-0.3
+        -0.5\t<s>\t-0.3
+
+        \\2-grams:
+        -2.0\ta b
+        -0.1\ta c
+
+        \\end\\
+    """)
+    path = str(tmp_path / "lm.arpa")
+    with open(path, "w") as f:
+        f.write(arpa)
+    vocab = ["<blank>", "<s/e>", "<unk>", "a", "b", "c"]
+    lm = native.NgramLM(path, vocab)
+    assert lm.order == 2
+
+    # acoustics prefer 'a b' slightly over 'a c' (ids: a=3, b=4, c=5)
+    lp = np.log(np.array([
+        [0.04, 0.01, 0.01, 0.90, 0.02, 0.02],  # 'a'
+        [0.04, 0.01, 0.01, 0.02, 0.49, 0.43],  # b barely beats c
+    ], np.float32))
+    no_lm_tokens, no_lm_lens, _ = native.ctc_beam_decode(
+        lp[None], np.asarray([2], np.int32), beam_width=8, prune_k=6, nbest=1
+    )
+    assert no_lm_tokens[0, 0, : no_lm_lens[0, 0]].tolist() == [3, 4]
+
+    lm_tokens, lm_lens, _ = native.ctc_beam_decode(
+        lp[None], np.asarray([2], np.int32), beam_width=8, prune_k=6, nbest=1,
+        alpha=1.0, beta=0.0, lm=lm,
+    )
+    # lm favors 'a c' (logp -0.1) over 'a b' (-2.0): decision flips
+    assert lm_tokens[0, 0, : lm_lens[0, 0]].tolist() == [3, 5]
