@@ -23,7 +23,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops.masks import attn_mask_from_pad
+from ..ops.masks import attn_mask_from_pad, chunk_attn_mask
 from .modules import (
     ConformerConvModule,
     MultiHeadSelfAttention,
@@ -94,6 +94,8 @@ class TransformerEncoder(nn.Module):
     concat_after: bool = False
     activation: str = "relu"
     relative_positional: bool = False
+    chunk_size: int = 0       # >0: streaming block-chunked self-attention
+    left_chunks: int = -1     # -1 = unlimited left context
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -101,6 +103,10 @@ class TransformerEncoder(nn.Module):
         """x: [B, T, D]; pad_mask: bool[B, T] → (y [B,T,D], pad_mask, attn?)."""
         t = x.shape[1]
         attn_mask = attn_mask_from_pad(pad_mask)
+        if self.chunk_size > 0:
+            attn_mask = jnp.logical_and(
+                attn_mask, chunk_attn_mask(t, self.chunk_size, self.left_chunks)
+            )
         pos_emb = None
         if self.relative_positional:
             pos = jnp.arange(-(t - 1), t)
@@ -222,12 +228,18 @@ class ConformerEncoder(nn.Module):
     activation: str = "glu"
     positional_encoding: bool = True
     relative_positional: bool = True
+    chunk_size: int = 0
+    left_chunks: int = -1
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, pad_mask, *, deterministic: bool = True, train: bool = False, return_attn: bool = False):
         t = x.shape[1]
         attn_mask = attn_mask_from_pad(pad_mask)
+        if self.chunk_size > 0:
+            attn_mask = jnp.logical_and(
+                attn_mask, chunk_attn_mask(t, self.chunk_size, self.left_chunks)
+            )
         pos_emb = None
         if self.relative_positional:
             pos = jnp.arange(-(t - 1), t)

@@ -57,6 +57,23 @@ def apply_attn_mask(scores: jnp.ndarray, mask: jnp.ndarray | None) -> jnp.ndarra
     return jnp.where(mask, scores, jnp.asarray(NEG_INF, dtype=scores.dtype))
 
 
+def chunk_attn_mask(t: int, chunk_size: int, left_chunks: int = -1) -> jnp.ndarray:
+    """Block-chunked attention mask bool[1, 1, t, t] for streaming encoders.
+
+    Position q (in chunk q//chunk_size) may attend keys in its own chunk and
+    up to ``left_chunks`` previous chunks (-1 = unlimited left context). This
+    is the standard chunked-attention scheme for joint online/offline
+    conformers (dual-mode chunked attention); the reference has no streaming
+    support (SURVEY §5 'long-context: none').
+    """
+    q_chunk = lax.broadcasted_iota(jnp.int32, (t, t), 0) // chunk_size
+    k_chunk = lax.broadcasted_iota(jnp.int32, (t, t), 1) // chunk_size
+    ok = k_chunk <= q_chunk
+    if left_chunks >= 0:
+        ok = jnp.logical_and(ok, k_chunk >= q_chunk - left_chunks)
+    return ok[None, None, :, :]
+
+
 def subsample_mask(pad_mask: jnp.ndarray, kernel: int, stride: int) -> jnp.ndarray:
     """Subsample a time mask through a conv layer.
 
