@@ -44,7 +44,22 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("-ns", "--num_sample", type=int, default=0, help="decode only N samples")
     p.add_argument("-debug", "--debug", action="store_true")
     p.add_argument("-s", "--suffix", type=str, default=None)
+    p.add_argument("-p2w", "--piece2word", action="store_true",
+                   help="join sentencepiece pieces: strip spaces, '▁'→space")
     return p
+
+
+LANG_TAGS = ("<PESN>", "<VIET>", "<SWAH>")
+
+
+def postprocess(text: str, piece2word: bool = False) -> str:
+    """Scoring-side text normalization (reference ``eval.py:148-167``):
+    optional sentencepiece ▁-joining and language-tag stripping."""
+    for tag in LANG_TAGS:
+        text = text.replace(tag, " ")
+    if piece2word:
+        text = text.replace(" ", "").replace("▁", " ").strip()
+    return " ".join(text.split())
 
 
 def load_checkpoint(path: str):
@@ -127,10 +142,13 @@ def main(argv=None) -> int:
             total_frames += int(np.sum(inputs["inputs_length"]))
 
             for i, utt in enumerate(utt_ids):
+                texts[i] = [postprocess(h, args.piece2word) for h in texts[i]]
                 best = texts[i][0]
                 ftxt.write(f"{utt} {best}\n")
                 ref_ids = targets_dict.get(utt, [])
-                ref = " ".join(idx2unit.get(t, "<UNK>") for t in ref_ids)
+                ref = postprocess(
+                    " ".join(idx2unit.get(t, "<UNK>") for t in ref_ids), args.piece2word
+                )
                 dists = [edit_distance(ref.split(), h.split()) for h in texts[i]]
                 cer.update(ref.split(), best.split())
                 best_n = int(np.argmin(dists)) if dists else 0
