@@ -40,6 +40,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("-debug", "--debug", action="store_true")
     p.add_argument("--expdir", type=str, default=None)
     p.add_argument("--log_interval", type=int, default=10)
+    p.add_argument("--profile", type=str, default=None,
+                   help="write a jax.profiler trace to this directory")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() and shard batches by host")
     return p
 
 
@@ -58,29 +62,48 @@ def main(argv=None) -> int:
     np.random.seed(args.seed)
     rng = jax.random.PRNGKey(args.seed)
 
+    if args.multihost:
+        jax.distributed.initialize()
+        logger.info("multihost: process %d/%d", jax.process_index(), jax.process_count())
+
     n_dev = len(jax.devices())
     n_data = args.ngpu or max(n_dev // args.tp, 1)
     mesh = make_mesh(n_data=n_data, n_model=args.tp) if n_data * args.tp > 1 else None
     logger.info("devices=%d mesh=%s", n_dev, dict(mesh.shape) if mesh else None)
 
     model_cfg = cfg["model"]
-    model = build_model(model_cfg)
+    import jax.numpy as jnp
+
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+        str(cfg["train"].get("dtype", "float32"))
+    ]
+    model = build_model(model_cfg, dtype=dtype)
     is_lm = model_cfg["type"] in LM_TYPES
     batch_fn = lm_batch if is_lm else default_speech_batch
 
-    loader = FeatureLoader(cfg, "train", seed=args.seed)
+    shard_kw = {}
+    if args.multihost:
+        shard_kw = {"num_shards": jax.process_count(), "shard_id": jax.process_index()}
+    loader = FeatureLoader(cfg, "train", seed=args.seed, **shard_kw)
     logger.info("train loader: %d batches", len(loader))
+    dev_loader = None
+    if "dev" in cfg["data"]:
+        dev_loader = FeatureLoader(cfg, "dev", is_eval=True, seed=args.seed, **shard_kw)
+        logger.info("dev loader: %d batches", len(dev_loader))
 
     ck = Checkpointer(expdir, config=cfg.raw)
     trainer = Trainer(
         cfg["train"], model, mesh=mesh, expdir=expdir, checkpointer=ck,
         is_mixspeech=args.mixspeech, log_interval=args.log_interval,
         keep_last_n=args.keep_last_n_checkpoints, batch_fn=batch_fn,
-        is_debug=args.debug,
+        is_debug=args.debug, dev_loader=dev_loader,
     )
 
     first = next(iter(loader))
     state = trainer.init_state(rng, first)
+    from ..utils import format_parameter_census
+
+    logger.info("model parameters:\n%s", format_parameter_census(state.params))
     if args.continue_training:
         template = {
             "params": jax.tree_util.tree_map(np.asarray, state.params),
@@ -103,7 +126,12 @@ def main(argv=None) -> int:
             trainer.global_step = int(payload["extra"].get("global_step", 1))
             logger.info("resumed from epoch %d (global step %d)", epoch, trainer.global_step)
 
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
     trainer.train(state, loader, rng)
+    if args.profile:
+        jax.profiler.stop_trace()
+        logger.info("profiler trace written to %s", args.profile)
     return 0
 
 

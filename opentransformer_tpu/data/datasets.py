@@ -21,7 +21,7 @@ import numpy as np
 from . import UNK_TOKEN, load_vocab
 from .augment import spec_augment
 from .kaldi_io import cmvn_from_stats, load_mat, read_scp
-from ..ops.fbank import fbank_numpy, normalize_per_utterance, num_frames
+from ..ops.fbank import fbank_numpy, logfbank_psf, normalize_per_utterance, num_frames
 
 logger = logging.getLogger(__name__)
 
@@ -70,6 +70,9 @@ class AudioDataset:
         self.is_eval = is_eval
         self.rng = rng or np.random.default_rng()
         self.num_mel_bins = int(params.get("num_mel_bins", 40))
+        # 'torchaudio'/'ta' = kaldi-compatible (our first-party kernel);
+        # 'psf'/'python_speech_feature' = python_speech_features-style
+        self.feature_extractor = params.get("feature_extractor", "torchaudio")
         self.normalization = bool(params.get("normalization", False))
         self.apply_spec_augment = bool(params.get("spec_augment", False)) and not is_eval
         # reference quirk preserved: the online dataset ignores
@@ -105,7 +108,10 @@ class AudioDataset:
         sr, wav = _read_wav(path)
         if self.apply_volume_perturb:
             wav = wav * 10 ** (self.rng.uniform(-1.6, 1.6) / 20)
-        feature = fbank_numpy(wav, sample_freq=sr, num_mel_bins=self.num_mel_bins)
+        if self.feature_extractor in ("psf", "python_speech_feature"):
+            feature = logfbank_psf(wav, sample_freq=sr, num_mel_bins=self.num_mel_bins)
+        else:
+            feature = fbank_numpy(wav, sample_freq=sr, num_mel_bins=self.num_mel_bins)
         if self.normalization:
             if self.apply_global_cmvn:
                 feature = (feature - self.global_mean) / self.global_std

@@ -178,6 +178,56 @@ def fbank_jax(
     return feats, frame_lengths
 
 
+def logfbank_psf(
+    waveform: np.ndarray,
+    sample_freq: float = 16000.0,
+    num_mel_bins: int = 26,
+    frame_length_ms: float = 25.0,
+    frame_shift_ms: float = 10.0,
+    nfft: int = 512,
+    preemphasis: float = 0.97,
+    low_freq: float = 0.0,
+    high_freq: float | None = None,
+) -> np.ndarray:
+    """python_speech_features-style log filterbank.
+
+    The reference's alternate extractor (``otrans/data/audio.py:122``,
+    ``psf.base.logfbank``) differs from kaldi: signal-level preemphasis,
+    zero-padded ceil framing (not snip-edges), rectangular window, HTK mel
+    scale (2595·log10(1+f/700)) with fft-bin-point triangles.
+    """
+    wav = np.asarray(waveform, np.float64).reshape(-1)
+    wav = np.append(wav[0], wav[1:] - preemphasis * wav[:-1])
+    ws = int(round(frame_length_ms / 1000.0 * sample_freq))
+    shift = int(round(frame_shift_ms / 1000.0 * sample_freq))
+    n = len(wav)
+    t = 1 if n <= ws else 1 + int(np.ceil((n - ws) / shift))
+    padded = np.zeros(int((t - 1) * shift + ws))
+    padded[:n] = wav
+    idx = np.arange(t)[:, None] * shift + np.arange(ws)[None, :]
+    frames = padded[idx]
+    power = (np.abs(np.fft.rfft(frames, nfft)) ** 2) / nfft
+
+    high_freq = high_freq or sample_freq / 2
+    def htk_mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f) / 700.0)
+
+    def htk_mel_inv(m):
+        return 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
+
+    mel_pts = np.linspace(htk_mel(low_freq), htk_mel(high_freq), num_mel_bins + 2)
+    bin_pts = np.floor((nfft + 1) * htk_mel_inv(mel_pts) / sample_freq).astype(int)
+    fb = np.zeros((num_mel_bins, nfft // 2 + 1))
+    for j in range(num_mel_bins):
+        for i in range(bin_pts[j], bin_pts[j + 1]):
+            fb[j, i] = (i - bin_pts[j]) / max(bin_pts[j + 1] - bin_pts[j], 1)
+        for i in range(bin_pts[j + 1], bin_pts[j + 2]):
+            fb[j, i] = (bin_pts[j + 2] - i) / max(bin_pts[j + 2] - bin_pts[j + 1], 1)
+    feat = power @ fb.T
+    feat = np.where(feat == 0, np.finfo(float).eps, feat)
+    return np.log(feat).astype(np.float32)
+
+
 def normalize_per_utterance(feature: np.ndarray) -> np.ndarray:
     """Whole-tensor mean/std normalization (reference ``data/audio.py:22-24``)."""
     std = feature.std()

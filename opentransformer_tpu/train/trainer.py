@@ -113,6 +113,7 @@ class Trainer:
 
         self._grad_fn = None
         self._update_fn = None
+        self._eval_fn = None
 
     # ------------------------------------------------------------------ init
     def init_state(self, rng, sample_batch) -> TrainState:
@@ -217,6 +218,9 @@ class Trainer:
             self._grad_fn = self._build_grad_fn()
             self._update_fn = self._build_update_fn()
 
+        from .utils import Summary
+
+        best = Summary()
         for epoch in range(self.global_epoch, self.epochs):
             state = self.train_one_epoch(epoch, state, train_loader, rng)
             self.global_epoch = epoch + 1
@@ -226,7 +230,38 @@ class Trainer:
                 self.checkpointer.save(
                     epoch, state, extra={"global_step": self.global_step}, keep_last_n=self.keep_last_n
                 )
+            if self.dev_loader is not None:
+                dev_loss = self.evaluate(state, self.dev_loader)
+                logger.info("epoch %d dev loss %.5f", epoch, dev_loss)
+                if self.visualizer is not None:
+                    self.visualizer.add_scalar("dev_loss", dev_loss, self.global_step)
+                # best-checkpoint tracking (the reference's dev loop was
+                # unreachable and would have crashed, SURVEY §8.6 — fixed)
+                if best.update(epoch, dev_loss) and self.checkpointer is not None:
+                    self.checkpointer.save_params_only("model.best", state.params)
+                    logger.info("new best epoch %d (dev loss %.5f)", epoch, dev_loss)
         return state
+
+    def evaluate(self, state: TrainState, dev_loader) -> float:
+        """Mean deterministic loss over a dev loader."""
+        if self._eval_fn is None:
+            model = self.model
+            static_kwargs = {
+                k: (False if k == "train" else v) for k, v in self.static_kwargs.items()
+            }
+
+            @jax.jit
+            def eval_step(params, args):
+                loss, _ = model.apply(params, *args, deterministic=True, **static_kwargs)
+                return loss
+
+            self._eval_fn = eval_step
+        total, n = 0.0, 0
+        for batch in dev_loader:
+            args = self._shard_batch(self.batch_fn(batch))
+            total += float(self._eval_fn(state.params, args))
+            n += 1
+        return total / max(n, 1)
 
     def train_one_epoch(self, epoch: int, state: TrainState, train_loader, rng) -> TrainState:
         if self._grad_fn is None:

@@ -1,0 +1,72 @@
+"""Aux subsystem tests: parameter census, dev evaluation + best tracking,
+psf fbank variant, bf16 model build."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opentransformer_tpu.models.registry import build_model
+from opentransformer_tpu.ops.fbank import logfbank_psf
+from opentransformer_tpu.train.trainer import Trainer, TrainState
+from opentransformer_tpu.utils import count_parameters, format_parameter_census
+from tests.test_models import small_model_cfg, make_batch
+from tests.test_train import synth_batch
+
+
+def test_parameter_census():
+    model = build_model(small_model_cfg())
+    feats, feat_mask, targets, targets_length = make_batch()
+    params = model.init(jax.random.PRNGKey(0), feats, feat_mask, targets, targets_length)
+    counts = count_parameters(params)
+    assert {"frontend", "encoder", "decoder"} <= set(counts)
+    assert counts["total"] == sum(v for k, v in counts.items() if k != "total")
+    assert "total:" in format_parameter_census(params)
+
+
+def test_dev_eval_and_best_tracking(tmp_path):
+    from opentransformer_tpu.train.checkpoint import Checkpointer
+
+    model = build_model(small_model_cfg())
+    rng = np.random.default_rng(0)
+    batches = [synth_batch(rng, b=4) for _ in range(2)]
+    cfg = {"optimizer_type": "adam", "optimizer": {}, "scheduler_type": "constant",
+           "scheduler": {"lr": 2e-3}, "epochs": 2}
+    ck = Checkpointer(str(tmp_path / "exp"))
+    trainer = Trainer(cfg, model, checkpointer=ck, dev_loader=batches, log_interval=10 ** 9)
+    state = trainer.init_state(jax.random.PRNGKey(0), batches[0])
+    loss0 = trainer.evaluate(state, batches)
+    state = trainer.train(state, batches, jax.random.PRNGKey(1))
+    loss1 = trainer.evaluate(state, batches)
+    assert loss1 < loss0
+    import os
+
+    assert os.path.isdir(str(tmp_path / "exp" / "model.best"))
+
+
+def test_psf_fbank_shape_and_htk_mel():
+    rng = np.random.default_rng(0)
+    wav = rng.normal(size=16000).astype(np.float32) * 0.1
+    feat = logfbank_psf(wav, num_mel_bins=26)
+    # psf framing: ceil((16000-400)/160)+1 = 99 frames (not snip-edges 98)
+    assert feat.shape == (99, 26)
+    assert np.all(np.isfinite(feat))
+    # tone localization under HTK mel
+    t = np.arange(16000) / 16000
+    tone = (0.5 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32)
+    f = logfbank_psf(tone, num_mel_bins=26)
+    peak = int(np.argmax(f.mean(axis=0)))
+    htk = lambda hz: 2595 * np.log10(1 + hz / 700)
+    centers = np.linspace(htk(0), htk(8000), 28)[1:-1]
+    expect = int(np.argmin(np.abs(centers - htk(1000))))
+    assert abs(peak - expect) <= 1
+
+
+def test_bf16_model_build():
+    model = build_model(small_model_cfg(), dtype=jnp.bfloat16)
+    feats, feat_mask, targets, targets_length = make_batch()
+    params = model.init(jax.random.PRNGKey(0), feats, feat_mask, targets, targets_length)
+    # params stay f32; loss is finite
+    leaf = jax.tree_util.tree_leaves(params)[0]
+    assert leaf.dtype == jnp.float32
+    loss, _ = model.apply(params, feats, feat_mask, targets, targets_length)
+    assert np.isfinite(float(loss))
