@@ -21,11 +21,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = 16
+BATCH = 256
 FRAMES = 500  # 10ms frames -> 5.0 s of audio per utterance
 MAX_LEN = 24  # decode steps forced (no early exit); AISHELL avg ~15 chars
 BEAM = 5
-ITERS = 5
+ITERS = 3
 
 
 def main() -> None:
@@ -53,8 +53,8 @@ def main() -> None:
         def decode_step(tokens, cache, index, mem_mask):
             return model.apply(params, tokens, cache, index, mem_mask, method="decode_step")
 
-        def init_cache(mem, n):
-            return model.apply(params, mem, n, method="init_cache")
+        def init_cache(mem, n, beam=1):
+            return model.apply(params, mem, n, beam, method="init_cache")
 
         return beam_search(
             decode_step, init_cache, memory, memory_mask,

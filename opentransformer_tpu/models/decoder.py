@@ -93,23 +93,28 @@ class TransformerDecoderLayer(nn.Module):
             x = self.norm3(x)
         return x
 
-    def init_layer_cache(self, memory, batch: int, max_len: int):
-        """Precompute cross K/V and allocate self-attn cache buffers."""
+    def init_layer_cache(self, memory, batch: int, max_len: int, beam_width: int = 1):
+        """Precompute cross K/V (per-utterance, beam-invariant) and allocate
+        [B·beam, H, max_len, Dh] self-attention buffers."""
         ck, cv = self.src_attn.project_kv(memory)
         d_k = self.d_model // self.n_heads
-        shape = (batch, self.n_heads, max_len, d_k)
-        return {
-            "k": jnp.zeros(shape, self.dtype),
-            "v": jnp.zeros(shape, self.dtype),
-            "ck": ck,
-            "cv": cv,
-        }
+        shape = (batch * beam_width, self.n_heads, max_len, d_k)
+        return (
+            {"k": jnp.zeros(shape, self.dtype), "v": jnp.zeros(shape, self.dtype)},
+            {"ck": ck, "cv": cv},
+        )
 
-    def decode_step(self, x_t, cache, index, memory_mask):
-        """x_t: [B, 1, D]; returns (y_t [B, 1, D], new cache)."""
+    def decode_step(self, x_t, self_cache, cross_cache, index, memory_pad_mask):
+        """x_t: [B·K, 1, D]; cross_cache per-utterance [B, H, T, Dh].
+
+        Returns (y_t [B·K, 1, D], new self cache). The cross cache is
+        read-only — it never needs beam reordering.
+        """
         residual = x_t
         h = self.norm1(x_t) if self.normalize_before else x_t
-        attn_out, new_k, new_v = self.slf_attn.decode_step(h, cache["k"], cache["v"], index)
+        attn_out, new_k, new_v = self.slf_attn.decode_step(
+            h, self_cache["k"], self_cache["v"], index
+        )
         if self.concat_after:
             attn_out = self.concat_linear1(jnp.concatenate([h, attn_out], axis=-1))
         x = residual + attn_out
@@ -118,7 +123,9 @@ class TransformerDecoderLayer(nn.Module):
 
         residual = x
         h = self.norm2(x) if self.normalize_before else x
-        attn_out, _ = self.src_attn.attend(h, cache["ck"], cache["cv"], memory_mask)
+        attn_out = self.src_attn.attend_beamed(
+            h, cross_cache["ck"], cross_cache["cv"], memory_pad_mask
+        )
         if self.concat_after:
             attn_out = self.concat_linear2(jnp.concatenate([h, attn_out], axis=-1))
         x = residual + attn_out
@@ -130,7 +137,7 @@ class TransformerDecoderLayer(nn.Module):
         x = residual + self.ffn(h)
         if not self.normalize_before:
             x = self.norm3(x)
-        return x, {"k": new_k, "v": new_v, "ck": cache["ck"], "cv": cache["cv"]}
+        return x, {"k": new_k, "v": new_v}
 
 
 class TransformerDecoder(nn.Module):
@@ -215,16 +222,23 @@ class TransformerDecoder(nn.Module):
             x = self.after_norm(x)
         return self._project(x)
 
-    def init_cache(self, memory, max_len: int):
-        """Build the decode cache pytree for a [B, T, D] memory batch."""
+    def init_cache(self, memory, max_len: int, beam_width: int = 1):
+        """Decode cache for a [B, T, D] memory batch.
+
+        Returns {"self": [per-layer {"k","v"} at B·beam rows],
+                 "cross": [per-layer {"ck","cv"} at B rows]} — cross K/V is
+        beam-invariant and stored once per utterance.
+        """
         b = memory.shape[0]
-        return [layer.init_layer_cache(memory, b, max_len) for layer in self.layers]
+        pairs = [layer.init_layer_cache(memory, b, max_len, beam_width) for layer in self.layers]
+        return {"self": [p[0] for p in pairs], "cross": [p[1] for p in pairs]}
 
     def decode_step(self, token_t, cache, index, memory_pad_mask):
         """One incremental step.
 
-        token_t: i[B] current input token; index: i32 scalar position (0-based);
-        Returns (log_probs f32[B, V], new_cache).
+        token_t: i[B·K] current input tokens; index: i32 scalar position;
+        memory_pad_mask: bool[B, T] (untiled).
+        Returns (log_probs f32[B·K, V], new_cache).
         """
         x = self._embed(token_t[:, None], start=0)  # embed then fix position below
         # position-dependent PE: recompute at `index` (traced) — _embed used
@@ -232,12 +246,11 @@ class TransformerDecoder(nn.Module):
         pe0 = sinusoid_position_encoding(jnp.zeros((1,), jnp.int32), self.d_model)[None]
         pe_t = sinusoid_position_encoding(index[None] if index.ndim == 0 else index, self.d_model)[None]
         x = x + (pe_t - pe0).astype(self.dtype)
-        mem_mask = memory_pad_mask[:, None, None, :]
-        new_cache = []
-        for layer, lc in zip(self.layers, cache):
-            x, nlc = layer.decode_step(x, lc, index, mem_mask)
-            new_cache.append(nlc)
+        new_self = []
+        for layer, sc, cc in zip(self.layers, cache["self"], cache["cross"]):
+            x, nsc = layer.decode_step(x, sc, cc, index, memory_pad_mask)
+            new_self.append(nsc)
         if self.normalize_before:
             x = self.after_norm(x)
         logits = self._project(x)[:, 0, :]
-        return jax.nn.log_softmax(logits, axis=-1), new_cache
+        return jax.nn.log_softmax(logits, axis=-1), {"self": new_self, "cross": cache["cross"]}

@@ -263,6 +263,29 @@ class MultiHeadCrossAttention(nn.Module):
         out = self.attn_dropout(out, deterministic=deterministic)
         return out, weights
 
+    def attend_beamed(self, x, k, v, key_pad_mask=None):
+        """Beam-tiled queries over *untiled* memory K/V.
+
+        x: [B·K, 1, D]; k/v: [B, H, T, Dh]; key_pad_mask: bool[B, T].
+        Cross K/V is identical for all beams of an utterance, so storing it
+        per-utterance cuts decode-loop HBM traffic and skips the per-step
+        beam reorder for the cross cache entirely.
+        """
+        b = k.shape[0]
+        bk = x.shape[0]
+        beams = bk // b
+        q = split_heads(self.q_proj(x), self.n_heads)  # [B*K, H, 1, Dh]
+        d_k = q.shape[-1]
+        q = q.reshape(b, beams, self.n_heads, 1, d_k)
+        scores = jnp.einsum("bkhqd,bhtd->bkhqt", q, k, preferred_element_type=jnp.float32)
+        scores = scores / np.sqrt(d_k)
+        if key_pad_mask is not None:
+            scores = apply_attn_mask(scores, key_pad_mask[:, None, None, None, :])
+        weights = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        ctx = jnp.einsum("bkhqt,bhtd->bkhqd", weights, v, preferred_element_type=jnp.float32)
+        ctx = ctx.astype(self.dtype).reshape(bk, self.n_heads, 1, d_k)
+        return self.out_proj(merge_heads(ctx))
+
     def __call__(self, x, memory, memory_mask=None, *, deterministic: bool = True):
         k, v = self.project_kv(memory)
         return self.attend(x, k, v, memory_mask, deterministic=deterministic)

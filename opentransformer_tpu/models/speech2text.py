@@ -147,8 +147,8 @@ class SpeechToText(nn.Module):
         return loss, aux
 
     # -- decode-side entry points (used via model.apply(..., method=...)) ---
-    def init_cache(self, memory, max_len: int):
-        return self.decoder.init_cache(memory, max_len)
+    def init_cache(self, memory, max_len: int, beam_width: int = 1):
+        return self.decoder.init_cache(memory, max_len, beam_width)
 
     def decode_step(self, token_t, cache, index, memory_pad_mask):
         return self.decoder.decode_step(token_t, cache, index, memory_pad_mask)

@@ -123,8 +123,8 @@ class SpeechToTextRecognizer(Recognizer):
             def decode_step(tokens, cache, index, mem_mask):
                 return model.apply(params, tokens, cache, index, mem_mask, method="decode_step")
 
-            def init_cache(mem, n):
-                return model.apply(params, mem, n, method="init_cache")
+            def init_cache(mem, n, beam=1):
+                return model.apply(params, mem, n, beam, method="init_cache")
 
             if lm is not None:
                 lm_i, lm_s = make_lm_adapter(lm, lm_params, max_len)

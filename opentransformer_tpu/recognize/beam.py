@@ -43,8 +43,8 @@ def length_penalty(lengths: jnp.ndarray, penalty: float, lamda: float = 5.0) -> 
 
 
 def beam_search(
-    decode_step: Callable,  # (tokens i32[N], cache, index, memory_mask) -> (logp f32[N,V], cache)
-    init_cache: Callable,  # (memory, max_len) -> cache
+    decode_step: Callable,  # (tokens i32[B·K], cache, index, memory_mask[B,T]) -> (logp, cache)
+    init_cache: Callable,  # (memory, max_len, beam_width) -> cache
     memory: jnp.ndarray,  # [B, T, D]
     memory_mask: jnp.ndarray,  # bool[B, T]
     beam_width: int,
@@ -65,11 +65,9 @@ def beam_search(
     b, t, _ = memory.shape
     k = beam_width
 
-    # tile memory ×beam: [B, T, D] -> [B*K, T, D]
-    tiled_memory = jnp.repeat(memory, k, axis=0)
-    tiled_mask = jnp.repeat(memory_mask, k, axis=0)
-
-    cache = init_cache(tiled_memory, max_len + 1)
+    # cross K/V is stored per-utterance inside the cache (beam-invariant);
+    # only the self-attention cache lives at B·K rows.
+    cache = init_cache(memory, max_len + 1, k)
     lm_state = lm_init(b * k) if lm_step is not None else None
 
     tokens = jnp.full((b * k, max_len + 1), eos_id, jnp.int32)
@@ -86,7 +84,7 @@ def beam_search(
     def body(state):
         step, tokens, scores, end_flag, cache, lm_state = state
         cur = jax.lax.dynamic_index_in_dim(tokens, step, axis=1, keepdims=False)  # i32[B*K]
-        logp, new_cache = decode_step(cur, cache, step, tiled_mask)  # [B*K, V]
+        logp, new_cache = decode_step(cur, cache, step, memory_mask)  # [B*K, V]
         if lm_step is not None:
             lm_logp, lm_state = lm_step(cur, lm_state, step)
             logp = logp + lm_weight * lm_logp
@@ -110,7 +108,13 @@ def beam_search(
         flat_parent = (jnp.arange(b)[:, None] * k + parent).reshape(-1)  # [B*K]
         tokens = jnp.take(tokens, flat_parent, axis=0)
         tokens = jax.lax.dynamic_update_index_in_dim(tokens, tok.reshape(-1), step + 1, axis=1)
-        new_cache = jax.tree_util.tree_map(lambda x: jnp.take(x, flat_parent, axis=0), new_cache)
+        # reorder ONLY the self-attention cache; cross K/V is beam-invariant
+        new_cache = {
+            "self": jax.tree_util.tree_map(
+                lambda x: jnp.take(x, flat_parent, axis=0), new_cache["self"]
+            ),
+            "cross": new_cache["cross"],
+        }
         if lm_state is not None:
             lm_state = jax.tree_util.tree_map(lambda x: jnp.take(x, flat_parent, axis=0), lm_state)
         end_flag = jnp.take(end_flag.reshape(-1), flat_parent).reshape(b, k)

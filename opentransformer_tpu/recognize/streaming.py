@@ -113,8 +113,8 @@ class LongFormRecognizer(SpeechToTextRecognizer):
             def decode_step(tokens, cache, index, mem_mask):
                 return model.apply(params, tokens, cache, index, mem_mask, method="decode_step")
 
-            def init_cache(mem, n):
-                return model.apply(params, mem, n, method="init_cache")
+            def init_cache(mem, n, beam=1):
+                return model.apply(params, mem, n, beam, method="init_cache")
 
             if beam == 1:
                 return greedy_search(decode_step, init_cache, memory, memory_mask, max_len)
