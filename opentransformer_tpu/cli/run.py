@@ -21,7 +21,13 @@ from ..data.loader import FeatureLoader
 from ..models.registry import LM_TYPES, build_model
 from ..parallel.mesh import make_mesh, param_shardings
 from ..train.checkpoint import Checkpointer
-from ..train.trainer import Trainer, TrainState, default_speech_batch, lm_batch
+from ..train.trainer import (
+    Trainer,
+    TrainState,
+    default_speech_batch,
+    lm_batch,
+    wave_speech_batch,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -80,6 +86,18 @@ def main(argv=None) -> int:
     model = build_model(model_cfg, dtype=dtype)
     is_lm = model_cfg["type"] in LM_TYPES
     batch_fn = lm_batch if is_lm else default_speech_batch
+    preprocess_fn = None
+    if not is_lm and cfg["data"].get("extract_on_device", False):
+        from ..data.device_pipeline import make_device_frontend
+
+        device_frontend = make_device_frontend(cfg["data"])
+        batch_fn = wave_speech_batch
+
+        def preprocess_fn(waveforms, wave_lengths, targets, targets_length, *, rng, train):
+            feats, mask = device_frontend(waveforms, wave_lengths, rng, train=train)
+            return feats, mask, targets, targets_length
+
+        logger.info("on-device feature extraction enabled (pallas fbank)")
 
     shard_kw = {}
     if args.multihost:
@@ -96,7 +114,7 @@ def main(argv=None) -> int:
         cfg["train"], model, mesh=mesh, expdir=expdir, checkpointer=ck,
         is_mixspeech=args.mixspeech, log_interval=args.log_interval,
         keep_last_n=args.keep_last_n_checkpoints, batch_fn=batch_fn,
-        is_debug=args.debug, dev_loader=dev_loader,
+        is_debug=args.debug, dev_loader=dev_loader, preprocess_fn=preprocess_fn,
     )
 
     first = next(iter(loader))

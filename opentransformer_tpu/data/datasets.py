@@ -73,6 +73,9 @@ class AudioDataset:
         # 'torchaudio'/'ta' = kaldi-compatible (our first-party kernel);
         # 'psf'/'python_speech_feature' = python_speech_features-style
         self.feature_extractor = params.get("feature_extractor", "torchaudio")
+        # extract_on_device: skip host extraction entirely; emit raw
+        # waveforms for the jitted device pipeline (data/device_pipeline.py)
+        self.return_waveform = bool(params.get("extract_on_device", False))
         self.normalization = bool(params.get("normalization", False))
         self.apply_spec_augment = bool(params.get("spec_augment", False)) and not is_eval
         # reference quirk preserved: the online dataset ignores
@@ -108,6 +111,9 @@ class AudioDataset:
         sr, wav = _read_wav(path)
         if self.apply_volume_perturb:
             wav = wav * 10 ** (self.rng.uniform(-1.6, 1.6) / 20)
+        if self.return_waveform:
+            targets = self.targets_dict[utt_id]
+            return utt_id, wav.astype(np.float32), len(wav), targets, len(targets)
         if self.feature_extractor in ("psf", "python_speech_feature"):
             feature = logfbank_psf(wav, sample_freq=sr, num_mel_bins=self.num_mel_bins)
         else:

@@ -167,6 +167,7 @@ class FeatureLoader:
         datadict = data_cfg[name]
         rng = np.random.default_rng(seed)
         self.dataset = Dataset[dtype_name](data_cfg, datadict, is_eval=is_eval, rng=rng)
+        self.extract_on_device = bool(data_cfg.get("extract_on_device", False)) and dtype_name == "online"
 
         self.batch_size = int(batch_size or data_cfg.get("batch_size", 16))
         bucket_cfg = data_cfg.get("bucket", None)
@@ -208,6 +209,10 @@ class FeatureLoader:
             samples = [self.dataset[i] for i in idxs]
             if self.is_text:
                 yield collate_text(samples, self.target_pad_multiple)
+            elif self.extract_on_device:
+                from .device_pipeline import collate_waveforms
+
+                yield collate_waveforms(samples)
             else:
                 yield collate_speech(samples, pad_to_frames=boundary,
                                      target_pad_multiple=self.target_pad_multiple)

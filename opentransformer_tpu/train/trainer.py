@@ -78,7 +78,12 @@ class Trainer:
         batch_fn=None,
         static_kwargs: Optional[dict] = None,
         is_debug: bool = False,
+        preprocess_fn=None,
     ):
+        # optional jit-compatible device preprocessing (e.g. on-device fbank +
+        # SpecAugment, data/device_pipeline.py): maps raw batch_fn args +
+        # (rng, train) to model.apply args inside the compiled loss step.
+        self.preprocess_fn = preprocess_fn
         # -debug truncates an epoch after 30 steps (reference trainer.py:254-255)
         self.is_debug = is_debug
         self.model = model
@@ -118,6 +123,8 @@ class Trainer:
     # ------------------------------------------------------------------ init
     def init_state(self, rng, sample_batch) -> TrainState:
         args = self.batch_fn(sample_batch)
+        if self.preprocess_fn is not None:
+            args = self.preprocess_fn(*args, rng=jax.random.PRNGKey(0), train=False)
         params = self.model.init(rng, *args)
         if self.mesh is not None:
             shardings = param_shardings(params, self.mesh)
@@ -131,8 +138,12 @@ class Trainer:
         accum = self.accum_steps
         mix = self.is_mixspeech
         static_kwargs = dict(self.static_kwargs)
+        preprocess = self.preprocess_fn
 
         def loss_fn(params, args, rng):
+            if preprocess is not None:
+                prng, rng = jax.random.split(rng)
+                args = preprocess(*args, rng=prng, train=True)
             if mix:
                 feats, feat_mask, targets, targets_length = args
                 b = (feats.shape[0] // 2) * 2
@@ -250,9 +261,15 @@ class Trainer:
                 k: (False if k == "train" else v) for k, v in self.static_kwargs.items()
             }
 
+            preprocess = self.preprocess_fn
+
             @jax.jit
             def eval_step(params, args):
-                loss, _ = model.apply(params, *args, deterministic=True, **static_kwargs)
+                if preprocess is not None:
+                    a = preprocess(*args, rng=jax.random.PRNGKey(0), train=False)
+                else:
+                    a = args
+                loss, _ = model.apply(params, *a, deterministic=True, **static_kwargs)
                 return loss
 
             self._eval_fn = eval_step
@@ -326,6 +343,17 @@ def default_speech_batch(batch):
     return (
         jnp.asarray(inputs["inputs"]),
         jnp.asarray(inputs["mask"], bool),
+        jnp.asarray(targets["targets"]),
+        jnp.asarray(targets["targets_length"]),
+    )
+
+
+def wave_speech_batch(batch):
+    """(utt, inputs, targets) with raw waveforms (extract_on_device mode)."""
+    _, inputs, targets = batch
+    return (
+        jnp.asarray(inputs["waveforms"]),
+        jnp.asarray(inputs["wave_lengths"]),
         jnp.asarray(targets["targets"]),
         jnp.asarray(targets["targets_length"]),
     )
