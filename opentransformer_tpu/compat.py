@@ -1,0 +1,167 @@
+"""Reference (PyTorch) checkpoint import.
+
+Converts the reference's component-wise checkpoints
+(``{params, frontend, encoder, decoder[, ctc]}`` of torch state dicts,
+``otrans/model/speech2text.py:71-82``) into this framework's flax param
+pytree, enabling direct logit A/B against trained reference weights
+(SURVEY §7 hard part #5).
+
+Scope: the speech-transformer baseline family — conv frontend, (rel-pos-free)
+transformer encoder with post- or pre-norm, transformer decoder with optional
+tied embeddings, optional CTC head. Layout facts this mapping relies on:
+  * torch ``nn.Linear.weight`` is [out, in] → flax dense kernel is its
+    transpose; biases map directly.
+  * the reference's fused projections split in (q, k, v) / (k, v) order
+    (``module/attention.py:72``, ``:133``) — same order as ours.
+  * conv weights: torch [O, I, kH, kW] → flax [kH, kW, I, O].
+  * the frontend flattens channels C-major ([B,C,T,F] → [B,T,C·F]); our
+    frontend transposes NHWC to match, so ``output_layer`` maps 1:1.
+  * tied decoders keep an independent output bias (torch keeps the Linear's
+    bias after tying weights) → our ``output_bias`` param.
+
+State dicts are accepted as dicts of numpy arrays or torch tensors.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import numpy as np
+
+
+def _np(x) -> np.ndarray:
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x, np.float32)
+
+
+def _linear(sd: Mapping, prefix: str) -> dict:
+    return {
+        "dense": {
+            "kernel": _np(sd[f"{prefix}.weight"]).T,
+            "bias": _np(sd[f"{prefix}.bias"]),
+        }
+    }
+
+
+def _layernorm(sd: Mapping, prefix: str) -> dict:
+    return {"scale": _np(sd[f"{prefix}.weight"]), "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def _conv2d(sd: Mapping, prefix: str) -> dict:
+    w = _np(sd[f"{prefix}.weight"])  # [O, I, kT, kF]
+    return {"kernel": w.transpose(2, 3, 1, 0), "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def convert_frontend(sd: Mapping) -> dict:
+    out = {
+        "conv1": {"conv": _conv2d(sd, "conv1.conv_layer")},
+        "conv2": {"conv": _conv2d(sd, "conv2.conv_layer")},
+        "output_layer": _linear(sd, "output_layer"),
+    }
+    if "layer_norm.weight" in sd:
+        out["layer_norm"] = _layernorm(sd, "layer_norm")
+    return out
+
+
+def _self_attn(sd: Mapping, prefix: str) -> dict:
+    return {
+        "qkv_proj": _linear(sd, f"{prefix}.qvk_proj"),
+        "out_proj": _linear(sd, f"{prefix}.output_proj"),
+    }
+
+
+def _cross_attn(sd: Mapping, prefix: str) -> dict:
+    return {
+        "q_proj": _linear(sd, f"{prefix}.q_proj"),
+        "kv_proj": _linear(sd, f"{prefix}.vk_proj"),  # splits (k, v) like ours
+        "out_proj": _linear(sd, f"{prefix}.output_proj"),
+    }
+
+
+def _ffn(sd: Mapping, prefix: str) -> dict:
+    return {"w1": _linear(sd, f"{prefix}.w_1"), "w2": _linear(sd, f"{prefix}.w_2")}
+
+
+def convert_encoder(sd: Mapping, n_blocks: int) -> dict:
+    out: dict = {}
+    for i in range(n_blocks):
+        p = f"blocks.{i}"
+        blk = {
+            "slf_attn": _self_attn(sd, f"{p}.slf_attn"),
+            "ffn": _ffn(sd, f"{p}.feed_forward"),
+            "norm1": _layernorm(sd, f"{p}.norm1"),
+            "norm2": _layernorm(sd, f"{p}.norm2"),
+        }
+        if f"{p}.concat_linear.weight" in sd:
+            blk["concat_linear"] = _linear(sd, f"{p}.concat_linear")
+        out[f"block_{i}"] = blk
+    # the reference encoder's pre-norm final LayerNorm is named 'norm'
+    # (encoder/transformer.py:111), the decoder's 'after_norm'
+    if "norm.weight" in sd:
+        out["after_norm"] = _layernorm(sd, "norm")
+    return out
+
+
+def convert_decoder(sd: Mapping, n_blocks: int, share_embedding: bool) -> dict:
+    out: dict = {"embedding": {"embedding": _np(sd["embedding.weight"])}}
+    for i in range(n_blocks):
+        p = f"blocks.{i}"
+        blk = {
+            "slf_attn": _self_attn(sd, f"{p}.slf_attn"),
+            "src_attn": _cross_attn(sd, f"{p}.src_attn"),
+            "ffn": _ffn(sd, f"{p}.feed_forward"),
+            "norm1": _layernorm(sd, f"{p}.norm1"),
+            "norm2": _layernorm(sd, f"{p}.norm2"),
+            "norm3": _layernorm(sd, f"{p}.norm3"),
+        }
+        if f"{p}.concat_linear1.weight" in sd:
+            blk["concat_linear1"] = _linear(sd, f"{p}.concat_linear1")
+            blk["concat_linear2"] = _linear(sd, f"{p}.concat_linear2")
+        out[f"block_{i}"] = blk
+    if "after_norm.weight" in sd:
+        out["after_norm"] = _layernorm(sd, "after_norm")
+    if share_embedding:
+        out["output_bias"] = _np(sd["output_layer.bias"])
+    else:
+        out["output_layer"] = _linear(sd, "output_layer")
+    return out
+
+
+def convert_ctc(sd: Mapping) -> dict:
+    out = {"output_layer": _linear(sd, "output_layer")}
+    # optional look-ahead depthwise conv: torch [D, 1, k] → flax [k, 1, D]
+    for key in sd:
+        if key.endswith("look_ahead_conv.weight"):
+            w = _np(sd[key])
+            out["look_ahead_conv"] = {"kernel": w.transpose(2, 1, 0)}
+            bkey = key.replace(".weight", ".bias")
+            if bkey in sd:
+                out["look_ahead_conv"]["bias"] = _np(sd[bkey])
+    return out
+
+
+def convert_reference_checkpoint(chkpt: Mapping[str, Any], model_cfg: Mapping) -> dict:
+    """Full reference speech2text checkpoint → flax variables dict."""
+    enc_blocks = int(model_cfg["encoder"].get("n_blocks", 12))
+    dec_blocks = int(model_cfg["decoder"].get("n_blocks", 6))
+    share = bool(model_cfg["decoder"].get("share_embedding", True))
+    params = {
+        "frontend": convert_frontend(chkpt["frontend"]),
+        "encoder": convert_encoder(chkpt["encoder"], enc_blocks),
+        "decoder": convert_decoder(chkpt["decoder"], dec_blocks, share),
+    }
+    if "ctc" in chkpt and chkpt["ctc"]:
+        params["ctc"] = convert_ctc(chkpt["ctc"])
+    return {"params": params}
+
+
+def load_reference_checkpoint(path: str, model_cfg: Mapping | None = None) -> tuple[dict, dict]:
+    """Load a reference ``model.epoch.N.pt`` via torch. Returns
+    (flax variables, embedded config dict)."""
+    import torch
+
+    chkpt = torch.load(path, map_location="cpu", weights_only=False)
+    cfg = chkpt.get("params", {})
+    mc = model_cfg or cfg.get("model", cfg)
+    return convert_reference_checkpoint(chkpt, mc), cfg

@@ -31,6 +31,7 @@ from .modules import (
     PositionwiseFeedForward,
     TorchLinear,
     sinusoid_position_encoding,
+    torch_bias_init,
 )
 
 Dtype = Any
@@ -68,8 +69,10 @@ class TransformerDecoderLayer(nn.Module):
         self.res_dropout = nn.Dropout(self.residual_dropout)
 
     def __call__(self, x, memory, self_mask, memory_mask, *, deterministic: bool = True):
-        residual = x
+        # reference-parity pre-norm: residual = normalized tensor (see
+        # encoder.py note); post-norm unaffected.
         h = self.norm1(x) if self.normalize_before else x
+        residual = h if self.normalize_before else x
         attn_out, _ = self.slf_attn(h, self_mask, deterministic=deterministic)
         if self.concat_after:
             attn_out = self.concat_linear1(jnp.concatenate([h, attn_out], axis=-1))
@@ -77,8 +80,8 @@ class TransformerDecoderLayer(nn.Module):
         if not self.normalize_before:
             x = self.norm1(x)
 
-        residual = x
         h = self.norm2(x) if self.normalize_before else x
+        residual = h if self.normalize_before else x
         attn_out, _ = self.src_attn(h, memory, memory_mask, deterministic=deterministic)
         if self.concat_after:
             attn_out = self.concat_linear2(jnp.concatenate([h, attn_out], axis=-1))
@@ -86,8 +89,8 @@ class TransformerDecoderLayer(nn.Module):
         if not self.normalize_before:
             x = self.norm2(x)
 
-        residual = x
         h = self.norm3(x) if self.normalize_before else x
+        residual = h if self.normalize_before else x
         x = residual + self.res_dropout(self.ffn(h, deterministic=deterministic), deterministic=deterministic)
         if not self.normalize_before:
             x = self.norm3(x)
@@ -110,8 +113,8 @@ class TransformerDecoderLayer(nn.Module):
         Returns (y_t [B·K, 1, D], new self cache). The cross cache is
         read-only — it never needs beam reordering.
         """
-        residual = x_t
         h = self.norm1(x_t) if self.normalize_before else x_t
+        residual = h if self.normalize_before else x_t
         attn_out, new_k, new_v = self.slf_attn.decode_step(
             h, self_cache["k"], self_cache["v"], index
         )
@@ -121,8 +124,8 @@ class TransformerDecoderLayer(nn.Module):
         if not self.normalize_before:
             x = self.norm1(x)
 
-        residual = x
         h = self.norm2(x) if self.normalize_before else x
+        residual = h if self.normalize_before else x
         attn_out = self.src_attn.attend_beamed(
             h, cross_cache["ck"], cross_cache["cv"], memory_pad_mask
         )
@@ -132,8 +135,8 @@ class TransformerDecoderLayer(nn.Module):
         if not self.normalize_before:
             x = self.norm2(x)
 
-        residual = x
         h = self.norm3(x) if self.normalize_before else x
+        residual = h if self.normalize_before else x
         x = residual + self.ffn(h)
         if not self.normalize_before:
             x = self.norm3(x)
@@ -188,6 +191,12 @@ class TransformerDecoder(nn.Module):
             self.after_norm = nn.LayerNorm(dtype=self.dtype, name="after_norm")
         if not self.share_embedding:
             self.output_layer = TorchLinear(self.vocab_size, dtype=self.dtype, name="output_layer")
+        else:
+            # reference parity: the tied output layer keeps its own bias
+            # (decoder/transformer.py:154-158 ties only the weight)
+            self.output_bias = self.param(
+                "output_bias", torch_bias_init(self.d_model), (self.vocab_size,)
+            )
         self.pos_dropout_layer = nn.Dropout(self.pos_dropout)
 
     def _embed(self, tokens, start: int = 0, deterministic: bool = True):
@@ -200,7 +209,8 @@ class TransformerDecoder(nn.Module):
     def _project(self, h):
         if self.share_embedding:
             emb = self.embedding.embedding.astype(self.dtype)  # [V, D]
-            return jnp.einsum("btd,vd->btv", h, emb, preferred_element_type=jnp.float32)
+            logits = jnp.einsum("btd,vd->btv", h, emb, preferred_element_type=jnp.float32)
+            return logits + self.output_bias.astype(jnp.float32)
         return self.output_layer(h).astype(jnp.float32)
 
     def __call__(self, targets_in, memory, memory_pad_mask, tgt_pad_mask=None, *, deterministic: bool = True):

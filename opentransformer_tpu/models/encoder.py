@@ -52,8 +52,11 @@ class TransformerEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, attn_mask, pos_emb=None, *, deterministic: bool = True):
-        residual = x
+        # reference-parity pre-norm: the residual is the NORMALIZED tensor
+        # (encoder/transformer.py:43-45 sets residual after norm1) — not
+        # standard pre-LN. Post-norm (the shipped configs) is unaffected.
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x) if self.normalize_before else x
+        residual = h if self.normalize_before else x
         if self.relative_positional:
             attn_out, w = RelPosSelfAttention(
                 self.n_heads, self.d_model, self.slf_attn_dropout, dtype=self.dtype, name="slf_attn"
@@ -70,8 +73,8 @@ class TransformerEncoderLayer(nn.Module):
         if not self.normalize_before:
             h = nn.LayerNorm(dtype=self.dtype, name="norm1")(h)
 
-        residual = h
         h2 = nn.LayerNorm(dtype=self.dtype, name="norm2")(h) if self.normalize_before else h
+        residual = h2 if self.normalize_before else h
         ffn_out = PositionwiseFeedForward(
             self.d_model, self.d_ff, self.activation, self.ffn_dropout, dtype=self.dtype, name="ffn"
         )(h2, deterministic=deterministic)

@@ -29,6 +29,7 @@ from .modules import (
     PositionwiseFeedForward,
     sinusoid_position_encoding,
     TorchLinear,
+    torch_bias_init,
 )
 
 Dtype = Any
@@ -51,28 +52,28 @@ class TransformerLMLayer(nn.Module):
         self.res_dropout = nn.Dropout(self.residual_dropout)
 
     def __call__(self, x, attn_mask, *, deterministic: bool = True):
-        residual = x
         h = self.norm1(x) if self.normalize_before else x
+        residual = h if self.normalize_before else x
         out, _ = self.slf_attn(h, attn_mask, deterministic=deterministic)
         x = residual + self.res_dropout(out, deterministic=deterministic)
         if not self.normalize_before:
             x = self.norm1(x)
-        residual = x
         h = self.norm2(x) if self.normalize_before else x
+        residual = h if self.normalize_before else x
         x = residual + self.res_dropout(self.ffn(h, deterministic=deterministic), deterministic=deterministic)
         if not self.normalize_before:
             x = self.norm2(x)
         return x
 
     def decode_step(self, x_t, cache, index):
-        residual = x_t
         h = self.norm1(x_t) if self.normalize_before else x_t
+        residual = h if self.normalize_before else x_t
         out, new_k, new_v = self.slf_attn.decode_step(h, cache["k"], cache["v"], index)
         x = residual + out
         if not self.normalize_before:
             x = self.norm1(x)
-        residual = x
         h = self.norm2(x) if self.normalize_before else x
+        residual = h if self.normalize_before else x
         x = residual + self.ffn(h)
         if not self.normalize_before:
             x = self.norm2(x)
@@ -104,6 +105,10 @@ class TransformerLanguageModel(nn.Module):
         ]
         if not self.share_embedding:
             self.output_layer = TorchLinear(self.vocab_size, dtype=self.dtype, name="output_layer")
+        else:
+            self.output_bias = self.param(
+                "output_bias", torch_bias_init(self.d_model), (self.vocab_size,)
+            )
 
     def _embed(self, tokens, start: int = 0):
         t = tokens.shape[1]
@@ -114,7 +119,8 @@ class TransformerLanguageModel(nn.Module):
     def _project(self, h):
         if self.share_embedding:
             emb = self.embedding.embedding.astype(self.dtype)
-            return jnp.einsum("btd,vd->btv", h, emb, preferred_element_type=jnp.float32)
+            logits = jnp.einsum("btd,vd->btv", h, emb, preferred_element_type=jnp.float32)
+            return logits + self.output_bias.astype(jnp.float32)
         return self.output_layer(h).astype(jnp.float32)
 
     def logits(self, tokens, pad_mask=None, *, deterministic: bool = True):
@@ -184,12 +190,17 @@ class RecurrentLanguageModel(nn.Module):
         ]
         if not self.share_embedding:
             self.output_layer = TorchLinear(self.vocab_size, dtype=self.dtype, name="output_layer")
+        else:
+            self.output_bias = self.param(
+                "output_bias", torch_bias_init(self.hidden_size), (self.vocab_size,)
+            )
         self.drop = nn.Dropout(self.dropout)
 
     def _project(self, h):
         if self.share_embedding:
             emb = self.embedding.embedding.astype(self.dtype)
-            return jnp.einsum("btd,vd->btv", h, emb, preferred_element_type=jnp.float32)
+            logits = jnp.einsum("btd,vd->btv", h, emb, preferred_element_type=jnp.float32)
+            return logits + self.output_bias.astype(jnp.float32)
         return self.output_layer(h).astype(jnp.float32)
 
     def init_hidden(self, batch: int):

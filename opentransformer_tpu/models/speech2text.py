@@ -126,10 +126,11 @@ class SpeechToText(nn.Module):
 
         target_in = targets[:, :-1]
         target_out = targets[:, 1:]
-        # pad mask over decoder inputs: BOS + y (+EOS at last real slot)
-        u = target_in.shape[1]
-        tgt_mask = length_to_mask(targets_length + 1, u)  # +1 for BOS, bounded by U+1
-        logits = self.decoder(target_in, memory, memory_mask, tgt_mask, deterministic=deterministic)
+        # reference parity: the decoder self-attn mask is causal ONLY — padded
+        # target positions are attendable keys (decoder/utils.py:7-11); the
+        # loss masks padded outputs, so this only changes (and matches) the
+        # logits of valid positions.
+        logits = self.decoder(target_in, memory, memory_mask, None, deterministic=deterministic)
         att_loss = label_smoothing_loss(logits, target_out, self.smoothing, pad_id=PAD)
 
         aux = {}

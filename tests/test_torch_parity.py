@@ -1,0 +1,162 @@
+"""Logit A/B parity against the actual reference PyTorch model.
+
+The reference tree is mounted read-only at /root/reference; its model code
+imports cleanly on CPU torch given two sys.path entries (its ``ffn.py`` uses
+a broken absolute import, SURVEY §8.1). We random-init the reference
+SpeechToText, export its state dicts through our converter
+(``opentransformer_tpu.compat``), and require logits to match to ~1e-4 —
+the strongest possible parity evidence without trained checkpoints.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="reference tree not mounted")
+
+for p in (REF, os.path.join(REF, "otrans", "module")):
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+VOCAB = 50
+MODEL_CFG = {
+    "type": "speech2text",
+    "frontend_type": "conv",
+    "frontend": {
+        "input_size": 20, "output_size": 32, "in_channel": 1, "mid_channel": 4,
+        "out_channel": 8, "kernel_size": [[3, 3], [3, 3]], "stride": [2, 2],
+        "dropout": 0.0, "act_func_type": "relu", "front_end_layer_norm": False,
+    },
+    "encoder_type": "transformer",
+    "encoder": {
+        "d_model": 32, "n_heads": 2, "d_ff": 48, "n_blocks": 2,
+        "pos_dropout": 0.0, "slf_attn_dropout": 0.0, "ffn_dropout": 0.0,
+        "residual_dropout": 0.0, "normalize_before": False, "concat_after": False,
+        "activation": "glu", "relative_positional": False,
+    },
+    "decoder_type": "transformer",
+    "decoder": {
+        "vocab_size": VOCAB, "d_model": 32, "n_heads": 2, "d_ff": 48,
+        "memory_dim": 32, "n_blocks": 2, "pos_dropout": 0.0,
+        "slf_attn_dropout": 0.0, "src_attn_dropout": 0.0, "ffn_dropout": 0.0,
+        "residual_dropout": 0.0, "activation": "glu", "normalize_before": False,
+        "concat_after": False, "share_embedding": True,
+    },
+    "ctc_weight": 0.0,
+    "smoothing": 0.1,
+}
+
+
+def build_torch_model():
+    from otrans.model.speech2text import SpeechToText as TorchS2T
+
+    torch.manual_seed(0)
+    m = TorchS2T(MODEL_CFG)
+    m.eval()
+    return m
+
+
+def torch_logits(model, feats, feat_mask, target_in):
+    with torch.no_grad():
+        x, mask = model.frontend(torch.from_numpy(feats), torch.from_numpy(feat_mask))
+        memory, memory_mask, _ = model.encoder(x, mask)
+        logits, _ = model.decoder(torch.from_numpy(target_in), memory, memory_mask)
+    return logits.numpy(), memory.numpy(), memory_mask.numpy()
+
+
+@pytest.mark.parametrize("normalize_before", [False, True])
+def test_logits_match_reference(normalize_before):
+    import jax
+    import jax.numpy as jnp
+
+    from opentransformer_tpu.compat import convert_reference_checkpoint
+    from opentransformer_tpu.models.registry import build_model
+
+    cfg = {**MODEL_CFG}
+    cfg["encoder"] = {**MODEL_CFG["encoder"], "normalize_before": normalize_before}
+    cfg["decoder"] = {**MODEL_CFG["decoder"], "normalize_before": normalize_before}
+
+    from otrans.model.speech2text import SpeechToText as TorchS2T
+
+    torch.manual_seed(0)
+    tmodel = TorchS2T(cfg)
+    tmodel.eval()
+
+    rng = np.random.default_rng(0)
+    b, t, f, u = 2, 37, 20, 7
+    feats = rng.normal(size=(b, t, f)).astype(np.float32)
+    feat_mask = np.ones((b, t), bool)
+    feat_mask[1, 30:] = False
+    target_in = np.zeros((b, u), np.int64)
+    target_in[:, 0] = 1
+    target_in[:, 1:] = rng.integers(3, VOCAB, (b, u - 1))
+
+    t_logits, t_memory, _ = torch_logits(tmodel, feats, feat_mask, target_in)
+
+    chkpt = {
+        "frontend": tmodel.frontend.state_dict(),
+        "encoder": tmodel.encoder.state_dict(),
+        "decoder": tmodel.decoder.state_dict(),
+    }
+    variables = convert_reference_checkpoint(chkpt, cfg)
+    params = jax.tree_util.tree_map(jnp.asarray, variables)
+
+    model = build_model(cfg)
+    memory, memory_mask = model.apply(
+        params, jnp.asarray(feats), jnp.asarray(feat_mask), method="encode"
+    )
+    np.testing.assert_allclose(np.asarray(memory), t_memory, rtol=1e-3, atol=1e-4)
+
+    logits = model.apply(
+        params, jnp.asarray(target_in.astype(np.int32)), memory, memory_mask,
+        method="decode_full",
+    )
+    np.testing.assert_allclose(np.asarray(logits), t_logits, rtol=1e-3, atol=2e-4)
+
+
+def test_loss_matches_reference():
+    """Label-smoothing loss parity on the same weights/batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from opentransformer_tpu.compat import convert_reference_checkpoint
+    from opentransformer_tpu.models.registry import build_model
+
+    tmodel = build_torch_model()
+    rng = np.random.default_rng(1)
+    b, t, f, u = 2, 33, 20, 6
+    feats = rng.normal(size=(b, t, f)).astype(np.float32)
+    feat_mask = np.ones((b, t), bool)
+    targets = np.zeros((b, u + 2), np.int64)
+    lens = [u, u - 2]
+    for i in range(b):
+        targets[i, 0] = 1
+        targets[i, 1 : 1 + lens[i]] = rng.integers(3, VOCAB, lens[i])
+        targets[i, 1 + lens[i]] = 1
+
+    with torch.no_grad():
+        t_loss, _ = tmodel(
+            {"inputs": torch.from_numpy(feats), "mask": torch.from_numpy(feat_mask)},
+            {"targets": torch.from_numpy(targets),
+             "targets_length": torch.tensor([l + 1 for l in lens])},
+        )
+
+    chkpt = {
+        "frontend": tmodel.frontend.state_dict(),
+        "encoder": tmodel.encoder.state_dict(),
+        "decoder": tmodel.decoder.state_dict(),
+    }
+    params = jax.tree_util.tree_map(
+        jnp.asarray, convert_reference_checkpoint(chkpt, MODEL_CFG)
+    )
+    model = build_model(MODEL_CFG)
+    loss, _ = model.apply(
+        params, jnp.asarray(feats), jnp.asarray(feat_mask),
+        jnp.asarray(targets.astype(np.int32)), jnp.asarray([l + 1 for l in lens]),
+    )
+    np.testing.assert_allclose(float(loss), float(t_loss), rtol=2e-4)
