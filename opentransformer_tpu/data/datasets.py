@@ -75,7 +75,7 @@ class AudioDataset:
         self.feature_extractor = params.get("feature_extractor", "torchaudio")
         # extract_on_device: skip host extraction entirely; emit raw
         # waveforms for the jitted device pipeline (data/device_pipeline.py)
-        self.return_waveform = bool(params.get("extract_on_device", False))
+        self.return_waveform = bool(params.get("extract_on_device", False)) and not is_eval
         self.normalization = bool(params.get("normalization", False))
         self.apply_spec_augment = bool(params.get("spec_augment", False)) and not is_eval
         # reference quirk preserved: the online dataset ignores
@@ -218,7 +218,17 @@ class KaldiDataset:
                     for line in f:
                         u, n = line.strip().split()
                         lmap[u] = int(n)
-            return [(i, lmap[u]) for i, (u, _) in enumerate(self.file_list) if u in lmap]
+            pairs = []
+            missing = 0
+            for i, (u, rx) in enumerate(self.file_list):
+                if u in lmap:
+                    pairs.append((i, lmap[u]))
+                else:
+                    missing += 1
+                    pairs.append((i, load_mat(rx).shape[0]))  # fall back to the ark
+            if missing:
+                logger.warning("feat-to-len missing %d utterances; lengths read from ark", missing)
+            return pairs
         return [(i, load_mat(rx).shape[0]) for i, (u, rx) in enumerate(self.file_list)]
 
 

@@ -39,7 +39,7 @@ def make_device_frontend(data_cfg: Any, use_pallas: bool | None = None):
     aug_cfg = dict(data_cfg.get("spec_augment_config", {}) or {})
     aug_kwargs = {
         k: aug_cfg[k]
-        for k in ("freq_mask_num", "time_mask_num", "freq_mask_rate", "time_mask_rate")
+        for k in ("freq_mask_num", "time_mask_num", "freq_mask_rate", "time_mask_rate", "max_mask_time_len")
         if k in aug_cfg
     }
 

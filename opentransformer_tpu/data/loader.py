@@ -107,7 +107,11 @@ def collate_text(samples, target_pad_multiple: int = 8):
 
 
 class _Prefetcher:
-    """Background-thread prefetch (reference ``data/generator.py``: queue 10)."""
+    """Background-thread prefetch (reference ``data/generator.py``: queue 10).
+
+    The worker checks a stop flag on every bounded put so abandoning the
+    iterator early (eval -ns, init_state's single batch) releases the thread
+    instead of leaking it blocked on a full queue."""
 
     def __init__(self, gen_fn, max_prefetch: int = 10):
         self.gen_fn = gen_fn
@@ -116,21 +120,35 @@ class _Prefetcher:
     def __iter__(self):
         q: queue.Queue = queue.Queue(self.max_prefetch)
         sentinel = object()
+        stop = threading.Event()
 
         def worker():
             try:
                 for item in self.gen_fn():
-                    q.put(item)
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             finally:
-                q.put(sentinel)
+                try:
+                    q.put_nowait(sentinel)
+                except queue.Full:
+                    pass
 
         th = threading.Thread(target=worker, daemon=True)
         th.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            stop.set()
 
 
 class FeatureLoader:
@@ -167,7 +185,13 @@ class FeatureLoader:
         datadict = data_cfg[name]
         rng = np.random.default_rng(seed)
         self.dataset = Dataset[dtype_name](data_cfg, datadict, is_eval=is_eval, rng=rng)
-        self.extract_on_device = bool(data_cfg.get("extract_on_device", False)) and dtype_name == "online"
+        # decode reads features via the host path; on-device extraction is a
+        # training-pipeline optimization (eval.py consumes inputs/mask)
+        self.extract_on_device = (
+            bool(data_cfg.get("extract_on_device", False))
+            and dtype_name == "online"
+            and not is_eval
+        )
 
         self.batch_size = int(batch_size or data_cfg.get("batch_size", 16))
         bucket_cfg = data_cfg.get("bucket", None)

@@ -75,8 +75,10 @@ class TransformerDecoderLayer(nn.Module):
         residual = h if self.normalize_before else x
         attn_out, _ = self.slf_attn(h, self_mask, deterministic=deterministic)
         if self.concat_after:
-            attn_out = self.concat_linear1(jnp.concatenate([h, attn_out], axis=-1))
-        x = residual + self.res_dropout(attn_out, deterministic=deterministic)
+            # reference parity: no residual dropout on the concat_after branch
+            x = residual + self.concat_linear1(jnp.concatenate([h, attn_out], axis=-1))
+        else:
+            x = residual + self.res_dropout(attn_out, deterministic=deterministic)
         if not self.normalize_before:
             x = self.norm1(x)
 
@@ -84,8 +86,9 @@ class TransformerDecoderLayer(nn.Module):
         residual = h if self.normalize_before else x
         attn_out, _ = self.src_attn(h, memory, memory_mask, deterministic=deterministic)
         if self.concat_after:
-            attn_out = self.concat_linear2(jnp.concatenate([h, attn_out], axis=-1))
-        x = residual + self.res_dropout(attn_out, deterministic=deterministic)
+            x = residual + self.concat_linear2(jnp.concatenate([h, attn_out], axis=-1))
+        else:
+            x = residual + self.res_dropout(attn_out, deterministic=deterministic)
         if not self.normalize_before:
             x = self.norm2(x)
 

@@ -66,10 +66,13 @@ class TransformerEncoderLayer(nn.Module):
                 self.n_heads, self.d_model, self.slf_attn_dropout, dtype=self.dtype, name="slf_attn"
             )(h, attn_mask, deterministic=deterministic)
         if self.concat_after:
-            attn_out = TorchLinear(self.d_model, dtype=self.dtype, name="concat_linear")(
+            # reference parity: the concat_after branch applies NO residual
+            # dropout (encoder/transformer.py:52-54)
+            h = residual + TorchLinear(self.d_model, dtype=self.dtype, name="concat_linear")(
                 jnp.concatenate([h, attn_out], axis=-1)
             )
-        h = residual + nn.Dropout(self.residual_dropout)(attn_out, deterministic=deterministic)
+        else:
+            h = residual + nn.Dropout(self.residual_dropout)(attn_out, deterministic=deterministic)
         if not self.normalize_before:
             h = nn.LayerNorm(dtype=self.dtype, name="norm1")(h)
 

@@ -21,6 +21,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.masks import subsample_mask
 from .modules import ACTIVATIONS, TorchLinear, torch_bias_init, torch_kernel_init
 
 Dtype = Any
@@ -66,7 +67,7 @@ class Conv2dSubsampleLayer(nn.Module):
         if self.residual and h.shape == residual.shape:
             h = h + residual
         t_out = h.shape[1]
-        mask = mask[:, kt // 2 :: st][:, :t_out]
+        mask = subsample_mask(mask, kt, st)[:, :t_out]
         return h, mask
 
 

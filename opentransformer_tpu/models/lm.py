@@ -221,10 +221,13 @@ class RecurrentLanguageModel(nn.Module):
             finals.append(carry)
         return x, finals
 
+    def logits(self, tokens, pad_mask=None, *, deterministic: bool = True):
+        hidden = self.init_hidden(tokens.shape[0])
+        h, _ = self._run(tokens, hidden, deterministic=deterministic)
+        return self._project(h)
+
     def __call__(self, src, tgt, tgt_length, *, deterministic: bool = True):
-        hidden = self.init_hidden(src.shape[0])
-        h, _ = self._run(src, hidden, deterministic=deterministic)
-        logits = self._project(h)
+        logits = self.logits(src, deterministic=deterministic)
         return label_smoothing_loss(logits, tgt, self.smoothing, pad_id=PAD), {}
 
     def decode_step(self, token_t, hidden, index=None):

@@ -129,7 +129,7 @@ class Trainer:
         if self.mesh is not None:
             shardings = param_shardings(params, self.mesh)
             params = jax.device_put(params, shardings)
-        opt_state = self.tx.init(params)
+        opt_state = self.tx.init(params["params"])
         return TrainState(params=params, opt_state=opt_state, nan_skips=jnp.zeros((), jnp.int32))
 
     # ------------------------------------------------------------ jitted fns
@@ -140,10 +140,15 @@ class Trainer:
         static_kwargs = dict(self.static_kwargs)
         preprocess = self.preprocess_fn
 
-        def loss_fn(params, args, rng):
+        def loss_fn(trainable, aux_cols, args, rng):
+            # aux_cols: non-trainable collections (e.g. batch_stats for the
+            # BatchNorm variants) threaded through and updated each step
+            variables = {"params": trainable, **aux_cols}
+            mutable = list(aux_cols.keys())
             if preprocess is not None:
                 prng, rng = jax.random.split(rng)
                 args = preprocess(*args, rng=prng, train=True)
+            new_cols = {}
             if mix:
                 feats, feat_mask, targets, targets_length = args
                 b = (feats.shape[0] // 2) * 2
@@ -151,28 +156,44 @@ class Trainer:
                 lam = jax.random.beta(lam_rng, 0.5, 0.5)
                 mixed = lam * feats[0:b:2] + (1.0 - lam) * feats[1:b:2]
                 mmask = jnp.logical_or(feat_mask[0:b:2], feat_mask[1:b:2])
-                l1, _ = model.apply(
-                    params, mixed, mmask, targets[0:b:2], targets_length[0:b:2],
-                    deterministic=False, rngs={"dropout": rng}, **static_kwargs,
+                out1 = model.apply(
+                    variables, mixed, mmask, targets[0:b:2], targets_length[0:b:2],
+                    deterministic=False, rngs={"dropout": rng},
+                    **({"mutable": mutable} if mutable else {}), **static_kwargs,
                 )
-                l2, _ = model.apply(
-                    params, mixed, mmask, targets[1:b:2], targets_length[1:b:2],
-                    deterministic=False, rngs={"dropout": rng}, **static_kwargs,
+                out2 = model.apply(
+                    variables, mixed, mmask, targets[1:b:2], targets_length[1:b:2],
+                    deterministic=False, rngs={"dropout": rng},
+                    **({"mutable": mutable} if mutable else {}), **static_kwargs,
                 )
+                if mutable:
+                    (l1, _), _ = out1
+                    (l2, _), new_cols = out2
+                else:
+                    l1, _ = out1
+                    l2, _ = out2
                 loss = lam * l1 + (1.0 - lam) * l2
                 aux = {}
             else:
-                loss, aux = model.apply(
-                    params, *args, deterministic=False, rngs={"dropout": rng}, **static_kwargs
+                out = model.apply(
+                    variables, *args, deterministic=False, rngs={"dropout": rng},
+                    **({"mutable": mutable} if mutable else {}), **static_kwargs
                 )
-            return loss / accum, (loss, aux)
+                if mutable:
+                    (loss, aux), new_cols = out
+                else:
+                    loss, aux = out
+            return loss / accum, (loss, aux, new_cols)
 
-        def grad_step(params, grad_accum, args, rng):
-            (scaled, (loss, aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, args, rng
+        def grad_step(variables, grad_accum, args, rng):
+            trainable = variables["params"]
+            aux_cols = {k: v for k, v in variables.items() if k != "params"}
+            (scaled, (loss, aux, new_cols)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                trainable, aux_cols, args, rng
             )
             grad_accum = jax.tree_util.tree_map(lambda a, g: a + g.astype(a.dtype), grad_accum, grads)
-            return grad_accum, loss, aux
+            new_variables = {"params": trainable, **{k: new_cols.get(k, v) for k, v in aux_cols.items()}}
+            return new_variables, grad_accum, loss, aux
 
         return jax.jit(grad_step, donate_argnums=(1,))
 
@@ -182,7 +203,8 @@ class Trainer:
         noise = self.grad_noise
         accum = self.accum_steps
 
-        def update(params, opt_state, grads, nan_skips, lr, rng):
+        def update(variables, opt_state, grads, nan_skips, lr, rng):
+            params = variables["params"]
             gnorm = global_norm(grads)
             if clip > 0:
                 scale = jnp.minimum(1.0, clip / (gnorm + 1e-6))
@@ -207,12 +229,15 @@ class Trainer:
                 return params, opt_state
 
             new_params, new_opt = jax.lax.cond(ok, do_update, skip, None)
-            return new_params, new_opt, nan_skips + (1 - ok.astype(jnp.int32)), gnorm
+            new_variables = {**variables, "params": new_params}
+            return new_variables, new_opt, nan_skips + (1 - ok.astype(jnp.int32)), gnorm
 
         return jax.jit(update, donate_argnums=(0, 1))
 
-    def _zeros_like_grads(self, params):
-        zeros = jax.tree_util.tree_map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
+    def _zeros_like_grads(self, variables):
+        zeros = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), variables["params"]
+        )
         if self.mesh is not None:
             zeros = jax.device_put(zeros, param_shardings(zeros, self.mesh))
         return zeros
@@ -221,7 +246,16 @@ class Trainer:
         if self.mesh is None:
             return tree
         sh = batch_sharding(self.mesh)
-        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+        rep = replicated(self.mesh)
+        n_data = self.mesh.shape.get("data", 1)
+
+        def put(x):
+            # replicate ragged tails (last bucket batch may not divide the
+            # data axis) instead of crashing; sharded is the common path
+            target = sh if x.shape[0] % n_data == 0 else rep
+            return jax.device_put(x, target)
+
+        return jax.tree_util.tree_map(put, tree)
 
     # ----------------------------------------------------------------- train
     def train(self, state: TrainState, train_loader, rng) -> TrainState:
@@ -233,10 +267,12 @@ class Trainer:
 
         best = Summary()
         for epoch in range(self.global_epoch, self.epochs):
+            # reshuffle BEFORE the epoch so resumed runs get the epoch-N
+            # permutation, not a replay of epoch 0's
+            if hasattr(train_loader, "set_epoch"):
+                train_loader.set_epoch(epoch)
             state = self.train_one_epoch(epoch, state, train_loader, rng)
             self.global_epoch = epoch + 1
-            if hasattr(train_loader, "set_epoch"):
-                train_loader.set_epoch(epoch + 1)
             if self.checkpointer is not None:
                 self.checkpointer.save(
                     epoch, state, extra={"global_step": self.global_step}, keep_last_n=self.keep_last_n
@@ -284,24 +320,52 @@ class Trainer:
         if self._grad_fn is None:
             self._grad_fn = self._build_grad_fn()
             self._update_fn = self._build_update_fn()
-        step_loss = AverageMeter()
-        aux_meter = AuxiliaryLossAverageMeter()
         grad_accum = self._zeros_like_grads(state.params)
         micro = 0
         span_t0 = time.time()
         params, opt_state, nan_skips = state.params, state.opt_state, state.nan_skips
-        pending_loss = None
         batches = list(train_loader) if not hasattr(train_loader, "__len__") else train_loader
         n_batches = len(batches)
+
+        # losses stay device arrays until a log boundary — fetching a scalar
+        # per micro-batch would force a host sync every step and serialize
+        # dispatch (the whole point of the two-compiled-fn design).
+        micro_losses: list = []
+        micro_aux: list = []
+        pending: list = []  # (losses, auxes, lr, global_step, progress)
+
+        def flush(final: bool = False):
+            span = time.time() - span_t0
+            last = None
+            for losses, auxes, lr, gstep, progress in pending:
+                vals = [float(x) for x in losses]
+                step_avg = sum(vals) / max(len(vals), 1)
+                self.mean_loss.update(step_avg)
+                if self.visualizer is not None:
+                    self.visualizer.add_scalar("train_loss", step_avg, gstep)
+                    self.visualizer.add_scalar("lr", lr, gstep)
+                last = (step_avg, auxes, lr, gstep, progress)
+            pending.clear()
+            if last is not None and not final:
+                step_avg, auxes, lr, gstep, progress = last
+                aux_meter = AuxiliaryLossAverageMeter()
+                for aux in auxes:
+                    aux_meter.update({k: float(v) for k, v in aux.items()}, 1)
+                logger.info(
+                    "-Training-Epoch-%d(%.5f%%), Global Step:%d, lr:%.8f, Loss:%.5f, "
+                    "AvgLoss: %.5f, Run Time:%.3f%s",
+                    epoch, progress, gstep, lr, step_avg, self.mean_loss.mean(),
+                    span, aux_meter.avg_infos,
+                )
+            return time.time()
 
         for step, batch in enumerate(batches):
             _, inputs, targets = batch
             args = self._shard_batch(self.batch_fn((None, inputs, targets)))
             rng, r1 = jax.random.split(rng)
-            grad_accum, loss, aux = self._grad_fn(params, grad_accum, args, r1)
-            pending_loss = loss
-            step_loss.update(float(loss), 1)
-            aux_meter.update({k: float(v) for k, v in aux.items()}, 1)
+            params, grad_accum, loss, aux = self._grad_fn(params, grad_accum, args, r1)
+            micro_losses.append(loss)
+            micro_aux.append(aux)
             micro += 1
 
             if micro == self.accum_steps or step == n_batches - 1:
@@ -311,29 +375,19 @@ class Trainer:
                     params, opt_state, grad_accum, nan_skips, lr, r2
                 )
                 self.global_step += 1
-                self.mean_loss.update(step_loss.avg)
+                progress = (step + 1) / max(n_batches, 1) * 100
+                pending.append((micro_losses, micro_aux, lr, self.global_step, progress))
+                micro_losses, micro_aux = [], []
                 grad_accum = self._zeros_like_grads(params)
                 micro = 0
 
-                if self.visualizer is not None:
-                    self.visualizer.add_scalar("train_loss", step_loss.avg, self.global_step)
-                    self.visualizer.add_scalar("lr", lr, self.global_step)
                 if self.global_step % self.log_interval == 0:
-                    span = time.time() - span_t0
-                    span_t0 = time.time()
-                    logger.info(
-                        "-Training-Epoch-%d(%.5f%%), Global Step:%d, lr:%.8f, Loss:%.5f, "
-                        "AvgLoss: %.5f, Run Time:%.3f%s",
-                        epoch, (step + 1) / max(n_batches, 1) * 100, self.global_step, lr,
-                        step_loss.avg, self.mean_loss.mean(), span, aux_meter.avg_infos,
-                    )
-                step_loss.reset()
-                aux_meter.reset()
+                    span_t0 = flush()
 
             if self.is_debug and step > 30:
                 break
 
-        del pending_loss
+        flush(final=True)
         return TrainState(params=params, opt_state=opt_state, nan_skips=nan_skips)
 
 
