@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = 256
+BATCH = 512
 FRAMES = 500  # 10ms frames -> 5.0 s of audio per utterance
 MAX_LEN = 24  # decode steps forced (no early exit); AISHELL avg ~15 chars
 BEAM = 5
@@ -64,14 +64,15 @@ def main() -> None:
 
     # warmup / compile
     hyp = decode(params, feats, mask)
-    np.asarray(hyp.tokens)
+    jax.block_until_ready(hyp.tokens)
 
-    # fetch results every iteration: async dispatch through the remote TPU
-    # tunnel otherwise under-reports (identical in-flight dispatches collapse)
+    # vary the input per iteration (identical dispatches dedupe through the
+    # remote tunnel) and block on completion; the (tunnel-inflated) host
+    # fetch of tokens is not part of decode throughput
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        hyp = decode(params, feats, mask)
-        np.asarray(hyp.tokens)
+    for i in range(ITERS):
+        hyp = decode(params, feats * (1.0 + 0.01 * i), mask)
+        jax.block_until_ready(hyp.tokens)
     elapsed = time.perf_counter() - t0
 
     utts = BATCH * ITERS
