@@ -246,9 +246,7 @@ void ctc_beam_decode(const float* log_probs, const int32_t* frame_counts,
   const NgramLM* lm = static_cast<const NgramLM*>(lm_handle);
   if (num_threads < 1) num_threads = std::thread::hardware_concurrency();
   std::vector<std::thread> pool;
-  std::atomic_flag dummy;
-  static std::atomic<int> counter;
-  counter = 0;
+  std::atomic<int> counter{0};  // local: concurrent decode calls stay independent
   auto work = [&]() {
     for (;;) {
       int i = counter.fetch_add(1);
