@@ -51,7 +51,8 @@ class TransformerEncoderLayer(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, attn_mask, pos_emb=None, *, deterministic: bool = True):
+    def __call__(self, x, attn_mask, pos_emb=None, deterministic: bool = True):
+        # (deterministic is positional-friendly for nn.remat static_argnums)
         # reference-parity pre-norm: the residual is the NORMALIZED tensor
         # (encoder/transformer.py:43-45 sets residual after norm1) — not
         # standard pre-LN. Post-norm (the shipped configs) is unaffected.
@@ -102,6 +103,7 @@ class TransformerEncoder(nn.Module):
     relative_positional: bool = False
     chunk_size: int = 0       # >0: streaming block-chunked self-attention
     left_chunks: int = -1     # -1 = unlimited left context
+    remat: bool = False       # rematerialize blocks (trade FLOPs for memory)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -122,8 +124,9 @@ class TransformerEncoder(nn.Module):
                 self.d_model, dropout_rate=self.pos_dropout, dtype=self.dtype, name="pos_enc"
             )(x, deterministic=deterministic)
         attns = {}
+        layer_cls = nn.remat(TransformerEncoderLayer, static_argnums=(4,)) if self.remat else TransformerEncoderLayer
         for i in range(self.n_blocks):
-            x, w = TransformerEncoderLayer(
+            x, w = layer_cls(
                 d_model=self.d_model,
                 n_heads=self.n_heads,
                 d_ff=self.d_ff,
@@ -136,7 +139,7 @@ class TransformerEncoder(nn.Module):
                 relative_positional=self.relative_positional,
                 dtype=self.dtype,
                 name=f"block_{i}",
-            )(x, attn_mask, pos_emb, deterministic=deterministic)
+            )(x, attn_mask, pos_emb, deterministic)
             if return_attn:
                 attns[f"enc_block_{i}"] = w
         if self.normalize_before:

@@ -70,3 +70,27 @@ def test_bf16_model_build():
     assert leaf.dtype == jnp.float32
     loss, _ = model.apply(params, feats, feat_mask, targets, targets_length)
     assert np.isfinite(float(loss))
+
+
+def test_remat_encoder_grads():
+    """remat: True must produce identical loss and finite grads."""
+    cfg = small_model_cfg()
+    model_plain = build_model(cfg)
+    cfg2 = {**cfg, "encoder": {**cfg["encoder"], "remat": True}}
+    model_remat = build_model(cfg2)
+    feats, feat_mask, targets, targets_length = make_batch()
+    params = model_plain.init(jax.random.PRNGKey(0), feats, feat_mask, targets, targets_length)
+    l1, _ = model_plain.apply(params, feats, feat_mask, targets, targets_length)
+    l2, _ = model_remat.apply(params, feats, feat_mask, targets, targets_length)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+
+    def loss_fn(model):
+        def f(p):
+            l, _ = model.apply(p, feats, feat_mask, targets, targets_length)
+            return l
+        return f
+
+    g1 = jax.grad(loss_fn(model_plain))(params)
+    g2 = jax.grad(loss_fn(model_remat))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
