@@ -104,6 +104,7 @@ class TransformerEncoder(nn.Module):
     chunk_size: int = 0       # >0: streaming block-chunked self-attention
     left_chunks: int = -1     # -1 = unlimited left context
     remat: bool = False       # rematerialize blocks (trade FLOPs for memory)
+    scan_layers: bool = False  # lax.scan over stacked blocks: O(1) HLO size
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -123,6 +124,36 @@ class TransformerEncoder(nn.Module):
             x = PositionalEncoding(
                 self.d_model, dropout_rate=self.pos_dropout, dtype=self.dtype, name="pos_enc"
             )(x, deterministic=deterministic)
+
+        layer_kw = dict(
+            d_model=self.d_model, n_heads=self.n_heads, d_ff=self.d_ff,
+            slf_attn_dropout=self.slf_attn_dropout, ffn_dropout=self.ffn_dropout,
+            residual_dropout=self.residual_dropout, normalize_before=self.normalize_before,
+            concat_after=self.concat_after, activation=self.activation,
+            relative_positional=self.relative_positional, dtype=self.dtype,
+        )
+        if self.scan_layers:
+            # stacked-parameter blocks traversed by lax.scan: the compiled
+            # program contains ONE block body instead of n_blocks copies —
+            # near-constant HLO size and compile time in depth. Param leaves
+            # get a leading [n_blocks] dim (path 'blocks/...'); the unstacked
+            # per-block layout remains the default for reference-checkpoint
+            # interchange.
+            scan_cls = nn.scan(
+                nn.remat(TransformerEncoderLayer, static_argnums=(4,))
+                if self.remat else TransformerEncoderLayer,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=self.n_blocks,
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+            )
+            x, ws = scan_cls(**layer_kw, name="blocks")(x, attn_mask, pos_emb, deterministic)
+            if self.normalize_before:
+                x = nn.LayerNorm(dtype=self.dtype, name="after_norm")(x)
+            if return_attn:
+                return x, pad_mask, {"enc_blocks": ws}
+            return x, pad_mask
+
         attns = {}
         layer_cls = nn.remat(TransformerEncoderLayer, static_argnums=(4,)) if self.remat else TransformerEncoderLayer
         for i in range(self.n_blocks):

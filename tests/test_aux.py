@@ -94,3 +94,22 @@ def test_remat_encoder_grads():
     g2 = jax.grad(loss_fn(model_remat))(params)
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_scan_layers_encoder():
+    """scan_layers=True: stacked-params layout, same shapes, finite grads."""
+    cfg = small_model_cfg()
+    cfg["encoder"]["scan_layers"] = True
+    model = build_model(cfg)
+    feats, feat_mask, targets, targets_length = make_batch()
+    params = model.init(jax.random.PRNGKey(0), feats, feat_mask, targets, targets_length)
+    blocks = params["params"]["encoder"]["blocks"]
+    leaf = jax.tree_util.tree_leaves(blocks)[0]
+    assert leaf.shape[0] == cfg["encoder"]["n_blocks"]  # stacked leading dim
+
+    def f(p):
+        l, _ = model.apply(p, feats, feat_mask, targets, targets_length)
+        return l
+
+    g = jax.grad(f)(params)
+    assert all(np.all(np.isfinite(x)) for x in jax.tree_util.tree_leaves(g))
