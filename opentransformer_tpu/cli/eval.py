@@ -46,6 +46,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("-s", "--suffix", type=str, default=None)
     p.add_argument("-p2w", "--piece2word", action="store_true",
                    help="join sentencepiece pieces: strip spaces, '▁'→space")
+    p.add_argument("--long_form", action="store_true",
+                   help="windowed encoding for long audio (recognize/streaming.py)")
+    p.add_argument("--window", type=int, default=1200, help="long-form window frames")
+    p.add_argument("--context", type=int, default=200, help="long-form context frames")
     return p
 
 
@@ -66,6 +70,8 @@ def load_checkpoint(path: str):
     """Returns (params, config). Accepts an expdir or a checkpoint dir."""
     path = path.rstrip("/")
     if os.path.basename(path).startswith("model."):
+        if not os.path.isdir(path):
+            raise SystemExit(f"error: checkpoint directory not found: {path}")
         expdir = os.path.dirname(path)
         ck = Checkpointer(expdir)
         payload = ck.restore(os.path.basename(path))
@@ -73,14 +79,14 @@ def load_checkpoint(path: str):
         ck = Checkpointer(path)
         latest = ck.restore_latest()
         if latest is None:
-            raise FileNotFoundError(f"no checkpoints under {path}")
+            raise SystemExit(f"error: no model.epoch.N checkpoints under {path}")
         payload = latest[1]
     return payload["params"], ck.load_config()
 
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
-    logging.basicConfig(level=logging.INFO, format="%(asctime)s - %(levelname)s - %(message)s")
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s - %(levelname)s - %(message)s", force=True)
 
     params_np, cfg_dict = load_checkpoint(args.load_model)
     if args.config:
@@ -100,10 +106,20 @@ def main(argv=None) -> int:
         lm_params = jax.tree_util.tree_map(jax.numpy.asarray, lm_params_np)
 
     idx2unit = load_idx2unit_map(cfg["data"]["vocab"])
-    recognizer = build_recognizer(
-        cfg["model"]["type"], model, params, lm=lm, lm_params=lm_params,
-        args=vars(args), idx2unit=idx2unit,
-    )
+    if args.long_form and cfg["model"]["type"] == "speech2text":
+        from ..recognize.streaming import LongFormRecognizer
+
+        recognizer = LongFormRecognizer(
+            model, params, lm=lm, lm_params=lm_params,
+            beam_width=args.beam_width, max_len=args.max_len,
+            penalty=args.penalty, lamda=args.lamda, lm_weight=args.lm_weight,
+            idx2unit=idx2unit, window=args.window, context=args.context,
+        )
+    else:
+        recognizer = build_recognizer(
+            cfg["model"]["type"], model, params, lm=lm, lm_params=lm_params,
+            args=vars(args), idx2unit=idx2unit,
+        )
 
     loader = FeatureLoader(cfg, args.decode_set, is_eval=True, batch_size=args.batch_size)
     targets_dict = getattr(loader.dataset, "targets_dict", {})
