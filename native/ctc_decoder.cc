@@ -109,7 +109,11 @@ NgramLM* LoadArpa(const char* path, const char* const* vocab_units, int vocab_si
     for (int i = 0; i < cur_order; ++i) {
       std::string tok;
       if (!(ss >> tok)) { ok = false; break; }
-      if (tok == "<s>" || tok == "</s>") { ids.push_back(1); continue; }  // BOS/EOS id 1
+      // sentence-boundary markers get reserved ids outside the vocab so
+      // their entries can't collide with real units (CTC hypotheses never
+      // contain them; their probabilities only matter via backoff weights)
+      if (tok == "<s>") { ids.push_back(-1); continue; }
+      if (tok == "</s>") { ids.push_back(-2); continue; }
       auto it = lm->vocab.find(tok);
       if (it == lm->vocab.end()) { ok = false; break; }
       ids.push_back(it->second);
@@ -141,15 +145,15 @@ void DecodeOne(const float* log_probs, int frames, int vocab, int blank,
   std::vector<Beam> beams(1);
   beams[0].p_b = 0.0f;
 
-  std::vector<int> top_syms(prune_k);
   std::vector<Beam> next;
   std::unordered_map<std::string, int> index;
+  std::vector<int> syms(vocab);  // hoisted: reused across frames
 
   for (int t = 0; t < frames; ++t) {
     const float* frame = log_probs + (size_t)t * vocab;
     // prune to top-k symbols this frame
     int k = std::min(prune_k, vocab);
-    std::vector<int> syms(vocab);
+    syms.resize(vocab);
     for (int i = 0; i < vocab; ++i) syms[i] = i;
     std::partial_sort(syms.begin(), syms.begin() + k, syms.end(),
                       [&](int a, int b) { return frame[a] > frame[b]; });

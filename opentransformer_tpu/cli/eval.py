@@ -102,10 +102,17 @@ def main(argv=None) -> int:
     lm = lm_params = None
     if args.load_language_model:
         lm_params_np, lm_cfg = load_checkpoint(args.load_language_model)
+        if lm_cfg is None:
+            raise SystemExit(
+                f"error: no config.json embedded under {args.load_language_model}; "
+                "re-save the LM checkpoint with its config"
+            )
         lm = build_model(Config(lm_cfg)["model"])
         lm_params = jax.tree_util.tree_map(jax.numpy.asarray, lm_params_np)
 
     idx2unit = load_idx2unit_map(cfg["data"]["vocab"])
+    if args.long_form and cfg["model"]["type"] != "speech2text":
+        logger.warning("--long_form only applies to speech2text models; ignored")
     if args.long_form and cfg["model"]["type"] == "speech2text":
         from ..recognize.streaming import LongFormRecognizer
 

@@ -143,7 +143,8 @@ def convert_ctc(sd: Mapping) -> dict:
 
 def convert_reference_checkpoint(chkpt: Mapping[str, Any], model_cfg: Mapping) -> dict:
     """Full reference speech2text checkpoint → flax variables dict."""
-    enc_blocks = int(model_cfg["encoder"].get("n_blocks", 12))
+    # reference class defaults: TransformerEncoder/Decoder n_blocks=6
+    enc_blocks = int(model_cfg["encoder"].get("n_blocks", 6))
     dec_blocks = int(model_cfg["decoder"].get("n_blocks", 6))
     share = bool(model_cfg["decoder"].get("share_embedding", True))
     params = {

@@ -35,6 +35,11 @@ def make_device_frontend(data_cfg: Any, use_pallas: bool | None = None):
         use_pallas = jax.default_backend() == "tpu"
     num_mel_bins = int(data_cfg.get("num_mel_bins", 40))
     normalization = bool(data_cfg.get("normalization", False))
+    global_mean = global_std = None
+    if normalization and data_cfg.get("global_cmvn"):
+        base = data_cfg["global_cmvn"]
+        global_mean = jnp.asarray(np.load(base + ".mean.npy"))
+        global_std = jnp.asarray(np.load(base + ".std.npy"))
     apply_aug = bool(data_cfg.get("spec_augment", False))
     aug_cfg = dict(data_cfg.get("spec_augment_config", {}) or {})
     aug_kwargs = {
@@ -53,7 +58,9 @@ def make_device_frontend(data_cfg: Any, use_pallas: bool | None = None):
         feats, frame_lengths = fbank_fn(waveforms, lengths, num_mel_bins=num_mel_bins)
         t = feats.shape[1]
         mask = length_to_mask(frame_lengths, t)
-        if normalization:
+        if normalization and global_mean is not None:
+            feats = (feats - global_mean) / global_std
+        elif normalization:
             # per-utterance whole-tensor mean/std over valid frames
             m = mask[..., None].astype(feats.dtype)
             count = jnp.maximum(jnp.sum(m, axis=(1, 2)) * feats.shape[-1], 1.0)

@@ -29,8 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.masks import length_to_mask
-from .base import SpeechToTextRecognizer
+from ..ops.masks import length_to_mask, mask_to_length
+from .base import SpeechToTextRecognizer, make_lm_adapter
 from .beam import beam_search, greedy_search
 
 
@@ -41,6 +41,7 @@ def encode_windowed(
     feat_lengths: np.ndarray,  # i32[B]
     window: int = 1200,  # frames per window (12 s)
     context: int = 200,  # one-sided acoustic context kept around each center
+    encode_fn=None,  # optional pre-jitted (params, chunk, mask) -> (mem, mask)
 ):
     """Encode long inputs window-by-window, keeping only center regions.
 
@@ -60,9 +61,15 @@ def encode_windowed(
         factor *= int(s)
     assert context % factor == 0 and center % factor == 0, (context, center, factor)
 
-    @jax.jit
-    def encode_one(params, chunk, chunk_mask):
-        return model.apply(params, chunk, chunk_mask, method="encode")
+    if encode_fn is None:
+        # NOTE: per-call jit means re-tracing per invocation; recognizers
+        # pass a pre-built encode_fn (see LongFormRecognizer._build)
+        encode_fn = jax.jit(
+            lambda params, chunk, chunk_mask: model.apply(
+                params, chunk, chunk_mask, method="encode"
+            )
+        )
+    encode_one = encode_fn
 
     n_windows = max(1, -(-t // center))
     pieces = []
@@ -104,8 +111,16 @@ class LongFormRecognizer(SpeechToTextRecognizer):
 
     def _build(self):
         model = self.model
-        beam, max_len, penalty, lamda = (
-            self.beam_width, self.max_len, self.penalty, self.lamda,
+        beam, max_len, penalty, lamda, lm_w = (
+            self.beam_width, self.max_len, self.penalty, self.lamda, self.lm_weight,
+        )
+        lm, lm_params = self.lm, self.lm_params
+
+        # one jitted window encoder shared across all recognize() calls
+        self._encode_fn = jax.jit(
+            lambda params, chunk, chunk_mask: model.apply(
+                params, chunk, chunk_mask, method="encode"
+            )
         )
 
         @jax.jit
@@ -116,20 +131,27 @@ class LongFormRecognizer(SpeechToTextRecognizer):
             def init_cache(mem, n, beam=1):
                 return model.apply(params, mem, n, beam, method="init_cache")
 
-            if beam == 1:
+            if lm is not None:
+                lm_i, lm_s = make_lm_adapter(lm, lm_params, max_len)
+            else:
+                lm_i = lm_s = None
+
+            if beam == 1 and lm is None:
                 return greedy_search(decode_step, init_cache, memory, memory_mask, max_len)
             return beam_search(
                 decode_step, init_cache, memory, memory_mask,
                 beam_width=beam, max_len=max_len, penalty=penalty, lamda=lamda,
+                lm_step=lm_s, lm_init=lm_i, lm_weight=lm_w,
             )
 
         def run(params, feats, feat_mask):
-            lengths = np.asarray(jnp.sum(feat_mask.astype(jnp.int32), axis=1))
+            lengths = np.asarray(mask_to_length(feat_mask))
             if feats.shape[1] <= self.window:
-                memory, memory_mask = model.apply(params, feats, feat_mask, method="encode")
+                memory, memory_mask = self._encode_fn(params, feats, feat_mask)
             else:
                 memory, memory_mask = encode_windowed(
-                    model, params, feats, lengths, self.window, self.context
+                    model, params, feats, lengths, self.window, self.context,
+                    encode_fn=self._encode_fn,
                 )
             return search(params, memory, memory_mask)
 
