@@ -166,3 +166,33 @@ def load_reference_checkpoint(path: str, model_cfg: Mapping | None = None) -> tu
     cfg = chkpt.get("params", {})
     mc = model_cfg or cfg.get("model", cfg)
     return convert_reference_checkpoint(chkpt, mc), cfg
+
+
+def to_scan_layout(params: Mapping, component: str = "encoder", block_prefix: str = "block_") -> dict:
+    """Convert per-block param layout (block_0..block_{L-1}) to the stacked
+    'blocks' layout used by ``scan_layers: true`` encoders.
+
+    Works on a full variables dict ({'params': {...}}) or a bare params tree;
+    non-block keys (pos_enc, after_norm, ...) pass through unchanged.
+    """
+    import jax
+    import numpy as _np
+
+    root = params.get("params", params)
+    comp = dict(root[component])
+    block_keys = sorted(
+        (k for k in comp if k.startswith(block_prefix)),
+        key=lambda k: int(k[len(block_prefix):]),
+    )
+    if not block_keys:
+        raise KeyError(f"no '{block_prefix}*' blocks under {component!r}")
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: _np.stack([_np.asarray(x) for x in xs]),
+        *[comp[k] for k in block_keys],
+    )
+    for k in block_keys:
+        del comp[k]
+    comp["blocks"] = stacked
+    new_root = dict(root)
+    new_root[component] = comp
+    return {"params": new_root} if "params" in params else new_root

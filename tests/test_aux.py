@@ -113,3 +113,20 @@ def test_scan_layers_encoder():
 
     g = jax.grad(f)(params)
     assert all(np.all(np.isfinite(x)) for x in jax.tree_util.tree_leaves(g))
+
+
+def test_scan_layout_conversion_matches():
+    """Unstacked params converted to scan layout give identical outputs."""
+    from opentransformer_tpu.compat import to_scan_layout
+
+    cfg = small_model_cfg()
+    model_plain = build_model(cfg)
+    cfg2 = {**cfg, "encoder": {**cfg["encoder"], "scan_layers": True}}
+    model_scan = build_model(cfg2)
+    feats, feat_mask, targets, targets_length = make_batch()
+    params = model_plain.init(jax.random.PRNGKey(3), feats, feat_mask, targets, targets_length)
+    l1, _ = model_plain.apply(params, feats, feat_mask, targets, targets_length)
+
+    scan_params = jax.tree_util.tree_map(jnp.asarray, to_scan_layout(params, "encoder"))
+    l2, _ = model_scan.apply(scan_params, feats, feat_mask, targets, targets_length)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
