@@ -181,6 +181,9 @@ class FeatureLoader:
         self.num_shards = max(int(num_shards), 1)
         self.shard_id = int(shard_id)
         self.target_pad_multiple = int(data_cfg.get("target_pad_multiple", 8))
+        # parallel sample fetching (host fbank extraction / ark reads release
+        # the GIL in numpy); reference uses DataLoader workers (num_workers)
+        self.num_workers = int(data_cfg.get("num_workers", 0))
 
         datadict = data_cfg[name]
         rng = np.random.default_rng(seed)
@@ -227,10 +230,18 @@ class FeatureLoader:
         self.sampler.set_epoch(epoch)
 
     def _iter_batches(self):
+        pool = None
+        if self.num_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=self.num_workers)
         for bi, (boundary, idxs) in enumerate(self.sampler):
             if bi % self.num_shards != self.shard_id:
                 continue
-            samples = [self.dataset[i] for i in idxs]
+            if pool is not None:
+                samples = list(pool.map(self.dataset.__getitem__, idxs))
+            else:
+                samples = [self.dataset[i] for i in idxs]
             if self.is_text:
                 yield collate_text(samples, self.target_pad_multiple)
             elif self.extract_on_device:
