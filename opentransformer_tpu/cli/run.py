@@ -40,6 +40,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel degree")
     p.add_argument("-s", "--seed", type=int, default=1234)
     p.add_argument("-l", "--logging_level", type=str, default="INFO")
+    p.add_argument("-p", "--parallel_mode", type=str, default="dp",
+                   help="accepted for reference-CLI parity; parallelism is the "
+                        "mesh (-n data x --tp model), not dp/ddp processes")
+    p.add_argument("-g", "--gpus", type=str, default=None,
+                   help="accepted for reference-CLI parity; ignored (mesh uses -n)")
     p.add_argument("-ct", "--continue_training", action="store_true")
     p.add_argument("-kl", "--keep_last_n_checkpoints", type=int, default=30)
     p.add_argument("-ms", "--mixspeech", action="store_true")
