@@ -40,6 +40,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("-ml", "--max_len", type=int, default=100)
     p.add_argument("-lm", "--load_language_model", type=str, default=None)
     p.add_argument("-lmw", "--lm_weight", type=float, default=0.1)
+    p.add_argument("-ctcw", "--ctc_weight", type=float, default=0.0,
+                   help="joint CTC/attention n-best rescoring weight "
+                        "(model must be trained with ctc_weight > 0)")
     p.add_argument("-d", "--decode_set", type=str, default="test")
     p.add_argument("-ns", "--num_sample", type=int, default=0, help="decode only N samples")
     p.add_argument("-debug", "--debug", action="store_true")

@@ -96,6 +96,7 @@ class SpeechToTextRecognizer(Recognizer):
         penalty: float = 0.6,
         lamda: float = 5.0,
         lm_weight: float = 0.1,
+        ctc_weight: float = 0.0,
         idx2unit: Optional[dict] = None,
     ):
         super().__init__(model, params, idx2unit)
@@ -106,13 +107,15 @@ class SpeechToTextRecognizer(Recognizer):
         self.penalty = float(penalty)
         self.lamda = float(lamda)
         self.lm_weight = float(lm_weight)
+        # joint CTC/attention rescoring (needs a hybrid-trained model)
+        self.ctc_weight = float(ctc_weight)
         self._jit_recognize = self._build()
 
     def _build(self):
         model = self.model
-        lm_init, lm_step_model = (None, None)
-        max_len, beam, penalty, lamda, lm_w = (
-            self.max_len, self.beam_width, self.penalty, self.lamda, self.lm_weight,
+        max_len, beam, penalty, lamda, lm_w, ctc_w = (
+            self.max_len, self.beam_width, self.penalty, self.lamda,
+            self.lm_weight, self.ctc_weight,
         )
         lm, lm_params = self.lm, self.lm_params
 
@@ -131,13 +134,17 @@ class SpeechToTextRecognizer(Recognizer):
             else:
                 lm_i = lm_s = None
 
-            if beam == 1 and lm is None:
+            if beam == 1 and lm is None and ctc_w == 0.0:
                 return greedy_search(decode_step, init_cache, memory, memory_mask, max_len)
-            return beam_search(
+            hyp = beam_search(
                 decode_step, init_cache, memory, memory_mask,
                 beam_width=beam, max_len=max_len, penalty=penalty, lamda=lamda,
                 lm_step=lm_s, lm_init=lm_i, lm_weight=lm_w,
             )
+            if ctc_w > 0.0:
+                ctc_logits = model.apply(params, memory, method="ctc_logits")
+                hyp = ctc_rescore_scores(ctc_logits, memory_mask, hyp, ctc_w)
+            return hyp
 
         return run
 
@@ -207,6 +214,52 @@ class CTCRecognizer(Recognizer):
         return texts, scores
 
 
+def ctc_rescore_scores(logits, memory_mask, hyp: BeamHypotheses, weight: float) -> BeamHypotheses:
+    """Joint CTC/attention n-best rescoring: final = (1-w)·att + w·ctc.
+
+    The reference accepted ``ctc_weight`` at decode time but never used it
+    (``recognize/speech2text.py:18``, SURVEY vestiges); here it works. The
+    CTC score of each hypothesis is the (negated) CTC loss of the label
+    sequence against the hybrid model's CTC head — vectorized over B·K.
+    Requires a model trained with ``ctc_weight > 0``.
+    """
+    import optax
+
+    from ..ops.masks import mask_to_length
+
+    b, k, u = hyp.tokens.shape
+    t = logits.shape[1]
+    logits_bk = jnp.repeat(logits, k, axis=0)  # [B*K, T, V]
+    frame_lens = jnp.repeat(mask_to_length(memory_mask), k, axis=0)
+    frame_pad = (jnp.arange(t)[None, :] >= frame_lens[:, None]).astype(jnp.float32)
+
+    # labels: strip BOS; mask EOS and PAD tail
+    labels = hyp.tokens[:, :, 1:].reshape(b * k, u - 1)
+    label_lens = (hyp.lengths - 1).reshape(b * k)  # tokens excl. BOS/EOS
+    pos = jnp.arange(u - 1)[None, :]
+    label_pad = (pos >= label_lens[:, None]).astype(jnp.float32)
+    labels = jnp.where(pos < label_lens[:, None], labels, 0)
+
+    neg_logp = optax.ctc_loss(
+        logits_bk.astype(jnp.float32), frame_pad, labels, label_pad, blank_id=0
+    )
+    ctc_scores = jnp.where(jnp.isfinite(neg_logp), -neg_logp, -1e9).reshape(b, k)
+    new_scores = (1.0 - weight) * hyp.scores + weight * ctc_scores
+    order = jnp.argsort(-new_scores, axis=1)
+    return BeamHypotheses(
+        tokens=jnp.take_along_axis(hyp.tokens, order[:, :, None], axis=1),
+        scores=jnp.take_along_axis(new_scores, order, axis=1),
+        lengths=jnp.take_along_axis(hyp.lengths, order, axis=1),
+    )
+
+
+def ctc_rescore(model, params, feats, feat_mask, hyp: BeamHypotheses, weight: float = 0.3):
+    """Standalone CTC rescoring entry (re-encodes; recognizers fuse it)."""
+    memory, memory_mask = model.apply(params, feats, feat_mask, method="encode")
+    logits = model.apply(params, memory, method="ctc_logits")
+    return ctc_rescore_scores(logits, memory_mask, hyp, weight)
+
+
 def lm_rescore(recognizer: Recognizer, lm, lm_params, hyp: BeamHypotheses, weight: float = 0.1):
     """N-best rescoring by mean LM log-prob (reference ``recognize/base.py:52-88``
     defined this but never wired it; here it's callable)."""
@@ -237,7 +290,8 @@ def build_recognizer(model_type: str, model, params, lm=None, lm_params=None, ar
             model, params, lm=lm, lm_params=lm_params,
             beam_width=get("beam_width", 5), max_len=get("max_len", 100),
             penalty=get("penalty", 0.6), lamda=get("lamda", 5.0),
-            lm_weight=get("lm_weight", 0.1), idx2unit=idx2unit,
+            lm_weight=get("lm_weight", 0.1), ctc_weight=get("ctc_weight", 0.0),
+            idx2unit=idx2unit,
         )
     if model_type == "ctc":
         return CTCRecognizer(

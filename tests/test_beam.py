@@ -174,3 +174,29 @@ def test_ctc_prefix_beam_search_beats_greedy_ambiguity():
     # P('') = .6*.4 = .24 ; P('a') = .6*.6 + .4*.4 + .4*.6 = .76
     np.testing.assert_allclose(np.exp(total[()]), 0.24, rtol=1e-5)
     np.testing.assert_allclose(np.exp(total[(1,)]), 0.76, rtol=1e-5)
+
+
+def test_ctc_joint_rescoring():
+    """ctc_weight>0 at decode time re-ranks with CTC scores (the reference's
+    dead flag, made functional)."""
+    from opentransformer_tpu.models.registry import build_model as bm
+
+    cfg = small_model_cfg(ctc_weight=0.3)
+    model = bm(cfg)
+    feats, feat_mask, targets, targets_length = make_batch()
+    params = model.init(jax.random.PRNGKey(3), feats, feat_mask, targets, targets_length)
+
+    rec0 = SpeechToTextRecognizer(model, params, beam_width=3, max_len=8)
+    rec1 = SpeechToTextRecognizer(model, params, beam_width=3, max_len=8, ctc_weight=0.5)
+    hyp0 = rec0.recognize_arrays(feats, feat_mask)
+    hyp1 = rec1.recognize_arrays(feats, feat_mask)
+    # rescoring must produce sorted finite scores and change them
+    s1 = np.asarray(hyp1.scores)
+    assert np.all(np.diff(s1, axis=1) <= 1e-6)
+    assert np.all(np.isfinite(s1))
+    assert not np.allclose(np.asarray(hyp0.scores), s1)
+
+    # weight==0 path keeps the attention-only result exactly
+    rec_zero = SpeechToTextRecognizer(model, params, beam_width=3, max_len=8, ctc_weight=0.0)
+    hyp_zero = rec_zero.recognize_arrays(feats, feat_mask)
+    np.testing.assert_array_equal(np.asarray(hyp0.tokens), np.asarray(hyp_zero.tokens))
