@@ -43,6 +43,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("-ctcw", "--ctc_weight", type=float, default=0.0,
                    help="joint CTC/attention n-best rescoring weight "
                         "(model must be trained with ctc_weight > 0)")
+    p.add_argument("-lm_resc", "--lm_rescore_weight", type=float, default=0.0,
+                   help="post-beam n-best LM rescoring weight (the reference "
+                        "shipped this helper unwired, recognize/base.py:52-88)")
     p.add_argument("-d", "--decode_set", type=str, default="test")
     p.add_argument("-ns", "--num_sample", type=int, default=0, help="decode only N samples")
     p.add_argument("-debug", "--debug", action="store_true")
@@ -161,9 +164,19 @@ def main(argv=None) -> int:
     ) as flog:
         for utt_ids, inputs, targets in loader:
             t0 = time.time()
-            texts, scores = recognizer.recognize(
-                jax.numpy.asarray(inputs["inputs"]), jax.numpy.asarray(inputs["mask"]),
-            )
+            if args.lm_rescore_weight > 0.0 and lm is not None:
+                from ..recognize.base import lm_rescore
+
+                hyp = recognizer.recognize_arrays(
+                    jax.numpy.asarray(inputs["inputs"]), jax.numpy.asarray(inputs["mask"])
+                )
+                hyp = lm_rescore(recognizer, lm, lm_params, hyp, args.lm_rescore_weight)
+                texts = recognizer.nbest_translate(np.asarray(hyp.tokens)[:, :, 1:])
+                scores = np.asarray(hyp.scores)
+            else:
+                texts, scores = recognizer.recognize(
+                    jax.numpy.asarray(inputs["inputs"]), jax.numpy.asarray(inputs["mask"]),
+                )
             accu_time += time.time() - t0
             total_frames += int(np.sum(inputs["inputs_length"]))
 

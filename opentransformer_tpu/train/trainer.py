@@ -273,7 +273,9 @@ class Trainer:
                 train_loader.set_epoch(epoch)
             state = self.train_one_epoch(epoch, state, train_loader, rng)
             self.global_epoch = epoch + 1
-            if self.checkpointer is not None:
+            # multihost: only process 0 writes checkpoints (replaces the
+            # reference's rank-0 gating, trainer.py:100-110)
+            if self.checkpointer is not None and jax.process_index() == 0:
                 self.checkpointer.save(
                     epoch, state, extra={"global_step": self.global_step}, keep_last_n=self.keep_last_n
                 )
@@ -284,7 +286,8 @@ class Trainer:
                     self.visualizer.add_scalar("dev_loss", dev_loss, self.global_step)
                 # best-checkpoint tracking (the reference's dev loop was
                 # unreachable and would have crashed, SURVEY §8.6 — fixed)
-                if best.update(epoch, dev_loss) and self.checkpointer is not None:
+                if (best.update(epoch, dev_loss) and self.checkpointer is not None
+                        and jax.process_index() == 0):
                     self.checkpointer.save_params_only("model.best", state.params)
                     logger.info("new best epoch %d (dev loss %.5f)", epoch, dev_loss)
         return state

@@ -44,6 +44,12 @@ def test_eval_cli_with_lm(tmp_path):
         "-m", expdir, "-bw", "2", "-ml", "12", "-d", "test",
         "-lm", lm_expdir, "-lmw", "0.2",
     ]) == 0
+
+    # post-beam LM rescoring path (-lm_resc)
+    assert eval_main([
+        "-m", expdir, "-bw", "2", "-ml", "12", "-d", "test",
+        "-lm", lm_expdir, "-lmw", "0.0", "-lm_resc", "0.4", "-s", "resc",
+    ]) == 0
     decode_dirs = [d for d in os.listdir(expdir) if "lm0.2" in d]
     assert decode_dirs, os.listdir(expdir)
     assert os.path.exists(os.path.join(expdir, decode_dirs[0], "RESULT"))
