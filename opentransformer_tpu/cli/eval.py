@@ -164,7 +164,8 @@ def main(argv=None) -> int:
     ) as flog:
         for utt_ids, inputs, targets in loader:
             t0 = time.time()
-            if args.lm_rescore_weight > 0.0 and lm is not None:
+            if (args.lm_rescore_weight > 0.0 and lm is not None
+                    and cfg["model"]["type"] == "speech2text"):
                 from ..recognize.base import lm_rescore
 
                 hyp = recognizer.recognize_arrays(

@@ -14,6 +14,7 @@ from __future__ import annotations
 import json
 import logging
 import os
+import threading
 from typing import Any, Optional
 
 import numpy as np
@@ -24,6 +25,21 @@ from .kaldi_io import cmvn_from_stats, load_mat, read_scp
 from ..ops.fbank import fbank_numpy, logfbank_psf, normalize_per_utterance, num_frames
 
 logger = logging.getLogger(__name__)
+
+
+class _RngSpawner:
+    """Thread-safe per-sample rng derivation (np.random.Generator is not
+    thread safe; the loader's num_workers pool calls __getitem__
+    concurrently). One locked draw yields an independent child generator."""
+
+    def __init__(self, rng: Optional[np.random.Generator]):
+        self._rng = rng or np.random.default_rng()
+        self._lock = threading.Lock()
+
+    def spawn(self) -> np.random.Generator:
+        with self._lock:
+            seed = int(self._rng.integers(0, 2 ** 63 - 1))
+        return np.random.default_rng(seed)
 
 
 def read_targets(text_files, unit2idx) -> dict[str, list[int]]:
@@ -68,7 +84,7 @@ class AudioDataset:
                  rng: Optional[np.random.Generator] = None):
         self.params = params
         self.is_eval = is_eval
-        self.rng = rng or np.random.default_rng()
+        self._rngs = _RngSpawner(rng)
         self.num_mel_bins = int(params.get("num_mel_bins", 40))
         # 'torchaudio'/'ta' = kaldi-compatible (our first-party kernel);
         # 'psf'/'python_speech_feature' = python_speech_features-style
@@ -109,8 +125,9 @@ class AudioDataset:
     def __getitem__(self, index: int):
         utt_id, path = self.file_list[index]
         sr, wav = _read_wav(path)
+        rng = self._rngs.spawn()
         if self.apply_volume_perturb:
-            wav = wav * 10 ** (self.rng.uniform(-1.6, 1.6) / 20)
+            wav = wav * 10 ** (rng.uniform(-1.6, 1.6) / 20)
         if self.return_waveform:
             targets = self.targets_dict[utt_id]
             return utt_id, wav.astype(np.float32), len(wav), targets, len(targets)
@@ -124,9 +141,9 @@ class AudioDataset:
             else:
                 feature = normalize_per_utterance(feature)
         if self.gaussian_noise > 0.0:
-            feature = feature + self.rng.normal(0.0, self.gaussian_noise, (feature.shape[-1],)).astype(np.float32)
+            feature = feature + rng.normal(0.0, self.gaussian_noise, (feature.shape[-1],)).astype(np.float32)
         if self.apply_spec_augment:
-            feature = spec_augment(feature, rng=self.rng)
+            feature = spec_augment(feature, rng=rng)
         targets = self.targets_dict[utt_id]
         return utt_id, feature.astype(np.float32), feature.shape[0], targets, len(targets)
 
@@ -161,7 +178,7 @@ class KaldiDataset:
                  rng: Optional[np.random.Generator] = None):
         self.params = params
         self.is_eval = is_eval
-        self.rng = rng or np.random.default_rng()
+        self._rngs = _RngSpawner(rng)
         self.apply_spec_augment = bool(params.get("spec_augment", False)) and not is_eval
         self.spec_augment_config = dict(params.get("spec_augment_config", {}) or {})
         self.max_target_length = int(params.get("max_target_length", 0))
@@ -206,7 +223,7 @@ class KaldiDataset:
         elif self.normalization:
             feature = normalize_per_utterance(feature)
         if self.apply_spec_augment:
-            feature = spec_augment(feature, rng=self.rng, **self.spec_augment_config)
+            feature = spec_augment(feature, rng=self._rngs.spawn(), **self.spec_augment_config)
         targets = self.targets_dict[utt_id]
         return utt_id, feature.astype(np.float32), feature.shape[0], targets, len(targets)
 
@@ -239,7 +256,7 @@ class ESPNetDataset:
                  rng: Optional[np.random.Generator] = None):
         self.params = params
         self.is_eval = is_eval
-        self.rng = rng or np.random.default_rng()
+        self._rngs = _RngSpawner(rng)
         self.apply_spec_augment = bool(params.get("spec_augment", False)) and not is_eval
         self.spec_augment_config = dict(params.get("spec_augment_config", {}) or {})
 
@@ -261,7 +278,7 @@ class ESPNetDataset:
         utt_id, rx, targets, _ = self.utts[index]
         feature = load_mat(rx)
         if self.apply_spec_augment:
-            feature = spec_augment(feature, rng=self.rng, **self.spec_augment_config)
+            feature = spec_augment(feature, rng=self._rngs.spawn(), **self.spec_augment_config)
         return utt_id, feature.astype(np.float32), feature.shape[0], targets, len(targets)
 
     def index_length_pair(self) -> list[tuple[int, int]]:

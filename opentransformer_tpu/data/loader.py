@@ -122,22 +122,25 @@ class _Prefetcher:
         sentinel = object()
         stop = threading.Event()
 
+        def put_bounded(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             try:
                 for item in self.gen_fn():
-                    while not stop.is_set():
-                        try:
-                            q.put(item, timeout=0.1)
-                            break
-                        except queue.Full:
-                            continue
-                    if stop.is_set():
+                    if not put_bounded(item):
                         return
             finally:
-                try:
-                    q.put_nowait(sentinel)
-                except queue.Full:
-                    pass
+                # the sentinel MUST eventually land (a dropped sentinel
+                # deadlocks the consumer at epoch end); bounded put keeps
+                # retrying until delivered or the consumer abandoned us
+                put_bounded(sentinel)
 
         th = threading.Thread(target=worker, daemon=True)
         th.start()
@@ -156,8 +159,14 @@ class FeatureLoader:
 
     Args mirror the reference (``data/loader.py:112-166``): ``params`` is the
     full config, ``name`` the data split ('train'/'test'/...), ``is_eval``
-    disables augmentation. ``num_shards``/``shard_id`` shard *batches* across
-    hosts (the DistributedSampler replacement — each host sees 1/N batches).
+    disables augmentation.
+
+    Multihost (``num_shards``/``shard_id``, the DistributedSampler
+    replacement): every host iterates the SAME batch sequence (identical
+    sampler seed) and takes its row-slice of each batch, so all hosts see
+    the same step count and the same padded shapes — a requirement for SPMD
+    collectives over a global mesh. The trainer assembles the global array
+    from the per-host slices.
     """
 
     def __init__(
@@ -222,8 +231,7 @@ class FeatureLoader:
         self.epoch = 0
 
     def __len__(self) -> int:
-        n = len(self.sampler)
-        return (n - self.shard_id + self.num_shards - 1) // self.num_shards
+        return len(self.sampler)
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -236,8 +244,11 @@ class FeatureLoader:
 
             pool = ThreadPoolExecutor(max_workers=self.num_workers)
         for bi, (boundary, idxs) in enumerate(self.sampler):
-            if bi % self.num_shards != self.shard_id:
-                continue
+            if self.num_shards > 1:
+                # row-slice: same #batches and shapes on every host; if this
+                # batch has fewer rows than hosts, repeat row 0 (rare tail)
+                sliced = idxs[self.shard_id :: self.num_shards]
+                idxs = sliced if sliced else [idxs[0]]
             if pool is not None:
                 samples = list(pool.map(self.dataset.__getitem__, idxs))
             else:

@@ -74,6 +74,7 @@ class CTCAssistor(nn.Module):
                 kernel_size=(self.lookahead_steps + 1,),
                 feature_group_count=d,
                 padding="VALID",
+                use_bias=False,  # reference parity: lookahead conv has no bias
                 dtype=self.dtype,
                 name="look_ahead_conv",
             )(h)
@@ -94,6 +95,7 @@ class SpeechToText(nn.Module):
     decoder_cfg: dict
     ctc_weight: float = 0.0
     smoothing: float = 0.1
+    lookahead_steps: int = 0
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -107,7 +109,9 @@ class SpeechToText(nn.Module):
         self.decoder = TransformerDecoder(dtype=self.dtype, **dec_kw, name="decoder")
         if self.ctc_weight > 0.0:
             self.assistor = CTCAssistor(
-                vocab_size=self.decoder_cfg["vocab_size"], dtype=self.dtype, name="ctc"
+                vocab_size=self.decoder_cfg["vocab_size"],
+                lookahead_steps=self.lookahead_steps,
+                dtype=self.dtype, name="ctc",
             )
 
     def encode(self, feats, feat_mask, *, deterministic: bool = True, train: bool = False):
@@ -135,9 +139,12 @@ class SpeechToText(nn.Module):
 
         aux = {}
         if self.ctc_weight > 0.0:
-            # CTC labels: y without BOS/EOS (strip both specials)
-            labels = jnp.where(target_out == 1, PAD, target_out)  # EOS id 1 → PAD
-            label_lengths = targets_length - 1  # drop EOS
+            # reference parity: CTC labels are y + EOS with targets_length
+            # counting EOS (model/speech2text.py:60-69 passes target_out and
+            # truth_length straight into nn.CTCLoss) — the CTC head learns to
+            # emit <S/E> as the final symbol
+            labels = target_out
+            label_lengths = targets_length
             mem_lengths = mask_to_length(memory_mask)
             closs = self.assistor(memory, mem_lengths, labels, label_lengths)
             aux["ctc_loss"] = closs
@@ -191,11 +198,10 @@ class CTCModel(nn.Module):
 
     def __call__(self, feats, feat_mask, targets, targets_length, *, deterministic: bool = True, train: bool = False):
         memory, memory_mask = self.encode(feats, feat_mask, deterministic=deterministic, train=train)
+        # reference parity: labels = y + EOS, lengths include EOS
         target_out = targets[:, 1:]
-        labels = jnp.where(target_out == 1, PAD, target_out)
-        label_lengths = targets_length - 1
         mem_lengths = mask_to_length(memory_mask)
-        loss = self.assistor(memory, mem_lengths, labels, label_lengths)
+        loss = self.assistor(memory, mem_lengths, target_out, targets_length)
         return loss, {}
 
     def recognize_logits(self, feats, feat_mask):

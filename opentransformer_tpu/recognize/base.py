@@ -233,9 +233,10 @@ def ctc_rescore_scores(logits, memory_mask, hyp: BeamHypotheses, weight: float) 
     frame_lens = jnp.repeat(mask_to_length(memory_mask), k, axis=0)
     frame_pad = (jnp.arange(t)[None, :] >= frame_lens[:, None]).astype(jnp.float32)
 
-    # labels: strip BOS; mask EOS and PAD tail
+    # labels: strip BOS, keep EOS (the hybrid head is trained with y + EOS,
+    # reference convention); hyp.lengths counts BOS + y, so y+EOS = lengths
     labels = hyp.tokens[:, :, 1:].reshape(b * k, u - 1)
-    label_lens = (hyp.lengths - 1).reshape(b * k)  # tokens excl. BOS/EOS
+    label_lens = hyp.lengths.reshape(b * k)
     pos = jnp.arange(u - 1)[None, :]
     label_pad = (pos >= label_lens[:, None]).astype(jnp.float32)
     labels = jnp.where(pos < label_lens[:, None], labels, 0)

@@ -249,6 +249,16 @@ class Trainer:
         rep = replicated(self.mesh)
         n_data = self.mesh.shape.get("data", 1)
 
+        if jax.process_count() > 1:
+            # multihost: each host holds its row-slice of the global batch
+            # (FeatureLoader sliced rows, identical shapes/steps on every
+            # host); assemble the global array from per-process shards
+            def put(x):
+                global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+                return jax.make_array_from_process_local_data(sh, x, global_shape)
+
+            return jax.tree_util.tree_map(put, tree)
+
         def put(x):
             # replicate ragged tails (last bucket batch may not divide the
             # data axis) instead of crashing; sharded is the common path
@@ -271,7 +281,8 @@ class Trainer:
             # permutation, not a replay of epoch 0's
             if hasattr(train_loader, "set_epoch"):
                 train_loader.set_epoch(epoch)
-            state = self.train_one_epoch(epoch, state, train_loader, rng)
+            rng, epoch_rng = jax.random.split(rng)  # fresh randomness per epoch
+            state = self.train_one_epoch(epoch, state, train_loader, epoch_rng)
             self.global_epoch = epoch + 1
             # multihost: only process 0 writes checkpoints (replaces the
             # reference's rank-0 gating, trainer.py:100-110)

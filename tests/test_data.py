@@ -164,3 +164,21 @@ def test_text_loader(tmp_path):
             assert src[i, 0] == BOS
             assert tgt[i, L - 1] == EOS
             np.testing.assert_array_equal(src[i, 1:L], tgt[i, : L - 1])
+
+
+def test_prefetcher_sentinel_with_slow_consumer():
+    """A slow consumer must still receive end-of-iteration (the sentinel
+    previously got dropped when the queue was full -> epoch-end deadlock)."""
+    import time
+
+    from opentransformer_tpu.data.loader import _Prefetcher
+
+    items = list(range(25))  # > queue depth (10)
+    pf = _Prefetcher(lambda: iter(items), max_prefetch=5)
+    got = []
+    start = time.time()
+    for x in pf:
+        got.append(x)
+        time.sleep(0.02)  # slower than the producer
+        assert time.time() - start < 20, "prefetcher hung"
+    assert got == items
