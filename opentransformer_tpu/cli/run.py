@@ -51,6 +51,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("-debug", "--debug", action="store_true")
     p.add_argument("--expdir", type=str, default=None)
     p.add_argument("--log_interval", type=int, default=10)
+    p.add_argument("--visual", action="store_true",
+                   help="write TensorBoard scalars to <expdir>/tb (the "
+                        "reference's is_visual had no CLI flag, SURVEY §2.4)")
     p.add_argument("--profile", type=str, default=None,
                    help="write a jax.profiler trace to this directory")
     p.add_argument("--multihost", action="store_true",
@@ -117,7 +120,7 @@ def main(argv=None) -> int:
     ck = Checkpointer(expdir, config=cfg.raw)
     trainer = Trainer(
         cfg["train"], model, mesh=mesh, expdir=expdir, checkpointer=ck,
-        is_mixspeech=args.mixspeech, log_interval=args.log_interval,
+        is_mixspeech=args.mixspeech, is_visual=args.visual, log_interval=args.log_interval,
         keep_last_n=args.keep_last_n_checkpoints, batch_fn=batch_fn,
         is_debug=args.debug, dev_loader=dev_loader, preprocess_fn=preprocess_fn,
     )

@@ -99,6 +99,9 @@ class AudioDataset:
         # (audio.py:136 vs kaldi.py:85)
         self.gaussian_noise = float(params.get("gaussian_noise", 0.0)) if not is_eval else 0.0
         self.apply_volume_perturb = bool(params.get("volume_perturb", False)) and not is_eval
+        # working speed perturbation (the reference parses the key but its
+        # implementation is commented out, otrans/data/audio.py:63-67,105-109)
+        self.apply_speed_perturb = bool(params.get("speed_perturb", False)) and not is_eval
 
         self.apply_global_cmvn = False
         if self.normalization and "global_cmvn" in params:
@@ -126,6 +129,15 @@ class AudioDataset:
         utt_id, path = self.file_list[index]
         sr, wav = _read_wav(path)
         rng = self._rngs.spawn()
+        if self.apply_speed_perturb:
+            ratio = rng.choice([0.9, 1.0, 1.1])
+            if ratio != 1.0:
+                from scipy.signal import resample_poly
+
+                # resampling by 1/ratio changes duration by ratio (kaldi-style
+                # sp augmentation: 0.9x/1.1x tempo)
+                up, down = (10, 9) if ratio == 0.9 else (10, 11)
+                wav = resample_poly(wav, up, down).astype(np.float32)
         if self.apply_volume_perturb:
             wav = wav * 10 ** (rng.uniform(-1.6, 1.6) / 20)
         if self.return_waveform:

@@ -182,3 +182,60 @@ def test_prefetcher_sentinel_with_slow_consumer():
         time.sleep(0.02)  # slower than the producer
         assert time.time() - start < 20, "prefetcher hung"
     assert got == items
+
+
+def test_kaldi_compressed_matrix_read(tmp_path):
+    """Decode a hand-built kaldi CM (format 1) archive entry."""
+    import struct
+
+    from opentransformer_tpu.data.kaldi_io import load_mat
+
+    rng = np.random.default_rng(0)
+    rows, cols = 20, 5
+    mat = rng.normal(size=(rows, cols)).astype(np.float32) * 3.0
+
+    # build CM format-1 bytes: GlobalHeader + per-col percentile headers +
+    # uint8 codes, column-major (kaldi compressed-matrix.cc)
+    min_v = float(mat.min())
+    range_v = float(mat.max() - mat.min()) or 1.0
+
+    def f2u16(v):
+        return int(np.clip((v - min_v) / range_v * 65535.0, 0, 65535))
+
+    def u16f(u):
+        return min_v + range_v * (u / 65535.0)
+
+    headers = []
+    codes = []
+    for c in range(cols):
+        col = np.sort(mat[:, c])
+        p0, p25, p75, p100 = col[0], col[rows // 4], col[(3 * rows) // 4], col[-1]
+        u = [f2u16(p0), f2u16(p25), f2u16(p75), f2u16(p100)]
+        headers.append(u)
+        f0, f25, f75, f100 = (u16f(x) for x in u)
+        ccodes = []
+        for v in mat[:, c]:
+            if v <= f25:
+                code = 0 if f25 == f0 else int(np.clip((v - f0) / (f25 - f0) * 64, 0, 64))
+            elif v <= f75:
+                code = 64 + int(np.clip((v - f25) / max(f75 - f25, 1e-9) * 128, 0, 128))
+            else:
+                code = 192 + int(np.clip((v - f75) / max(f100 - f75, 1e-9) * 63, 0, 63))
+            ccodes.append(min(code, 255))
+        codes.append(ccodes)
+
+    path = str(tmp_path / "cm.ark")
+    with open(path, "wb") as f:
+        f.write(b"utt1 ")
+        f.write(b"\x00B")
+        f.write(b"CM ")
+        f.write(struct.pack("<iffii", 1, min_v, range_v, rows, cols))
+        for h in headers:
+            f.write(np.asarray(h, "<u2").tobytes())
+        for c in codes:
+            f.write(np.asarray(c, np.uint8).tobytes())
+
+    got = load_mat(path)
+    assert got.shape == (rows, cols)
+    # lossy codec: values should be close at the resolution of the encoding
+    np.testing.assert_allclose(got, mat, atol=range_v / 40)

@@ -115,3 +115,25 @@ def test_audio_augmentation_knobs(tmp_path):
                           rng=np.random.default_rng(3))
     aug = aug_ds[0][1]
     assert np.any(aug == 0.0)
+
+
+def test_speed_perturb(tmp_path):
+    import scipy.io.wavfile as siw
+
+    from opentransformer_tpu.data.datasets import AudioDataset
+
+    rng = np.random.default_rng(0)
+    p = str(tmp_path / "s.wav")
+    siw.write(p, 16000, (rng.normal(size=16000) * 1000).astype(np.int16))
+    (tmp_path / "wav.scp").write_text(f"u0 {p}\n")
+    (tmp_path / "text").write_text("u0 a\n")
+    write_vocab({"<PAD>": 0, "<S/E>": 1, "<UNK>": 2, "a": 3}, str(tmp_path / "vocab"))
+    base = {"vocab": str(tmp_path / "vocab"), "num_mel_bins": 20, "normalization": False,
+            "speed_perturb": True}
+    dd = {"feat": [str(tmp_path / "wav.scp")], "text": [str(tmp_path / "text")]}
+    lengths = set()
+    for seed in range(8):
+        ds = AudioDataset(base, dd, rng=np.random.default_rng(seed))
+        lengths.add(ds[0][2])
+    # 0.9x / 1.0x / 1.1x tempo -> at least two distinct frame counts
+    assert len(lengths) >= 2, lengths
