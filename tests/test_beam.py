@@ -200,3 +200,95 @@ def test_ctc_joint_rescoring():
     rec_zero = SpeechToTextRecognizer(model, params, beam_width=3, max_len=8, ctc_weight=0.0)
     hyp_zero = rec_zero.recognize_arrays(feats, feat_mask)
     np.testing.assert_array_equal(np.asarray(hyp0.tokens), np.asarray(hyp_zero.tokens))
+
+
+def test_beam_with_lm_fusion_matches_naive(model_and_params):
+    """Fused-LM beam search must equal a naive full-prefix implementation
+    with the same shallow-fusion rule (logp + w*lm_logp)."""
+    from opentransformer_tpu.models.lm import TransformerLanguageModel
+
+    model, params, feats, feat_mask = model_and_params
+    lm = TransformerLanguageModel(vocab_size=VOCAB, num_blocks=1, d_model=32, n_heads=2, d_ff=64)
+    toks = jnp.ones((2, 5), jnp.int32)
+    lm_params = lm.init(jax.random.PRNGKey(9), toks, toks, jnp.asarray([5, 5]))
+    beam, max_len, w = 3, 7, 0.35
+
+    rec = SpeechToTextRecognizer(
+        model, params, lm=lm, lm_params=lm_params,
+        beam_width=beam, max_len=max_len, lm_weight=w,
+    )
+    hyp = rec.recognize_arrays(feats, feat_mask)
+
+    # naive: full-prefix decoder + full-prefix LM each step
+    memory, memory_mask = model.apply(params, feats, feat_mask, method="encode")
+    b = feats.shape[0]
+    memory = jnp.repeat(memory, beam, axis=0)
+    memory_mask_t = jnp.repeat(memory_mask, beam, axis=0)
+    preds = np.full((b * beam, 1), BOS, np.int32)
+    scores = np.tile(np.array([[0.0] + [NEG_INF] * (beam - 1)], np.float32), (b, 1)).reshape(-1, 1)
+    end_flag = np.zeros((b * beam, 1), bool)
+    for _ in range(max_len):
+        logits = model.apply(params, jnp.asarray(preds), memory, memory_mask_t, method="decode_full")
+        logp = np.asarray(jax.nn.log_softmax(logits[:, -1], axis=-1))
+        lm_logits = lm.apply(lm_params, jnp.asarray(preds), method="logits")
+        lm_logp = np.asarray(jax.nn.log_softmax(lm_logits[:, -1], axis=-1))
+        logp = logp + w * lm_logp
+        top_v = np.sort(logp, axis=1)[:, ::-1][:, :beam]
+        top_i = np.argsort(-logp, axis=1)[:, :beam]
+        for r in range(b * beam):
+            if end_flag[r, 0]:
+                top_v[r] = [0.0] + [NEG_INF] * (beam - 1)
+                top_i[r] = EOS
+        cand = (scores + top_v).reshape(b, beam * beam)
+        best_flat = np.argsort(-cand, axis=1)[:, :beam]
+        best_scores = np.take_along_axis(cand, best_flat, axis=1)
+        parent = best_flat // beam
+        tok = np.take_along_axis(top_i.reshape(b, beam * beam), best_flat, axis=1)
+        new_preds = np.zeros((b * beam, preds.shape[1] + 1), np.int32)
+        for ib in range(b):
+            for kk in range(beam):
+                row, prow = ib * beam + kk, ib * beam + parent[ib, kk]
+                new_preds[row, :-1] = preds[prow]
+                new_preds[row, -1] = tok[ib, kk]
+        preds, scores = new_preds, best_scores.reshape(-1, 1)
+        end_flag = preds[:, -1:] == EOS
+        if end_flag.all():
+            break
+
+    preds = preds.reshape(b, beam, -1)
+    scores = scores.reshape(b, beam)
+    lengths = np.zeros((b, beam), np.int32)
+    for ib in range(b):
+        for kk in range(beam):
+            seq = preds[ib, kk, 1:]
+            eos_pos = np.where(seq == EOS)[0]
+            lengths[ib, kk] = (eos_pos[0] if len(eos_pos) else len(seq)) + 1
+    final = scores / np.asarray(length_penalty(jnp.asarray(lengths), 0.6, 5.0))
+    order = np.argsort(-final, axis=1)
+    ref_scores = np.take_along_axis(final, order, axis=1)
+    ref_tokens = np.take_along_axis(preds, order[:, :, None], axis=1)
+    ref_lengths = np.take_along_axis(lengths, order, axis=1)
+
+    np.testing.assert_allclose(np.asarray(hyp.scores), ref_scores, rtol=2e-3, atol=2e-3)
+    got = np.asarray(hyp.tokens)
+    for ib in range(b):
+        for kk in range(beam):
+            L = ref_lengths[ib, kk]
+            np.testing.assert_array_equal(got[ib, kk, :L], ref_tokens[ib, kk, :L])
+
+
+def test_beam5_long_matches_naive(model_and_params):
+    """Wider beam + longer horizon parity check."""
+    model, params, feats, feat_mask = model_and_params
+    beam, max_len = 5, 14
+    rec = SpeechToTextRecognizer(model, params, beam_width=beam, max_len=max_len, penalty=1.0)
+    hyp = rec.recognize_arrays(feats, feat_mask)
+    ref_tokens, ref_scores, ref_lengths = naive_beam_search(
+        model, params, feats, feat_mask, beam, max_len, penalty=1.0
+    )
+    np.testing.assert_allclose(np.asarray(hyp.scores), ref_scores, rtol=2e-3, atol=2e-3)
+    got = np.asarray(hyp.tokens)
+    for ib in range(got.shape[0]):
+        for kk in range(got.shape[1]):
+            L = ref_lengths[ib, kk]
+            np.testing.assert_array_equal(got[ib, kk, :L], ref_tokens[ib, kk, :L])
