@@ -160,3 +160,53 @@ def test_loss_matches_reference():
         jnp.asarray(targets.astype(np.int32)), jnp.asarray([l + 1 for l in lens]),
     )
     np.testing.assert_allclose(float(loss), float(t_loss), rtol=2e-4)
+
+
+def test_hybrid_ctc_loss_matches_reference():
+    """Hybrid (1-w)·att + w·ctc total loss parity, including the CTC head
+    and the y+EOS label convention."""
+    import jax
+    import jax.numpy as jnp
+
+    from opentransformer_tpu.compat import convert_reference_checkpoint
+    from opentransformer_tpu.models.registry import build_model
+
+    cfg = {**MODEL_CFG, "ctc_weight": 0.3, "encoder_output_size": 32}
+    from otrans.model.speech2text import SpeechToText as TorchS2T
+
+    torch.manual_seed(1)
+    tmodel = TorchS2T(cfg)
+    tmodel.eval()
+
+    rng = np.random.default_rng(2)
+    b, t, f, u = 2, 41, 20, 6
+    feats = rng.normal(size=(b, t, f)).astype(np.float32)
+    feat_mask = np.ones((b, t), bool)
+    targets = np.zeros((b, u + 2), np.int64)
+    lens = [u, u - 2]
+    for i in range(b):
+        targets[i, 0] = 1
+        targets[i, 1 : 1 + lens[i]] = rng.integers(3, VOCAB, lens[i])
+        targets[i, 1 + lens[i]] = 1
+
+    with torch.no_grad():
+        t_loss, t_aux = tmodel(
+            {"inputs": torch.from_numpy(feats), "mask": torch.from_numpy(feat_mask)},
+            {"targets": torch.from_numpy(targets),
+             "targets_length": torch.tensor([l + 1 for l in lens])},
+        )
+
+    chkpt = {
+        "frontend": tmodel.frontend.state_dict(),
+        "encoder": tmodel.encoder.state_dict(),
+        "decoder": tmodel.decoder.state_dict(),
+        "ctc": tmodel.assistor.state_dict(),
+    }
+    params = jax.tree_util.tree_map(jnp.asarray, convert_reference_checkpoint(chkpt, cfg))
+    model = build_model(cfg)
+    loss, aux = model.apply(
+        params, jnp.asarray(feats), jnp.asarray(feat_mask),
+        jnp.asarray(targets.astype(np.int32)), jnp.asarray([l + 1 for l in lens]),
+    )
+    np.testing.assert_allclose(float(loss), float(t_loss), rtol=3e-4)
+    np.testing.assert_allclose(float(aux["ctc_loss"]), float(t_aux["CTCLoss"]), rtol=3e-4)
