@@ -56,23 +56,27 @@ def main() -> None:
         def init_cache(mem, n, beam=1):
             return model.apply(params, mem, n, beam, method="init_cache")
 
-        return beam_search(
+        hyp = beam_search(
             decode_step, init_cache, memory, memory_mask,
             beam_width=BEAM, max_len=MAX_LEN, penalty=0.6,
             eos_id=-1,  # force full-length decodes (worst case)
         )
+        # reduce to a scalar so timing can fetch 8 bytes: through the remote
+        # relay block_until_ready is unreliable and full-token fetches are
+        # bandwidth-bound (~0.7 MB/s) — neither measures decode compute
+        return jnp.sum(hyp.tokens)
 
-    # warmup / compile
-    hyp = decode(params, feats, mask)
-    jax.block_until_ready(hyp.tokens)
+    # distinct inputs per iteration (identical dispatches dedupe)
+    rng2 = np.random.default_rng(1)
+    iter_inputs = [
+        jnp.asarray(rng2.normal(size=(BATCH, FRAMES, 40)), jnp.float32)
+        for _ in range(ITERS)
+    ]
+    float(decode(params, feats, mask))  # warmup / compile
 
-    # vary the input per iteration (identical dispatches dedupe through the
-    # remote tunnel) and block on completion; the (tunnel-inflated) host
-    # fetch of tokens is not part of decode throughput
     t0 = time.perf_counter()
-    for i in range(ITERS):
-        hyp = decode(params, feats * (1.0 + 0.01 * i), mask)
-        jax.block_until_ready(hyp.tokens)
+    for x in iter_inputs:
+        float(decode(params, x, mask))
     elapsed = time.perf_counter() - t0
 
     utts = BATCH * ITERS

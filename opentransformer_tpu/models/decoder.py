@@ -146,6 +146,25 @@ class TransformerDecoderLayer(nn.Module):
         return x, {"k": new_k, "v": new_v}
 
 
+class _ScanDecoderLayer(TransformerDecoderLayer):
+    """(carry, out)-shaped wrappers of the layer methods for nn.scan lifting
+    (the scanned decoder variant; see TransformerDecoder.scan_layers)."""
+
+    def scan_call(self, x, memory, self_mask, memory_mask, deterministic):
+        y = TransformerDecoderLayer.__call__(
+            self, x, memory, self_mask, memory_mask, deterministic=deterministic
+        )
+        return y, None
+
+    def scan_init_cache(self, carry, memory, batch, max_len, beam_width):
+        pair = self.init_layer_cache(memory, batch, max_len, beam_width)
+        return carry, pair
+
+    def scan_decode_step(self, x, self_cache, cross_cache, index, memory_pad_mask):
+        y, new_self = self.decode_step(x, self_cache, cross_cache, index, memory_pad_mask)
+        return y, new_self
+
+
 class TransformerDecoder(nn.Module):
     vocab_size: int
     d_model: int = 256
@@ -162,6 +181,7 @@ class TransformerDecoder(nn.Module):
     normalize_before: bool = False
     concat_after: bool = False
     share_embedding: bool = True
+    scan_layers: bool = False  # lax.scan over stacked blocks (O(1) HLO size)
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -173,23 +193,47 @@ class TransformerDecoder(nn.Module):
             dtype=self.dtype,
             name="embedding",
         )
-        self.layers = [
-            TransformerDecoderLayer(
-                d_model=self.d_model,
-                n_heads=self.n_heads,
-                d_ff=self.d_ff,
-                slf_attn_dropout=self.slf_attn_dropout,
-                src_attn_dropout=self.src_attn_dropout,
-                ffn_dropout=self.ffn_dropout,
-                residual_dropout=self.residual_dropout,
-                normalize_before=self.normalize_before,
-                concat_after=self.concat_after,
-                activation=self.activation,
-                dtype=self.dtype,
-                name=f"block_{i}",
+        layer_kw = dict(
+            d_model=self.d_model,
+            n_heads=self.n_heads,
+            d_ff=self.d_ff,
+            slf_attn_dropout=self.slf_attn_dropout,
+            src_attn_dropout=self.src_attn_dropout,
+            ffn_dropout=self.ffn_dropout,
+            residual_dropout=self.residual_dropout,
+            normalize_before=self.normalize_before,
+            concat_after=self.concat_after,
+            activation=self.activation,
+            dtype=self.dtype,
+        )
+        if self.scan_layers:
+            # one set of stacked params traversed by lax.scan in every mode:
+            # training forward, cache init (cross K/V per layer) and the
+            # incremental decode step — the compiled program holds ONE block
+            # body instead of n_blocks copies.
+            scan_kw = dict(
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=self.n_blocks,
             )
-            for i in range(self.n_blocks)
-        ]
+            bcast = nn.broadcast
+            lifted = nn.scan(
+                _ScanDecoderLayer,
+                methods={
+                    "scan_call": dict(**scan_kw, in_axes=(bcast, bcast, bcast, bcast)),
+                    # cache leaves keep BATCH leading (beam reorder gathers
+                    # axis 0); the layer dim is axis 1, scanned over
+                    "scan_init_cache": dict(**scan_kw, in_axes=(bcast, bcast, bcast, bcast), out_axes=1),
+                    "scan_decode_step": dict(**scan_kw, in_axes=(1, 1, bcast, bcast), out_axes=1),
+                },
+            )
+            self.blocks = lifted(**layer_kw, name="blocks")
+            self.layers = ()
+        else:
+            self.layers = [
+                TransformerDecoderLayer(**layer_kw, name=f"block_{i}")
+                for i in range(self.n_blocks)
+            ]
         if self.normalize_before:
             self.after_norm = nn.LayerNorm(dtype=self.dtype, name="after_norm")
         if not self.share_embedding:
@@ -229,8 +273,11 @@ class TransformerDecoder(nn.Module):
             self_mask = jnp.logical_and(self_mask, attn_mask_from_pad(tgt_pad_mask))
         mem_mask = attn_mask_from_pad(memory_pad_mask)
         x = self._embed(targets_in, deterministic=deterministic)
-        for layer in self.layers:
-            x = layer(x, memory, self_mask, mem_mask, deterministic=deterministic)
+        if self.scan_layers:
+            x, _ = self.blocks.scan_call(x, memory, self_mask, mem_mask, deterministic)
+        else:
+            for layer in self.layers:
+                x = layer(x, memory, self_mask, mem_mask, deterministic=deterministic)
         if self.normalize_before:
             x = self.after_norm(x)
         return self._project(x)
@@ -243,6 +290,12 @@ class TransformerDecoder(nn.Module):
         beam-invariant and stored once per utterance.
         """
         b = memory.shape[0]
+        if self.scan_layers:
+            _, (self_c, cross_c) = self.blocks.scan_init_cache(
+                jnp.zeros((), jnp.int32), memory, b, max_len, beam_width
+            )
+            # stacked leading layer dim on every leaf
+            return {"self": self_c, "cross": cross_c}
         pairs = [layer.init_layer_cache(memory, b, max_len, beam_width) for layer in self.layers]
         return {"self": [p[0] for p in pairs], "cross": [p[1] for p in pairs]}
 
@@ -259,10 +312,15 @@ class TransformerDecoder(nn.Module):
         pe0 = sinusoid_position_encoding(jnp.zeros((1,), jnp.int32), self.d_model)[None]
         pe_t = sinusoid_position_encoding(index[None] if index.ndim == 0 else index, self.d_model)[None]
         x = x + (pe_t - pe0).astype(self.dtype)
-        new_self = []
-        for layer, sc, cc in zip(self.layers, cache["self"], cache["cross"]):
-            x, nsc = layer.decode_step(x, sc, cc, index, memory_pad_mask)
-            new_self.append(nsc)
+        if self.scan_layers:
+            x, new_self = self.blocks.scan_decode_step(
+                x, cache["self"], cache["cross"], index, memory_pad_mask
+            )
+        else:
+            new_self = []
+            for layer, sc, cc in zip(self.layers, cache["self"], cache["cross"]):
+                x, nsc = layer.decode_step(x, sc, cc, index, memory_pad_mask)
+                new_self.append(nsc)
         if self.normalize_before:
             x = self.after_norm(x)
         logits = self._project(x)[:, 0, :]

@@ -46,6 +46,12 @@ def make_mesh(
 # (regex over 'path/to/param', PartitionSpec) — first match wins.
 # Kernel shapes are [in, out] for nn.Dense; embedding is [V, D].
 DEFAULT_RULES: tuple[tuple[str, P], ...] = (
+    # scanned (stacked-[L, ...]) layouts first: same Megatron axes shifted
+    # one dim right past the layer dim
+    (r".*blocks/(qkv_proj|q_proj|kv_proj)/dense/kernel$", P(None, None, "model")),
+    (r".*blocks/(ffn|pre_ffn|post_ffn)/w1/dense/kernel$", P(None, None, "model")),
+    (r".*blocks/out_proj/dense/kernel$", P(None, "model", None)),
+    (r".*blocks/(ffn|pre_ffn|post_ffn)/w2/dense/kernel$", P(None, "model", None)),
     # column-parallel (shard output features): QKV/Q/KV projections, FFN w1
     (r".*(qkv_proj|q_proj|kv_proj)/dense/kernel$", P(None, "model")),
     (r".*(ffn|pre_ffn|post_ffn)/w1/dense/kernel$", P(None, "model")),

@@ -130,3 +130,56 @@ def test_scan_layout_conversion_matches():
     scan_params = jax.tree_util.tree_map(jnp.asarray, to_scan_layout(params, "encoder"))
     l2, _ = model_scan.apply(scan_params, feats, feat_mask, targets, targets_length)
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+
+
+def test_scan_decoder_parity():
+    """scan_layers decoder: converted unstacked params give identical loss,
+    and cached decode matches full forward."""
+    from opentransformer_tpu.compat import to_scan_layout
+
+    cfg = small_model_cfg()
+    model_plain = build_model(cfg)
+    cfg2 = {**cfg, "decoder": {**cfg["decoder"], "scan_layers": True}}
+    model_scan = build_model(cfg2)
+    feats, feat_mask, targets, targets_length = make_batch()
+    params = model_plain.init(jax.random.PRNGKey(5), feats, feat_mask, targets, targets_length)
+    l1, _ = model_plain.apply(params, feats, feat_mask, targets, targets_length)
+
+    scan_params = jax.tree_util.tree_map(jnp.asarray, to_scan_layout(params, "decoder"))
+    l2, _ = model_scan.apply(scan_params, feats, feat_mask, targets, targets_length)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+
+    # cached decode == full forward under scan
+    memory, memory_mask = model_scan.apply(scan_params, feats, feat_mask, method="encode")
+    u = 5
+    tokens = targets[:, : u + 1]
+    logits = model_scan.apply(scan_params, tokens, memory, memory_mask, method="decode_full")
+    full_logp = jax.nn.log_softmax(logits, axis=-1)
+    cache = model_scan.apply(scan_params, memory, u + 1, 1, method="init_cache")
+    outs = []
+    for i in range(u + 1):
+        logp, cache = model_scan.apply(
+            scan_params, tokens[:, i], cache, jnp.asarray(i), memory_mask, method="decode_step"
+        )
+        outs.append(logp)
+    step_logp = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(full_logp), np.asarray(step_logp), rtol=2e-4, atol=2e-4)
+
+
+def test_scan_decoder_beam_search():
+    """Beam search over a scan_layers decoder matches the unscanned decoder."""
+    from opentransformer_tpu.compat import to_scan_layout
+    from opentransformer_tpu.recognize.base import SpeechToTextRecognizer
+
+    cfg = small_model_cfg()
+    model_plain = build_model(cfg)
+    cfg2 = {**cfg, "decoder": {**cfg["decoder"], "scan_layers": True}}
+    model_scan = build_model(cfg2)
+    feats, feat_mask, targets, targets_length = make_batch()
+    params = model_plain.init(jax.random.PRNGKey(6), feats, feat_mask, targets, targets_length)
+    scan_params = jax.tree_util.tree_map(jnp.asarray, to_scan_layout(params, "decoder"))
+
+    hyp_plain = SpeechToTextRecognizer(model_plain, params, beam_width=3, max_len=8).recognize_arrays(feats, feat_mask)
+    hyp_scan = SpeechToTextRecognizer(model_scan, scan_params, beam_width=3, max_len=8).recognize_arrays(feats, feat_mask)
+    np.testing.assert_array_equal(np.asarray(hyp_plain.tokens), np.asarray(hyp_scan.tokens))
+    np.testing.assert_allclose(np.asarray(hyp_plain.scores), np.asarray(hyp_scan.scores), rtol=2e-4, atol=2e-4)
