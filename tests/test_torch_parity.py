@@ -210,3 +210,43 @@ def test_hybrid_ctc_loss_matches_reference():
     )
     np.testing.assert_allclose(float(loss), float(t_loss), rtol=3e-4)
     np.testing.assert_allclose(float(aux["ctc_loss"]), float(t_aux["CTCLoss"]), rtol=3e-4)
+
+
+def test_concat_after_logits_match_reference():
+    """concat_after=True path parity (encoder concat_linear, decoder
+    concat_linear1/2 and the no-dropout residual rule)."""
+    import jax
+    import jax.numpy as jnp
+
+    from opentransformer_tpu.compat import convert_reference_checkpoint
+    from opentransformer_tpu.models.registry import build_model
+
+    cfg = {**MODEL_CFG}
+    cfg["encoder"] = {**MODEL_CFG["encoder"], "concat_after": True}
+    cfg["decoder"] = {**MODEL_CFG["decoder"], "concat_after": True}
+
+    from otrans.model.speech2text import SpeechToText as TorchS2T
+
+    torch.manual_seed(3)
+    tmodel = TorchS2T(cfg)
+    tmodel.eval()
+
+    rng = np.random.default_rng(4)
+    b, t, f, u = 2, 29, 20, 5
+    feats = rng.normal(size=(b, t, f)).astype(np.float32)
+    feat_mask = np.ones((b, t), bool)
+    target_in = np.ones((b, u), np.int64)
+    target_in[:, 1:] = rng.integers(3, VOCAB, (b, u - 1))
+
+    t_logits, t_memory, _ = torch_logits(tmodel, feats, feat_mask, target_in)
+    chkpt = {
+        "frontend": tmodel.frontend.state_dict(),
+        "encoder": tmodel.encoder.state_dict(),
+        "decoder": tmodel.decoder.state_dict(),
+    }
+    params = jax.tree_util.tree_map(jnp.asarray, convert_reference_checkpoint(chkpt, cfg))
+    model = build_model(cfg)
+    memory, memory_mask = model.apply(params, jnp.asarray(feats), jnp.asarray(feat_mask), method="encode")
+    np.testing.assert_allclose(np.asarray(memory), t_memory, rtol=1e-3, atol=1e-4)
+    logits = model.apply(params, jnp.asarray(target_in.astype(np.int32)), memory, memory_mask, method="decode_full")
+    np.testing.assert_allclose(np.asarray(logits), t_logits, rtol=1e-3, atol=2e-4)
