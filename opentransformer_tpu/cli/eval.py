@@ -73,8 +73,14 @@ def postprocess(text: str, piece2word: bool = False) -> str:
 
 
 def load_checkpoint(path: str):
-    """Returns (params, config). Accepts an expdir or a checkpoint dir."""
+    """Returns (params, config). Accepts an expdir, a checkpoint dir, or a
+    reference torch ``.pt`` file (model or LM — converted on the fly)."""
     path = path.rstrip("/")
+    if path.endswith(".pt") and os.path.isfile(path):
+        from ..compat import load_reference_any
+
+        variables, cfg = load_reference_any(path)
+        return variables, (cfg or None)
     if os.path.basename(path).startswith("model."):
         if not os.path.isdir(path):
             raise SystemExit(f"error: checkpoint directory not found: {path}")

@@ -157,6 +157,87 @@ def convert_reference_checkpoint(chkpt: Mapping[str, Any], model_cfg: Mapping) -
     return {"params": params}
 
 
+def convert_transformer_lm(sd: Mapping, num_blocks: int, share_embedding: bool) -> dict:
+    """Reference transformer LM state dict ({params, model} checkpoints,
+    ``otrans/model/lm.py:94-163``) → flax params."""
+    out: dict = {"embedding": {"embedding": _np(sd["embedding.weight"])}}
+    for i in range(num_blocks):
+        p = f"blocks.{i}"
+        out[f"block_{i}"] = {
+            "slf_attn": _self_attn(sd, f"{p}.slf_attn"),
+            "ffn": _ffn(sd, f"{p}.feed_forward"),
+            "norm1": _layernorm(sd, f"{p}.norm1"),
+            "norm2": _layernorm(sd, f"{p}.norm2"),
+        }
+    if share_embedding:
+        out["output_bias"] = _np(sd["output_project.bias"])
+    else:
+        out["output_layer"] = _linear(sd, "output_project")
+    return {"params": out}
+
+
+def convert_rnn_lm(sd: Mapping, num_layers: int, share_embedding: bool) -> dict:
+    """Reference LSTM LM (torch nn.LSTM) → flax per-layer OptimizedLSTMCell.
+
+    torch fuses gates (i, f, g, o) into weight_ih/weight_hh [4H, H] with two
+    bias vectors; flax keeps per-gate dense kernels (ii/if/ig/io without
+    bias, hi/hf/hg/ho with bias) — the two torch biases sum into the h-side.
+    """
+    out: dict = {"embedding": {"embedding": _np(sd["embedding.weight"])}}
+    gates = ("i", "f", "g", "o")
+    flax_gate = {"i": "i", "f": "f", "g": "g", "o": "o"}
+    for layer in range(num_layers):
+        w_ih = _np(sd[f"rnn.weight_ih_l{layer}"])  # [4H, H]
+        w_hh = _np(sd[f"rnn.weight_hh_l{layer}"])
+        b = _np(sd[f"rnn.bias_ih_l{layer}"]) + _np(sd[f"rnn.bias_hh_l{layer}"])
+        h = w_ih.shape[0] // 4
+        cell: dict = {}
+        for gi, g in enumerate(gates):
+            sl = slice(gi * h, (gi + 1) * h)
+            cell[f"i{flax_gate[g]}"] = {"kernel": w_ih[sl].T}
+            cell[f"h{flax_gate[g]}"] = {"kernel": w_hh[sl].T, "bias": b[sl]}
+        out[f"lstm_{layer}"] = {"cell": cell}
+    if share_embedding:
+        out["output_bias"] = _np(sd["output_project.bias"])
+    else:
+        out["output_layer"] = _linear(sd, "output_project")
+    return {"params": out}
+
+
+def _convert_lm_chkpt(chkpt: Mapping) -> tuple[dict, dict]:
+    cfg = chkpt.get("params", {})
+    mc = cfg.get("model", cfg)
+    sd = chkpt["model"]
+    if mc.get("type") == "rnn_lm" or any(k.startswith("rnn.") for k in sd):
+        variables = convert_rnn_lm(sd, int(mc.get("num_layers", 2)),
+                                   bool(mc.get("share_embedding", True)))
+    else:
+        variables = convert_transformer_lm(sd, int(mc.get("num_blocks", 6)),
+                                           bool(mc.get("share_embedding", True)))
+    return variables, cfg
+
+
+def load_reference_lm_checkpoint(path: str) -> tuple[dict, dict]:
+    """Load a reference LM checkpoint ({params, model}, ``model/lm.py:165-171``)."""
+    import torch
+
+    return _convert_lm_chkpt(torch.load(path, map_location="cpu", weights_only=False))
+
+
+def load_reference_any(path: str) -> tuple[dict, dict]:
+    """Load any reference ``.pt`` checkpoint, dispatching on its key layout:
+    speech2text saves component state dicts ({frontend, encoder, decoder, ...},
+    ``model/speech2text.py:71-82``), LMs save one fused dict ({model},
+    ``model/lm.py:165-171``). Returns (flax variables, embedded config)."""
+    import torch
+
+    chkpt = torch.load(path, map_location="cpu", weights_only=False)
+    if "model" in chkpt and "encoder" not in chkpt:
+        return _convert_lm_chkpt(chkpt)
+    cfg = chkpt.get("params", {})
+    return convert_reference_checkpoint(chkpt, cfg.get("model", cfg)), cfg
+
+
 def load_reference_checkpoint(path: str, model_cfg: Mapping | None = None) -> tuple[dict, dict]:
     """Load a reference ``model.epoch.N.pt`` via torch. Returns
     (flax variables, embedded config dict)."""

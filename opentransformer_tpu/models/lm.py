@@ -89,6 +89,7 @@ class TransformerLanguageModel(nn.Module):
     residual_dropout: float = 0.1
     smoothing: float = 0.1
     share_embedding: bool = True
+    activation: str = "glu"  # the reference hardcodes glu (model/lm.py:113)
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -99,7 +100,8 @@ class TransformerLanguageModel(nn.Module):
         self.blocks = [
             TransformerLMLayer(
                 d_model=self.d_model, n_heads=self.n_heads, d_ff=self.d_ff,
-                residual_dropout=self.residual_dropout, dtype=self.dtype, name=f"block_{i}",
+                residual_dropout=self.residual_dropout, activation=self.activation,
+                dtype=self.dtype, name=f"block_{i}",
             )
             for i in range(self.num_blocks)
         ]
@@ -134,10 +136,12 @@ class TransformerLanguageModel(nn.Module):
         return self._project(x)
 
     def __call__(self, src, tgt, tgt_length, *, deterministic: bool = True):
-        """src = BOS⧺tokens, tgt = tokens⧺EOS. Returns (loss, aux)."""
-        pad_mask = src != PAD
-        pad_mask = pad_mask.at[:, 0].set(True)  # BOS shares id-space with EOS=1, always valid
-        logits = self.logits(src, pad_mask, deterministic=deterministic)
+        """src = BOS⧺tokens, tgt = tokens⧺EOS. Returns (loss, aux).
+
+        Reference parity: the self-attn mask is causal ONLY (get_seq_mask,
+        model/lm.py:14-18) — padded keys are attendable; the loss masks
+        padded outputs."""
+        logits = self.logits(src, deterministic=deterministic)
         return label_smoothing_loss(logits, tgt, self.smoothing, pad_id=PAD), {}
 
     def init_cache(self, batch: int, max_len: int):

@@ -250,3 +250,116 @@ def test_concat_after_logits_match_reference():
     np.testing.assert_allclose(np.asarray(memory), t_memory, rtol=1e-3, atol=1e-4)
     logits = model.apply(params, jnp.asarray(target_in.astype(np.int32)), memory, memory_mask, method="decode_full")
     np.testing.assert_allclose(np.asarray(logits), t_logits, rtol=1e-3, atol=2e-4)
+
+
+def _lm_batch(rng, b, u, lens):
+    """src = BOS⧺tokens⧺PAD, tgt = tokens⧺EOS⧺PAD (text-collate contract,
+    reference ``data/loader.py:24-63``)."""
+    src = np.zeros((b, u), np.int64)
+    tgt = np.zeros((b, u), np.int64)
+    for i, L in enumerate(lens):
+        toks = rng.integers(3, VOCAB, L)
+        src[i, 0] = 1
+        src[i, 1 : 1 + L] = toks
+        tgt[i, :L] = toks
+        tgt[i, L] = 1
+    return src, tgt
+
+
+def test_transformer_lm_matches_reference():
+    """Transformer LM: loss, full-sequence log-probs, and stepwise KV-cached
+    decode all match the reference ``model/lm.py:94-163``."""
+    import jax
+    import jax.numpy as jnp
+
+    from opentransformer_tpu.compat import convert_transformer_lm
+    from opentransformer_tpu.models.registry import build_model
+    from otrans.model.lm import TransformerLanguageModel as TorchTLM
+
+    pcfg = {"type": "transformer_lm", "vocab_size": VOCAB, "num_blocks": 2,
+            "d_model": 32, "n_heads": 2, "d_ff": 48, "residual_dropout": 0.1,
+            "share_embedding": True, "smoothing": 0.1}
+    torch.manual_seed(5)
+    tlm = TorchTLM(pcfg)
+    tlm.eval()
+
+    rng = np.random.default_rng(7)
+    b, u = 3, 9
+    lens = [8, 5, 3]
+    src, tgt = _lm_batch(rng, b, u, lens)
+
+    with torch.no_grad():
+        t_loss, _ = tlm({"inputs": torch.from_numpy(src)},
+                        {"targets": torch.from_numpy(tgt)})
+        t_logp = tlm.predict(torch.from_numpy(src), last_frame=False).numpy()
+
+    variables = jax.tree_util.tree_map(
+        jnp.asarray, convert_transformer_lm(tlm.state_dict(), 2, True))
+    model = build_model(pcfg)
+
+    loss, _ = model.apply(variables, jnp.asarray(src.astype(np.int32)),
+                          jnp.asarray(tgt.astype(np.int32)),
+                          jnp.asarray([L + 1 for L in lens]))
+    np.testing.assert_allclose(float(loss), float(t_loss), rtol=2e-4)
+
+    logits = model.apply(variables, jnp.asarray(src.astype(np.int32)), method="logits")
+    ours_logp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+    np.testing.assert_allclose(ours_logp, t_logp, rtol=1e-3, atol=2e-4)
+
+    # stepwise decode: cached step t must equal the full-prefix distribution
+    cache = model.apply(variables, b, u, method="init_cache")
+    for t in range(u - 1):
+        logp, cache = model.apply(
+            variables, jnp.asarray(src[:, t].astype(np.int32)), cache,
+            jnp.asarray(t), method="decode_step")
+        np.testing.assert_allclose(np.asarray(logp), t_logp[:, t], rtol=1e-3, atol=2e-4)
+
+
+def test_rnn_lm_matches_reference():
+    """LSTM LM: loss, full-sequence log-probs, and stepwise hidden-threaded
+    decode match the reference ``model/lm.py:33-91`` (torch fused-gate
+    weights split into flax per-gate kernels)."""
+    import jax
+    import jax.numpy as jnp
+
+    from opentransformer_tpu.compat import convert_rnn_lm
+    from opentransformer_tpu.models.registry import build_model
+    from otrans.model.lm import RecurrentLanguageModel as TorchRLM
+
+    pcfg = {"type": "rnn_lm", "vocab_size": VOCAB, "num_layers": 2,
+            "hidden_size": 24, "dropout": 0.1, "share_embedding": True,
+            "smoothing": 0.1}
+    torch.manual_seed(6)
+    rlm = TorchRLM(pcfg)
+    rlm.eval()
+
+    rng = np.random.default_rng(8)
+    b, u = 3, 8
+    lens = [7, 4, 2]
+    src, tgt = _lm_batch(rng, b, u, lens)
+
+    with torch.no_grad():
+        t_loss, _ = rlm({"inputs": torch.from_numpy(src)},
+                        {"targets": torch.from_numpy(tgt)})
+        t_logp, _ = rlm.predict(torch.from_numpy(src))
+        t_logp = t_logp.numpy()
+
+    variables = jax.tree_util.tree_map(
+        jnp.asarray, convert_rnn_lm(rlm.state_dict(), 2, True))
+    model = build_model(pcfg)
+
+    loss, _ = model.apply(variables, jnp.asarray(src.astype(np.int32)),
+                          jnp.asarray(tgt.astype(np.int32)),
+                          jnp.asarray([L + 1 for L in lens]))
+    np.testing.assert_allclose(float(loss), float(t_loss), rtol=2e-4)
+
+    logits = model.apply(variables, jnp.asarray(src.astype(np.int32)), method="logits")
+    ours_logp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+    np.testing.assert_allclose(ours_logp, t_logp, rtol=1e-3, atol=2e-4)
+
+    hidden = model.apply(variables, b, method="init_hidden")
+    for t in range(u - 1):
+        logp, hidden = model.apply(
+            variables, jnp.asarray(src[:, t].astype(np.int32)), hidden,
+            method="decode_step")
+        np.testing.assert_allclose(np.asarray(logp), t_logp[:, t], rtol=1e-3, atol=2e-4)
