@@ -154,7 +154,7 @@ def main(argv=None) -> int:
     if m:
         name += f"_avg{m.group(1)}-{m.group(2)}"
     expdir = args.load_model.rstrip("/")
-    if os.path.basename(expdir).startswith("model."):
+    if os.path.basename(expdir).startswith("model.") or expdir.endswith(".pt"):
         expdir = os.path.dirname(expdir)
     decode_dir = os.path.join(expdir, name)
     os.makedirs(decode_dir, exist_ok=True)

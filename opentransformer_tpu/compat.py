@@ -128,6 +128,59 @@ def convert_decoder(sd: Mapping, n_blocks: int, share_embedding: bool) -> dict:
     return out
 
 
+def convert_conformer_encoder(sd: Mapping, nblocks: int, relative_positional: bool = True,
+                              ref_compat: bool = True) -> tuple[dict, dict]:
+    """Reference conformer encoder (``otrans/encoder/conformer.py``) →
+    (flax params, batch_stats). ``ref_compat=True`` drops the post-FFN weights
+    the reference's forward never applies (SURVEY §8.2) and the rel-pos
+    attention has no out-proj to map (§8.3)."""
+    params: dict = {}
+    stats: dict = {}
+    for i in range(nblocks):
+        p = f"blocks.{i}"
+        if relative_positional:
+            # posu/posv: torch [1, 1, N, Dk] → ours [1, N, 1, Dk]
+            mha = {
+                "qkv_proj": _linear(sd, f"{p}.mha.qvk_proj"),
+                "pos_proj": {"dense": {"kernel": _np(sd[f"{p}.mha.pos_proj.weight"]).T}},
+                "posu": _np(sd[f"{p}.mha.posu"]).transpose(0, 2, 1, 3),
+                "posv": _np(sd[f"{p}.mha.posv"]).transpose(0, 2, 1, 3),
+            }
+            if not ref_compat:
+                mha["out_proj"] = _linear(sd, f"{p}.mha.output_proj")
+        else:
+            mha = _self_attn(sd, f"{p}.mha")
+        dw = _np(sd[f"{p}.conv.depthwise_conv.weight"])  # [C, 1, k]
+        conv_module = {
+            "pw1": _linear(sd, f"{p}.conv.pointwise_conv1"),
+            "dw_conv": {"kernel": dw.transpose(2, 1, 0),
+                        "bias": _np(sd[f"{p}.conv.depthwise_conv.bias"])},
+            "bn": {"scale": _np(sd[f"{p}.conv.batch_norm.weight"]),
+                   "bias": _np(sd[f"{p}.conv.batch_norm.bias"])},
+            "pw2": _linear(sd, f"{p}.conv.pointwise_conv2"),
+        }
+        stats[f"block_{i}"] = {
+            "conv_module": {"bn": {
+                "mean": _np(sd[f"{p}.conv.batch_norm.running_mean"]),
+                "var": _np(sd[f"{p}.conv.batch_norm.running_var"]),
+            }}
+        }
+        blk = {
+            "pre_ffn": _ffn(sd, f"{p}.pre_ffn"),
+            "pre_ffn_norm": _layernorm(sd, f"{p}.macaron_ffn_norm"),
+            "slf_attn": mha,
+            "attn_norm": _layernorm(sd, f"{p}.mha_norm"),
+            "conv_module": conv_module,
+            "conv_norm": _layernorm(sd, f"{p}.conv_norm"),
+            "post_ffn_norm": _layernorm(sd, f"{p}.post_ffn_norm"),
+            "final_norm": _layernorm(sd, f"{p}.final_norm"),
+        }
+        if not ref_compat:
+            blk["post_ffn"] = _ffn(sd, f"{p}.post_ffn")
+        params[f"block_{i}"] = blk
+    return params, stats
+
+
 def convert_ctc(sd: Mapping) -> dict:
     out = {"output_layer": _linear(sd, "output_layer")}
     # optional look-ahead depthwise conv: torch [D, 1, k] → flax [k, 1, D]
@@ -144,17 +197,29 @@ def convert_ctc(sd: Mapping) -> dict:
 def convert_reference_checkpoint(chkpt: Mapping[str, Any], model_cfg: Mapping) -> dict:
     """Full reference speech2text checkpoint → flax variables dict."""
     # reference class defaults: TransformerEncoder/Decoder n_blocks=6
-    enc_blocks = int(model_cfg["encoder"].get("n_blocks", 6))
     dec_blocks = int(model_cfg["decoder"].get("n_blocks", 6))
     share = bool(model_cfg["decoder"].get("share_embedding", True))
+    enc_cfg = model_cfg.get("encoder", {})
+    batch_stats = {}
+    if model_cfg.get("encoder_type", "transformer") == "conformer":
+        encoder, enc_stats = convert_conformer_encoder(
+            chkpt["encoder"], int(enc_cfg.get("nblocks", 12)),
+            relative_positional=bool(enc_cfg.get("relative_positional", True)),
+        )
+        batch_stats["encoder"] = enc_stats
+    else:
+        encoder = convert_encoder(chkpt["encoder"], int(enc_cfg.get("n_blocks", 6)))
     params = {
         "frontend": convert_frontend(chkpt["frontend"]),
-        "encoder": convert_encoder(chkpt["encoder"], enc_blocks),
+        "encoder": encoder,
         "decoder": convert_decoder(chkpt["decoder"], dec_blocks, share),
     }
     if "ctc" in chkpt and chkpt["ctc"]:
         params["ctc"] = convert_ctc(chkpt["ctc"])
-    return {"params": params}
+    out = {"params": params}
+    if batch_stats:
+        out["batch_stats"] = batch_stats
+    return out
 
 
 def convert_transformer_lm(sd: Mapping, num_blocks: int, share_embedding: bool) -> dict:
@@ -234,8 +299,21 @@ def load_reference_any(path: str) -> tuple[dict, dict]:
     chkpt = torch.load(path, map_location="cpu", weights_only=False)
     if "model" in chkpt and "encoder" not in chkpt:
         return _convert_lm_chkpt(chkpt)
-    cfg = chkpt.get("params", {})
+    cfg = _compat_cfg(chkpt.get("params", {}))
     return convert_reference_checkpoint(chkpt, cfg.get("model", cfg)), cfg
+
+
+def _compat_cfg(cfg: dict) -> dict:
+    """Adjust a reference-embedded config so the model it builds HERE matches
+    the model the reference actually trained: its conformer always used
+    BatchNorm and its forward had the §8.2/§8.3 defects (ref_compat)."""
+    mc = cfg.get("model")
+    if isinstance(mc, dict) and mc.get("encoder_type") == "conformer":
+        enc = dict(mc.get("encoder", {}))
+        enc.setdefault("conv_norm_type", "batch")
+        enc.setdefault("ref_compat", True)
+        cfg = {**cfg, "model": {**mc, "encoder": enc}}
+    return cfg
 
 
 def load_reference_checkpoint(path: str, model_cfg: Mapping | None = None) -> tuple[dict, dict]:
@@ -244,7 +322,7 @@ def load_reference_checkpoint(path: str, model_cfg: Mapping | None = None) -> tu
     import torch
 
     chkpt = torch.load(path, map_location="cpu", weights_only=False)
-    cfg = chkpt.get("params", {})
+    cfg = _compat_cfg(chkpt.get("params", {}))
     mc = model_cfg or cfg.get("model", cfg)
     return convert_reference_checkpoint(chkpt, mc), cfg
 

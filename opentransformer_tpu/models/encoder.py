@@ -195,6 +195,7 @@ class ConformerEncoderBlock(nn.Module):
     conv_norm_type: str = "layer"
     relative_positional: bool = True
     activation: str = "glu"
+    ref_compat: bool = False  # replicate the reference's trained-forward defects (§8.2, §8.3)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -211,7 +212,8 @@ class ConformerEncoderBlock(nn.Module):
             h = nn.LayerNorm(dtype=self.dtype, name="attn_norm")(x)
             if self.relative_positional:
                 h, w = RelPosSelfAttention(
-                    self.n_heads, self.d_model, self.slf_attn_dropout, dtype=self.dtype, name="slf_attn"
+                    self.n_heads, self.d_model, self.slf_attn_dropout,
+                    use_out_proj=not self.ref_compat, dtype=self.dtype, name="slf_attn"
                 )(h, attn_mask, pos_emb, deterministic=deterministic)
             else:
                 h, w = MultiHeadSelfAttention(
@@ -238,13 +240,18 @@ class ConformerEncoderBlock(nn.Module):
             x, w = attn_sub(x)
             x = conv_sub(x)
 
-        # second macaron FFN — the intended architecture (the reference's
-        # forward() forgot it, otrans/encoder/conformer.py:87; not replicated)
+        # second macaron FFN — the intended architecture. The reference's
+        # forward() forgot it and applies post_ffn_norm as a bare LayerNorm
+        # (otrans/encoder/conformer.py:87); ref_compat=True replicates that so
+        # trained reference checkpoints import with exact logits.
         h = nn.LayerNorm(dtype=self.dtype, name="post_ffn_norm")(x)
-        h = PositionwiseFeedForward(
-            self.d_model, self.d_ff, self.activation, self.ffn_dropout, dtype=self.dtype, name="post_ffn"
-        )(h, deterministic=deterministic)
-        x = x + scale * nn.Dropout(self.residual_dropout)(h, deterministic=deterministic)
+        if self.ref_compat:
+            x = h
+        else:
+            h = PositionwiseFeedForward(
+                self.d_model, self.d_ff, self.activation, self.ffn_dropout, dtype=self.dtype, name="post_ffn"
+            )(h, deterministic=deterministic)
+            x = x + scale * nn.Dropout(self.residual_dropout)(h, deterministic=deterministic)
         x = nn.LayerNorm(dtype=self.dtype, name="final_norm")(x)
         return x, w
 
@@ -270,6 +277,7 @@ class ConformerEncoder(nn.Module):
     relative_positional: bool = True
     chunk_size: int = 0
     left_chunks: int = -1
+    ref_compat: bool = False  # import-compat with reference-trained conformers (§8.2/§8.3)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -305,6 +313,7 @@ class ConformerEncoder(nn.Module):
                 conv_norm_type=self.conv_norm_type,
                 relative_positional=self.relative_positional,
                 activation=self.activation,
+                ref_compat=self.ref_compat,
                 dtype=self.dtype,
                 name=f"block_{i}",
             )(x, pad_mask, attn_mask, pos_emb, deterministic=deterministic, train=train)

@@ -311,7 +311,8 @@ class RelPosSelfAttention(nn.Module):
     (bias-free) projection of sinusoidal embeddings of positions
     [-(T-1)..T-1], learned per-head content/position biases (posu/posv).
     The reference's missing-output-projection defect (SURVEY §8.3) is NOT
-    replicated: this module always applies out_proj.
+    replicated by default; ``use_out_proj=False`` opts into it for importing
+    trained reference checkpoints (the head concat is returned raw).
     """
 
     n_heads: int
@@ -319,13 +320,15 @@ class RelPosSelfAttention(nn.Module):
     dropout_rate: float = 0.0
     share_qvk_proj: bool = False
     skip_term_b: bool = False
+    use_out_proj: bool = True
     dtype: Dtype = jnp.float32
 
     def setup(self):
         out_dim = self.d_model if self.share_qvk_proj else 3 * self.d_model
         self.qkv_proj = TorchLinear(out_dim, dtype=self.dtype, name="qkv_proj")
         self.pos_proj = TorchLinear(self.d_model, use_bias=False, dtype=self.dtype, name="pos_proj")
-        self.out_proj = TorchLinear(self.d_model, dtype=self.dtype, name="out_proj")
+        if self.use_out_proj:
+            self.out_proj = TorchLinear(self.d_model, dtype=self.dtype, name="out_proj")
         d_k = self.d_model // self.n_heads
         self.posu = self.param("posu", nn.initializers.xavier_normal(), (1, self.n_heads, 1, d_k))
         self.posv = self.param("posv", nn.initializers.xavier_normal(), (1, self.n_heads, 1, d_k))
@@ -361,7 +364,9 @@ class RelPosSelfAttention(nn.Module):
         scores = apply_attn_mask(scores, mask)
         weights = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
         ctx = jnp.einsum("bhqk,bhkd->bhqd", weights, v, preferred_element_type=jnp.float32).astype(self.dtype)
-        out = self.out_proj(merge_heads(ctx))
+        out = merge_heads(ctx)
+        if self.use_out_proj:
+            out = self.out_proj(out)
         out = self.attn_dropout(out, deterministic=deterministic)
         return out, weights
 
@@ -416,10 +421,12 @@ class ConformerConvModule(nn.Module):
     @nn.compact
     def __call__(self, x, pad_mask=None, *, deterministic: bool = True, train: bool = False):
         # x: [B, T, D]; pad_mask: bool[B, T]
-        if pad_mask is not None:
-            x = x * pad_mask[..., None].astype(x.dtype)
         h = TorchLinear(2 * self.d_model, dtype=self.dtype, name="pw1")(x)
         h = glu(h)
+        # zero padded positions AFTER the GLU (reference conformer.py:44-46) so
+        # they contribute zeros — not GLU(bias) — to the depthwise conv window
+        if pad_mask is not None:
+            h = h * pad_mask[..., None].astype(h.dtype)
         # depthwise conv over time, 'SAME' padding
         h = nn.Conv(
             features=self.d_model,

@@ -363,3 +363,63 @@ def test_rnn_lm_matches_reference():
             variables, jnp.asarray(src[:, t].astype(np.int32)), hidden,
             method="decode_step")
         np.testing.assert_allclose(np.asarray(logp), t_logp[:, t], rtol=1e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("relative_positional", [True, False])
+def test_conformer_encoder_matches_reference(relative_positional):
+    """ref_compat conformer import: encoder memory and decoder logits match
+    the reference's *trained* forward (which skips the post-FFN, §8.2, and has
+    no rel-pos out-proj, §8.3) with BatchNorm running stats mapped.
+    residual_dropout must be 0 here: the reference uses functional F.dropout
+    with training=True even under eval()."""
+    import jax
+    import jax.numpy as jnp
+
+    from opentransformer_tpu.compat import convert_reference_checkpoint
+    from opentransformer_tpu.models.registry import build_model
+
+    ref_enc = {
+        "d_model": 32, "n_heads": 2, "d_ff": 48, "nblocks": 2,
+        "cov_kernel_size": 7, "pos_dropout": 0.0, "slf_attn_dropout": 0.0,
+        "ffn_dropout": 0.0, "residual_dropout": 0.0, "conv_dropout": 0.0,
+        "macaron_style": True, "ffn_scale": 0.5, "conv_bias": True,
+        "positional_encoding": True, "relative_positional": relative_positional,
+        "conv_first": False, "activation": "glu",
+    }
+    ref_cfg = {**MODEL_CFG, "encoder_type": "conformer", "encoder": ref_enc}
+
+    from otrans.model.speech2text import SpeechToText as TorchS2T
+
+    torch.manual_seed(9)
+    tmodel = TorchS2T(ref_cfg)
+    tmodel.eval()
+
+    rng = np.random.default_rng(10)
+    b, t, f, u = 2, 37, 20, 6
+    feats = rng.normal(size=(b, t, f)).astype(np.float32)
+    feat_mask = np.ones((b, t), bool)
+    feat_mask[1, 28:] = False
+    target_in = np.ones((b, u), np.int64)
+    target_in[:, 1:] = rng.integers(3, VOCAB, (b, u - 1))
+
+    t_logits, t_memory, _ = torch_logits(tmodel, feats, feat_mask, target_in)
+
+    our_cfg = {**ref_cfg, "encoder": {**ref_enc, "conv_norm_type": "batch",
+                                      "ref_compat": True}}
+    chkpt = {
+        "frontend": tmodel.frontend.state_dict(),
+        "encoder": tmodel.encoder.state_dict(),
+        "decoder": tmodel.decoder.state_dict(),
+    }
+    variables = jax.tree_util.tree_map(
+        jnp.asarray, convert_reference_checkpoint(chkpt, our_cfg))
+    model = build_model(our_cfg)
+
+    memory, memory_mask = model.apply(
+        variables, jnp.asarray(feats), jnp.asarray(feat_mask), method="encode")
+    np.testing.assert_allclose(np.asarray(memory), t_memory, rtol=1e-3, atol=5e-4)
+
+    logits = model.apply(
+        variables, jnp.asarray(target_in.astype(np.int32)), memory, memory_mask,
+        method="decode_full")
+    np.testing.assert_allclose(np.asarray(logits), t_logits, rtol=1e-3, atol=1e-3)
