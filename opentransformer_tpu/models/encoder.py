@@ -50,42 +50,71 @@ class TransformerEncoderLayer(nn.Module):
     relative_positional: bool = False
     dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
+        self.norm2 = nn.LayerNorm(dtype=self.dtype, name="norm2")
+        if self.relative_positional:
+            self.slf_attn = RelPosSelfAttention(
+                self.n_heads, self.d_model, self.slf_attn_dropout, dtype=self.dtype, name="slf_attn"
+            )
+        else:
+            self.slf_attn = MultiHeadSelfAttention(
+                self.n_heads, self.d_model, self.slf_attn_dropout, dtype=self.dtype, name="slf_attn"
+            )
+        if self.concat_after:
+            self.concat_linear = TorchLinear(self.d_model, dtype=self.dtype, name="concat_linear")
+        self.ffn = PositionwiseFeedForward(
+            self.d_model, self.d_ff, self.activation, self.ffn_dropout, dtype=self.dtype, name="ffn"
+        )
+        self.res_dropout = nn.Dropout(self.residual_dropout)
+
     def __call__(self, x, attn_mask, pos_emb=None, deterministic: bool = True):
         # (deterministic is positional-friendly for nn.remat static_argnums)
         # reference-parity pre-norm: the residual is the NORMALIZED tensor
         # (encoder/transformer.py:43-45 sets residual after norm1) — not
         # standard pre-LN. Post-norm (the shipped configs) is unaffected.
-        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x) if self.normalize_before else x
+        h = self.norm1(x) if self.normalize_before else x
         residual = h if self.normalize_before else x
         if self.relative_positional:
-            attn_out, w = RelPosSelfAttention(
-                self.n_heads, self.d_model, self.slf_attn_dropout, dtype=self.dtype, name="slf_attn"
-            )(h, attn_mask, pos_emb, deterministic=deterministic)
+            attn_out, w = self.slf_attn(h, attn_mask, pos_emb, deterministic=deterministic)
         else:
-            attn_out, w = MultiHeadSelfAttention(
-                self.n_heads, self.d_model, self.slf_attn_dropout, dtype=self.dtype, name="slf_attn"
-            )(h, attn_mask, deterministic=deterministic)
+            attn_out, w = self.slf_attn(h, attn_mask, deterministic=deterministic)
         if self.concat_after:
             # reference parity: the concat_after branch applies NO residual
             # dropout (encoder/transformer.py:52-54)
-            h = residual + TorchLinear(self.d_model, dtype=self.dtype, name="concat_linear")(
-                jnp.concatenate([h, attn_out], axis=-1)
-            )
+            h = residual + self.concat_linear(jnp.concatenate([h, attn_out], axis=-1))
         else:
-            h = residual + nn.Dropout(self.residual_dropout)(attn_out, deterministic=deterministic)
+            h = residual + self.res_dropout(attn_out, deterministic=deterministic)
         if not self.normalize_before:
-            h = nn.LayerNorm(dtype=self.dtype, name="norm1")(h)
+            h = self.norm1(h)
 
-        h2 = nn.LayerNorm(dtype=self.dtype, name="norm2")(h) if self.normalize_before else h
+        h2 = self.norm2(h) if self.normalize_before else h
         residual = h2 if self.normalize_before else h
-        ffn_out = PositionwiseFeedForward(
-            self.d_model, self.d_ff, self.activation, self.ffn_dropout, dtype=self.dtype, name="ffn"
-        )(h2, deterministic=deterministic)
-        h = residual + nn.Dropout(self.residual_dropout)(ffn_out, deterministic=deterministic)
+        ffn_out = self.ffn(h2, deterministic=deterministic)
+        h = residual + self.res_dropout(ffn_out, deterministic=deterministic)
         if not self.normalize_before:
-            h = nn.LayerNorm(dtype=self.dtype, name="norm2")(h)
+            h = self.norm2(h)
         return h, w
+
+    def encode_step(self, x, cache_k, cache_v, kv_mask):
+        """Frame-synchronous chunk step (inference-only, abs-PE attention):
+        the C new frames attend to the shifting left-context KV cache plus
+        themselves. Exactly matches __call__ under ``chunk_attn_mask``."""
+        h = self.norm1(x) if self.normalize_before else x
+        residual = h if self.normalize_before else x
+        attn_out, new_k, new_v = self.slf_attn.chunk_step(h, cache_k, cache_v, kv_mask)
+        if self.concat_after:
+            h = residual + self.concat_linear(jnp.concatenate([h, attn_out], axis=-1))
+        else:
+            h = residual + attn_out
+        if not self.normalize_before:
+            h = self.norm1(h)
+        h2 = self.norm2(h) if self.normalize_before else h
+        residual = h2 if self.normalize_before else h
+        h = residual + self.ffn(h2)
+        if not self.normalize_before:
+            h = self.norm2(h)
+        return h, new_k, new_v
 
 
 class TransformerEncoder(nn.Module):
@@ -107,7 +136,42 @@ class TransformerEncoder(nn.Module):
     scan_layers: bool = False  # lax.scan over stacked blocks: O(1) HLO size
     dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        if not self.relative_positional:
+            self.pos_enc = PositionalEncoding(
+                self.d_model, dropout_rate=self.pos_dropout, dtype=self.dtype, name="pos_enc"
+            )
+        if self.normalize_before:
+            self.after_norm = nn.LayerNorm(dtype=self.dtype, name="after_norm")
+        layer_kw = dict(
+            d_model=self.d_model, n_heads=self.n_heads, d_ff=self.d_ff,
+            slf_attn_dropout=self.slf_attn_dropout, ffn_dropout=self.ffn_dropout,
+            residual_dropout=self.residual_dropout, normalize_before=self.normalize_before,
+            concat_after=self.concat_after, activation=self.activation,
+            relative_positional=self.relative_positional, dtype=self.dtype,
+        )
+        layer_cls = (nn.remat(TransformerEncoderLayer, static_argnums=(4,))
+                     if self.remat else TransformerEncoderLayer)
+        if self.scan_layers:
+            # stacked-parameter blocks traversed by lax.scan: the compiled
+            # program contains ONE block body instead of n_blocks copies —
+            # near-constant HLO size and compile time in depth. Param leaves
+            # get a leading [n_blocks] dim (path 'blocks/...'); the unstacked
+            # per-block layout remains the default for reference-checkpoint
+            # interchange.
+            self.blocks = nn.scan(
+                layer_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=self.n_blocks,
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+            )(**layer_kw, name="blocks")
+        else:
+            self.layers = [
+                layer_cls(**layer_kw, name=f"block_{i}")
+                for i in range(self.n_blocks)
+            ]
+
     def __call__(self, x, pad_mask, *, deterministic: bool = True, return_attn: bool = False):
         """x: [B, T, D]; pad_mask: bool[B, T] → (y [B,T,D], pad_mask, attn?)."""
         t = x.shape[1]
@@ -121,63 +185,80 @@ class TransformerEncoder(nn.Module):
             pos = jnp.arange(-(t - 1), t)
             pos_emb = sinusoid_position_encoding(pos, self.d_model)[None].astype(self.dtype)
         else:
-            x = PositionalEncoding(
-                self.d_model, dropout_rate=self.pos_dropout, dtype=self.dtype, name="pos_enc"
-            )(x, deterministic=deterministic)
+            x = self.pos_enc(x, deterministic=deterministic)
 
-        layer_kw = dict(
-            d_model=self.d_model, n_heads=self.n_heads, d_ff=self.d_ff,
-            slf_attn_dropout=self.slf_attn_dropout, ffn_dropout=self.ffn_dropout,
-            residual_dropout=self.residual_dropout, normalize_before=self.normalize_before,
-            concat_after=self.concat_after, activation=self.activation,
-            relative_positional=self.relative_positional, dtype=self.dtype,
-        )
         if self.scan_layers:
-            # stacked-parameter blocks traversed by lax.scan: the compiled
-            # program contains ONE block body instead of n_blocks copies —
-            # near-constant HLO size and compile time in depth. Param leaves
-            # get a leading [n_blocks] dim (path 'blocks/...'); the unstacked
-            # per-block layout remains the default for reference-checkpoint
-            # interchange.
-            scan_cls = nn.scan(
-                nn.remat(TransformerEncoderLayer, static_argnums=(4,))
-                if self.remat else TransformerEncoderLayer,
-                variable_axes={"params": 0},
-                split_rngs={"params": True, "dropout": True},
-                length=self.n_blocks,
-                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
-            )
-            x, ws = scan_cls(**layer_kw, name="blocks")(x, attn_mask, pos_emb, deterministic)
+            x, ws = self.blocks(x, attn_mask, pos_emb, deterministic)
             if self.normalize_before:
-                x = nn.LayerNorm(dtype=self.dtype, name="after_norm")(x)
+                x = self.after_norm(x)
             if return_attn:
                 return x, pad_mask, {"enc_blocks": ws}
             return x, pad_mask
 
         attns = {}
-        layer_cls = nn.remat(TransformerEncoderLayer, static_argnums=(4,)) if self.remat else TransformerEncoderLayer
-        for i in range(self.n_blocks):
-            x, w = layer_cls(
-                d_model=self.d_model,
-                n_heads=self.n_heads,
-                d_ff=self.d_ff,
-                slf_attn_dropout=self.slf_attn_dropout,
-                ffn_dropout=self.ffn_dropout,
-                residual_dropout=self.residual_dropout,
-                normalize_before=self.normalize_before,
-                concat_after=self.concat_after,
-                activation=self.activation,
-                relative_positional=self.relative_positional,
-                dtype=self.dtype,
-                name=f"block_{i}",
-            )(x, attn_mask, pos_emb, deterministic)
+        for i, layer in enumerate(self.layers):
+            x, w = layer(x, attn_mask, pos_emb, deterministic)
             if return_attn:
                 attns[f"enc_block_{i}"] = w
         if self.normalize_before:
-            x = nn.LayerNorm(dtype=self.dtype, name="after_norm")(x)
+            x = self.after_norm(x)
         if return_attn:
             return x, pad_mask, attns
         return x, pad_mask
+
+    # ---- frame-synchronous streaming (chunked-attention models) ----------
+
+    def init_stream_cache(self, batch: int):
+        """Per-block shifting KV caches for ``encode_step``. Requires a
+        chunked-attention config (``chunk_size > 0``, ``left_chunks >= 0``)."""
+        if self.chunk_size <= 0 or self.left_chunks < 0:
+            raise ValueError(
+                "streaming encode requires chunk_size > 0 and left_chunks >= 0 "
+                f"(got chunk_size={self.chunk_size}, left_chunks={self.left_chunks})"
+            )
+        if self.relative_positional or self.scan_layers:
+            raise NotImplementedError(
+                "streaming encode supports absolute-PE, unstacked encoders"
+            )
+        left = self.left_chunks * self.chunk_size
+        d_k = self.d_model // self.n_heads
+        shape = (batch, self.n_heads, left, d_k)
+        return [
+            {"k": jnp.zeros(shape, self.dtype), "v": jnp.zeros(shape, self.dtype)}
+            for _ in range(self.n_blocks)
+        ]
+
+    def encode_step(self, x_chunk, cache, start, cache_len, chunk_mask=None):
+        """One frame-synchronous step over a ``chunk_size``-frame block.
+
+        Produces outputs identical to ``__call__`` under ``chunk_attn_mask``
+        — per-layer KV caches hold each layer's last ``left_chunks`` blocks,
+        so no recompute and O(chunk · left) attention per step.
+
+        Args:
+          x_chunk: [B, C, D] frontend output frames (C = chunk_size).
+          cache: pytree from ``init_stream_cache``.
+          start: i32 scalar — global frame index of the chunk's first frame.
+          cache_len: i32 scalar — valid frames currently in the cache.
+          chunk_mask: optional bool[B, C] validity of the new frames (final
+            partial chunk).
+
+        Returns (y_chunk [B, C, D], new_cache).
+        """
+        b, c, _ = x_chunk.shape
+        left = self.left_chunks * self.chunk_size
+        x = self.pos_enc(x_chunk, start=start)
+        cache_valid = jnp.arange(left) >= (left - cache_len)
+        key_valid = jnp.broadcast_to(cache_valid[None], (b, left))
+        new_valid = chunk_mask if chunk_mask is not None else jnp.ones((b, c), bool)
+        kv_mask = jnp.concatenate([key_valid, new_valid], axis=1)[:, None, None, :]
+        new_cache = []
+        for layer, lc in zip(self.layers, cache):
+            x, nk, nv = layer.encode_step(x, lc["k"], lc["v"], kv_mask)
+            new_cache.append({"k": nk, "v": nv})
+        if self.normalize_before:
+            x = self.after_norm(x)
+        return x, new_cache
 
 
 class ConformerEncoderBlock(nn.Module):

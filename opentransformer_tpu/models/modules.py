@@ -131,9 +131,10 @@ class PositionalEncoding(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, start: int = 0, deterministic: bool = True):
+    def __call__(self, x, *, start=0, deterministic: bool = True):
+        # start may be a traced scalar (streaming encode offsets)
         t = x.shape[1]
-        pos = jnp.arange(start, start + t)
+        pos = jnp.arange(t) + start
         pe = sinusoid_position_encoding(pos, self.dim)[None].astype(self.dtype)
         if self.scale_learnable:
             alpha = self.param("alpha", nn.initializers.ones, ())
@@ -233,6 +234,29 @@ class MultiHeadSelfAttention(nn.Module):
         ctx, _ = attention_context(q, cache_k.astype(self.dtype), cache_v.astype(self.dtype), valid, self.dtype)
         out = self.out_proj(merge_heads(ctx))
         return out, cache_k, cache_v
+
+    def chunk_step(self, x, cache_k, cache_v, kv_mask=None):
+        """Chunk-streaming attention: queries are the C new frames, keys and
+        values are [cache ∥ new] — the shifting left-context buffer of
+        frame-synchronous encoding (no reference equivalent; the reference is
+        batch-only).
+
+        Args:
+          x: [B, C, D] new frames.
+          cache_k/cache_v: [B, H, L, Dh] left-context key/value buffer
+            (newest at the end; zeros until warm).
+          kv_mask: optional bool broadcastable [B, 1/H, C, L+C].
+
+        Returns (out [B, C, D], new_k, new_v) where the new caches are the
+        last L entries of [cache ∥ new].
+        """
+        q, k_c, v_c = self._qkv(x)
+        k = jnp.concatenate([cache_k.astype(k_c.dtype), k_c], axis=2)
+        v = jnp.concatenate([cache_v.astype(v_c.dtype), v_c], axis=2)
+        ctx, _ = attention_context(q, k, v, kv_mask, self.dtype)
+        out = self.out_proj(merge_heads(ctx))
+        keep = cache_k.shape[2]
+        return out, k[:, :, k.shape[2] - keep:], v[:, :, v.shape[2] - keep:]
 
 
 class MultiHeadCrossAttention(nn.Module):

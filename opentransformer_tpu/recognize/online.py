@@ -1,0 +1,208 @@
+"""Frame-synchronous online (incremental) encoding and recognition.
+
+The reference is strictly batch/offline — its encoder ``inference()`` paths
+are dead code (``otrans/encoder/conformer.py:165-183`` commented out;
+``model/ctc.py:98-121`` crashes, SURVEY §8.4). This module provides the
+missing true-online front door on top of the chunked-attention encoder
+(``TransformerEncoder.encode_step``): features arrive in fixed-size chunks,
+the conv frontend is computed incrementally (one-chunk lookahead — its
+receptive field extends ``excess`` frames past each hop boundary), and every
+encoder layer keeps a shifting KV cache of its last ``left_chunks`` blocks.
+Streamed outputs are **bit-exact** with the batch chunked encode, so a model
+trained offline with ``chunk_size``/``left_chunks`` serves online unchanged.
+
+TPU notes: the per-chunk step is ONE jitted function of static shapes
+(frontend window → encoder chunk step); per-step cost is O(chunk · left)
+attention — constant latency per chunk regardless of stream length.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import BLK
+
+
+def _frontend_geometry(frontend_cfg: dict) -> tuple[int, int]:
+    """(hop, excess): one frontend output consumes ``hop`` new raw frames and
+    its receptive field reaches ``excess`` frames past the hop boundary."""
+    ks = frontend_cfg.get("kernel_size", [[3, 3], [3, 3]])
+    st = frontend_cfg.get("stride", [2, 2])
+    k1, k2 = int(ks[0][0]), int(ks[1][0])
+    s1, s2 = int(st[0]), int(st[1])
+    hop = s1 * s2
+    rf = (k2 - 1) * s1 + k1  # raw frames covered by one output
+    return hop, rf - hop
+
+
+class StreamingEncoderSession:
+    """Incremental encoder for one (batched, equal-length) feature stream.
+
+    Feed raw feature chunks of exactly ``chunk_size * hop`` frames; each feed
+    after the first emits ``chunk_size`` encoder frames (one-chunk algorithmic
+    latency from the frontend lookahead). ``finish()`` flushes the tail.
+
+    Restrictions: conv frontend + transformer encoder with absolute PE and a
+    chunked-attention config (``chunk_size > 0``, ``left_chunks >= 0``).
+    """
+
+    def __init__(self, model, params, batch: int = 1):
+        enc_cfg = model.encoder_cfg
+        self.chunk = int(enc_cfg.get("chunk_size", 0))
+        left_chunks = int(enc_cfg.get("left_chunks", -1))
+        if self.chunk <= 0 or left_chunks < 0:
+            raise ValueError("streaming needs encoder chunk_size > 0 and left_chunks >= 0")
+        if model.frontend_type != "conv":
+            raise NotImplementedError("streaming supports the conv frontend")
+        self.model, self.params, self.batch = model, params, batch
+        self.hop, self.excess = _frontend_geometry(model.frontend_cfg)
+        self.raw_chunk = self.chunk * self.hop  # raw frames per feed
+        self.left = left_chunks * self.chunk
+
+        def _encode_chunk(mdl, window, cache, start, cache_len, chunk_mask):
+            x, _ = mdl.frontend(window, jnp.ones(window.shape[:2], bool))
+            x = x[:, : self.chunk]
+            return mdl.encoder.encode_step(x, cache, start, cache_len, chunk_mask)
+
+        def step(params, window, cache, start, cache_len, chunk_mask):
+            return model.apply(params, window, cache, start, cache_len,
+                               chunk_mask, method=_encode_chunk)
+
+        self._step = jax.jit(step)
+        self.cache = model.apply(params, batch,
+                                 method=lambda m, b: m.encoder.init_stream_cache(b))
+        self._prev: Optional[np.ndarray] = None
+        self._finished = False
+        self._raw_seen = 0     # raw frames in fully-fed chunks
+        self._emitted = 0      # encoder frames emitted
+        self._outputs: list[jnp.ndarray] = []
+
+    def _emit(self, window: jnp.ndarray, n_valid: int) -> list[jnp.ndarray]:
+        """Encoder-step over the frontend outputs of ``window``; the first
+        ``n_valid`` outputs are real, the rest pad. Appends to _outputs."""
+        new = []
+        for s in range(-(-n_valid // self.chunk)):
+            lo = s * self.chunk
+            valid = min(self.chunk, n_valid - lo)
+            w = window[:, lo * self.hop: lo * self.hop + self.raw_chunk + self.excess]
+            mask = jnp.broadcast_to(
+                jnp.arange(self.chunk)[None] < valid, (self.batch, self.chunk))
+            y, self.cache = self._step(
+                self.params, w, self.cache,
+                jnp.asarray(self._emitted, jnp.int32),
+                jnp.asarray(min(self.left, self._emitted), jnp.int32), mask,
+            )
+            self._emitted += valid
+            new.append(y[:, :valid])
+        self._outputs.extend(new)
+        return new
+
+    def feed(self, raw: np.ndarray) -> list[jnp.ndarray]:
+        """Feed f32[B, chunk·hop, F]; returns newly emitted encoder chunks
+        (empty on the first feed — frontend lookahead)."""
+        if self._finished:
+            raise RuntimeError("session already finished")
+        raw = np.asarray(raw, np.float32)
+        if raw.shape[0] != self.batch or raw.shape[1] != self.raw_chunk:
+            raise ValueError(
+                f"expected [B={self.batch}, {self.raw_chunk}, F] chunk, got {raw.shape}")
+        new = []
+        if self._prev is not None:
+            window = jnp.asarray(
+                np.concatenate([self._prev, raw[:, : self.excess]], axis=1))
+            new = self._emit(window, self.chunk)
+            self._raw_seen += self.raw_chunk
+        self._prev = raw
+        return new
+
+    def finish(self, tail: Optional[np.ndarray] = None) -> tuple[jnp.ndarray, int]:
+        """Flush with an optional final partial chunk (< chunk·hop frames).
+        Returns (memory [B, T', D], T'). Newly emitted chunks are visible via
+        the return value of ``flush_chunks`` captured before concatenation."""
+        if self._finished:
+            raise RuntimeError("session already finished")
+        self._finished = True
+        parts = []
+        if self._prev is not None:
+            parts.append(self._prev)
+        if tail is not None and np.asarray(tail).shape[1] > 0:
+            tail = np.asarray(tail, np.float32)
+            if tail.shape[1] >= self.raw_chunk:
+                raise ValueError("tail must be shorter than one chunk; use feed()")
+            parts.append(tail)
+        if parts:
+            raw = np.concatenate(parts, axis=1)
+            n_raw_total = self._raw_seen + raw.shape[1]
+            from ..models.frontend import ConvFrontEnd
+
+            fc = self.model.frontend_cfg
+            t_total = ConvFrontEnd.output_length(
+                n_raw_total, fc.get("kernel_size", ((3, 3), (3, 3))),
+                fc.get("stride", (2, 2)))
+            remaining = t_total - self._emitted
+            if remaining > 0:
+                # zero-pad so every block sees a full fixed-size window
+                need = (-(-remaining // self.chunk)) * self.raw_chunk + self.excess
+                if need > raw.shape[1]:
+                    raw = np.concatenate(
+                        [raw, np.zeros((self.batch, need - raw.shape[1], raw.shape[2]),
+                                       np.float32)], axis=1)
+                self._emit(jnp.asarray(raw), remaining)
+        if not self._outputs:
+            d = int(self.model.encoder_cfg.get("d_model", 256))
+            return jnp.zeros((self.batch, 0, d)), 0
+        return jnp.concatenate(self._outputs, axis=1), self._emitted
+
+
+class StreamingCTCRecognizer:
+    """Frame-synchronous CTC recognition: greedy best-path tokens emitted as
+    chunks arrive (real-time counterpart of ``CTCRecognizer``; same collapse
+    rule, blank=PAD=0)."""
+
+    def __init__(self, model, params, batch: int = 1, idx2unit=None):
+        if getattr(model, "lookahead_steps", 0):
+            raise NotImplementedError(
+                "streaming CTC requires lookahead_steps=0 (the look-ahead conv "
+                "mixes future frames across chunk boundaries)")
+        self.session = StreamingEncoderSession(model, params, batch)
+        self.model, self.params = model, params
+        self.idx2unit = idx2unit
+        self._last = np.zeros(batch, np.int64)  # last frame id per stream (BLK init)
+        self.tokens: list[list[int]] = [[] for _ in range(batch)]
+
+        def project(params, memory):
+            return model.apply(
+                params, memory,
+                method=lambda m, mem: jnp.argmax(m.assistor.project(mem), axis=-1))
+
+        self._project = jax.jit(project)
+
+    def _consume(self, chunks) -> None:
+        for y in chunks:
+            if y.shape[1] == 0:
+                continue
+            ids = np.asarray(self._project(self.params, y))  # [B, c]
+            for b in range(ids.shape[0]):
+                for t in range(ids.shape[1]):
+                    i = int(ids[b, t])
+                    if i != BLK and i != self._last[b]:
+                        self.tokens[b].append(i)
+                    self._last[b] = i
+
+    def feed(self, raw: np.ndarray) -> list[list[int]]:
+        """Feed a raw feature chunk; returns the running token ids per stream."""
+        self._consume(self.session.feed(raw))
+        return [list(t) for t in self.tokens]
+
+    def finish(self, tail: Optional[np.ndarray] = None) -> list[str]:
+        """Flush; returns final transcripts (ids joined via idx2unit if given)."""
+        already = len(self.session._outputs)
+        self.session.finish(tail)
+        self._consume(self.session._outputs[already:])
+        if self.idx2unit is None:
+            return [" ".join(map(str, t)) for t in self.tokens]
+        return [" ".join(self.idx2unit.get(i, "<UNK>") for i in t) for t in self.tokens]

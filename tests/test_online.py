@@ -1,0 +1,128 @@
+"""Frame-synchronous streaming: incremental encode/CTC must match batch.
+
+The batch reference point is the SAME model applied offline with
+``chunk_attn_mask`` — streaming (recognize/online.py) must reproduce it
+bit-near-exactly chunk by chunk, including the conv-frontend lookahead and
+the final partial chunk.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from opentransformer_tpu.models.registry import build_model
+from opentransformer_tpu.ops.masks import length_to_mask
+from opentransformer_tpu.recognize.online import (
+    StreamingCTCRecognizer,
+    StreamingEncoderSession,
+)
+
+FRONTEND = {
+    "input_size": 12, "output_size": 24, "in_channel": 1, "mid_channel": 4,
+    "out_channel": 8, "kernel_size": [[3, 3], [3, 3]], "stride": [2, 2],
+    "dropout": 0.0, "act_func_type": "relu", "front_end_layer_norm": False,
+}
+ENCODER = {
+    "d_model": 24, "n_heads": 2, "d_ff": 32, "n_blocks": 3,
+    "residual_dropout": 0.0, "normalize_before": False, "activation": "glu",
+    "relative_positional": False, "chunk_size": 4, "left_chunks": 2,
+}
+
+
+def _s2t_cfg():
+    return {
+        "type": "speech2text", "frontend_type": "conv", "frontend": FRONTEND,
+        "encoder_type": "transformer", "encoder": ENCODER,
+        "decoder_type": "transformer",
+        "decoder": {"vocab_size": 20, "d_model": 24, "n_heads": 2, "d_ff": 32,
+                    "memory_dim": 24, "n_blocks": 1, "residual_dropout": 0.0,
+                    "activation": "glu", "normalize_before": False,
+                    "share_embedding": True},
+        "ctc_weight": 0.0, "smoothing": 0.1,
+    }
+
+
+def _ctc_cfg():
+    return {
+        "type": "ctc", "frontend_type": "conv", "frontend": FRONTEND,
+        "encoder_type": "transformer", "encoder": ENCODER,
+        "vocab_size": 20, "lookahead_steps": 0,
+    }
+
+
+def _init(cfg, t=80, b=2, seed=0):
+    model = build_model(cfg)
+    rng = np.random.default_rng(seed)
+    feats = rng.normal(size=(b, t, FRONTEND["input_size"])).astype(np.float32)
+    mask = np.ones((b, t), bool)
+    if cfg["type"] == "speech2text":
+        tgt = np.ones((b, 5), np.int64)
+        params = model.init(jax.random.PRNGKey(0), jnp.asarray(feats), jnp.asarray(mask),
+                            jnp.asarray(tgt.astype(np.int32)), jnp.asarray([4, 4]))
+    else:
+        tgt = np.ones((b, 6), np.int64)
+        params = model.init(jax.random.PRNGKey(0), jnp.asarray(feats), jnp.asarray(mask),
+                            jnp.asarray(tgt.astype(np.int32)), jnp.asarray([5, 5]))
+    return model, params, feats, mask
+
+
+@pytest.mark.parametrize("tail_frames", [0, 9])
+def test_streaming_encode_matches_batch(tail_frames):
+    """feed()-ing 16-raw-frame chunks + finish(tail) reproduces the batch
+    chunked encode exactly over every emitted frame."""
+    model, params, feats, mask = _init(_s2t_cfg(), t=64 + tail_frames)
+    b, t, _ = feats.shape
+
+    memory, memory_mask = model.apply(
+        params, jnp.asarray(feats), jnp.asarray(mask), method="encode")
+
+    sess = StreamingEncoderSession(model, params, batch=b)
+    rc = sess.raw_chunk
+    for s in range(64 // rc):
+        sess.feed(feats[:, s * rc:(s + 1) * rc])
+    stream_mem, t_valid = sess.finish(feats[:, 64:] if tail_frames else None)
+
+    t_batch = int(np.asarray(jnp.sum(memory_mask[0])))
+    assert t_valid == t_batch
+    np.testing.assert_allclose(
+        np.asarray(stream_mem[:, :t_valid]), np.asarray(memory[:, :t_valid]),
+        rtol=1e-5, atol=1e-5)
+
+
+def test_streaming_encode_rejects_unchunked():
+    cfg = _s2t_cfg()
+    cfg["encoder"] = {**ENCODER, "chunk_size": 0}
+    model, params, _, _ = _init(cfg)
+    with pytest.raises(ValueError):
+        StreamingEncoderSession(model, params)
+
+
+def test_streaming_ctc_matches_batch_greedy():
+    """Incremental greedy CTC equals offline greedy decoding on the same
+    chunked model (same collapse rule)."""
+    model, params, feats, mask = _init(_ctc_cfg(), t=73, seed=3)
+    b = feats.shape[0]
+
+    log_probs, mem_mask = model.apply(
+        params, jnp.asarray(feats), jnp.asarray(mask), method="recognize_logits")
+    ids = np.asarray(jnp.argmax(log_probs, axis=-1))
+    lens = np.asarray(jnp.sum(mem_mask, axis=1))
+    batch_tokens = []
+    for i in range(b):
+        out, last = [], 0
+        for t in range(int(lens[i])):
+            v = int(ids[i, t])
+            if v != 0 and v != last:
+                out.append(v)
+            last = v
+        batch_tokens.append(out)
+
+    rec = StreamingCTCRecognizer(model, params, batch=b)
+    rc = rec.session.raw_chunk
+    n_full = feats.shape[1] // rc
+    for s in range(n_full):
+        rec.feed(feats[:, s * rc:(s + 1) * rc])
+    hyps = rec.finish(feats[:, n_full * rc:])
+    assert rec.tokens == batch_tokens
+    assert hyps == [" ".join(map(str, t)) for t in batch_tokens]
