@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from .lm import RecurrentLanguageModel, TransformerLanguageModel
 from .speech2text import CTCModel, SpeechToText
+from .transducer import TransducerModel
 
 
 def _as_dict(cfg: Any) -> dict:
@@ -45,6 +46,17 @@ def build_model(model_cfg: Any, dtype=jnp.float32) -> nn.Module:
             lookahead_steps=int(model_cfg.get("lookahead_steps", 0)),
             dtype=dtype,
         )
+    if mtype == "transducer":
+        return TransducerModel(
+            frontend_type=model_cfg.get("frontend_type", "conv"),
+            frontend_cfg=_as_dict(model_cfg["frontend"]),
+            encoder_type=model_cfg.get("encoder_type", "transformer"),
+            encoder_cfg=_as_dict(model_cfg["encoder"]),
+            vocab_size=int(model_cfg["vocab_size"]),
+            predictor_cfg=_as_dict(model_cfg.get("predictor", {}) or {}),
+            d_joint=int(model_cfg.get("d_joint", model_cfg["encoder"].get("d_model", 256))),
+            dtype=dtype,
+        )
     if mtype == "transformer_lm":
         keys = TransformerLanguageModel.__dataclass_fields__
         kw = {k: v for k, v in _as_dict(model_cfg).items() if k in keys and k != "dtype"}
@@ -57,4 +69,4 @@ def build_model(model_cfg: Any, dtype=jnp.float32) -> nn.Module:
 
 
 LM_TYPES = ("rnn_lm", "transformer_lm")
-E2E_TYPES = ("speech2text", "ctc")
+E2E_TYPES = ("speech2text", "ctc", "transducer")

@@ -1,0 +1,98 @@
+"""RNN-Transducer loss (Graves 2012) — pure JAX, TPU-native.
+
+The reference ships only transducer vestiges (checkpoint keys ``joint`` /
+``look_ahead_conv`` loaded by ``eval.py:45-53``, CLI flags ``eval.py:223-226``;
+the model class lives in a sibling project). This implements the real thing.
+
+Shape convention: ``log_probs`` f32[B, T, U+1, V] — joint-network outputs over
+T encoder frames × (U+1) prediction states (state u = "u labels emitted so
+far"). Forward variables over the T×(U+1) lattice:
+
+    α[t, u] = logaddexp(α[t-1, u] + blank[t-1, u],  α[t, u-1] + emit[t, u-1])
+    loss    = -(α[T-1, U] + blank[T-1, U])
+
+TPU mapping: one ``lax.scan`` over T (the unavoidable sequential axis); the
+in-frame dependency over u — a first-order linear recurrence in the
+(logaddexp, +) semiring — runs as ``lax.associative_scan`` (O(log U) depth),
+so each scan step is wide vector work instead of a U-length chain.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1.0e30
+
+
+def _log_semiring_linrec(a, gain):
+    """Solve x[u] = logaddexp(a[u], gain[u] + x[u-1]) with x[-1] = -inf.
+
+    a, gain: f32[..., U]; returns x f32[..., U]. Elements (g, b) compose as
+    (g2, b2) ∘ (g1, b1) = (g1 + g2, logaddexp(b2, g2 + b1)), which is
+    associative — the recurrence is an associative scan over the last axis.
+    """
+
+    def combine(left, right):
+        g1, b1 = left
+        g2, b2 = right
+        return g1 + g2, jnp.logaddexp(b2, g2 + b1)
+
+    _, x = jax.lax.associative_scan(combine, (gain, a), axis=-1)
+    return x
+
+
+def rnnt_loss(
+    log_probs: jnp.ndarray,       # f32[B, T, U+1, V] (log-softmaxed joint logits)
+    labels: jnp.ndarray,          # i32[B, U]
+    frame_lengths: jnp.ndarray,   # i32[B]
+    label_lengths: jnp.ndarray,   # i32[B]
+    blank: int = 0,
+) -> jnp.ndarray:
+    """Per-utterance negative log-likelihood, f32[B]."""
+    b, t_max, u1, _ = log_probs.shape
+    u_max = u1 - 1
+    labels = labels[:, :u_max]  # tolerate wider collate rows (EOS/PAD tail)
+    lp_blank = log_probs[..., blank]  # [B, T, U+1]
+    # emit[b, t, u] = log P(label_u | frame t, u emitted), defined for u < U
+    emit = jnp.take_along_axis(
+        log_probs[:, :, :u_max, :], labels[:, None, :, None], axis=-1
+    )[..., 0]  # [B, T, U]
+    # forbid emitting beyond the true label length
+    u_ids = jnp.arange(u_max)[None, None, :]
+    emit = jnp.where(u_ids < label_lengths[:, None, None], emit, NEG_INF)
+
+    # step t: horizontal blank move from frame t-1 (identity for t=0), then
+    # the within-frame emit chain. α state carried = A_t[u] = α[t, u].
+    blank_in = jnp.concatenate(
+        [jnp.zeros((b, 1, u1)), lp_blank[:, :-1, :]], axis=1)  # [B, T, U+1]
+    alpha_init = jnp.full((b, u1), NEG_INF).at[:, 0].set(0.0)
+
+    xs = (
+        jnp.moveaxis(blank_in, 1, 0),   # blank[t-1] (0 at t=0)
+        jnp.moveaxis(lp_blank, 1, 0),   # blank[t]   (terminal read)
+        jnp.moveaxis(emit, 1, 0),       # emit[t]
+    )
+
+    def step(carry, inputs):
+        alpha, t = carry
+        blank_prev, blank_t, emit_t = inputs
+        horiz = alpha + blank_prev
+        gain = jnp.concatenate([jnp.full((b, 1), NEG_INF), emit_t], axis=1)
+        new = _log_semiring_linrec(horiz, gain)
+        # terminal: α[T_b-1, U_b] + blank[T_b-1, U_b], read exactly at t = T_b-1
+        a_last = jnp.take_along_axis(new, label_lengths[:, None], axis=1)[:, 0]
+        b_last = jnp.take_along_axis(blank_t, label_lengths[:, None], axis=1)[:, 0]
+        terminal = jnp.where(t == frame_lengths - 1, a_last + b_last, NEG_INF)
+        alpha = jnp.where((t < frame_lengths)[:, None], new, alpha)
+        return (alpha, t + 1), terminal
+
+    (_, _), terminals = jax.lax.scan(step, (alpha_init, 0), xs)  # [T, B]
+    ll = jnp.max(terminals, axis=0)  # exactly one finite entry per utterance
+    return -ll
+
+
+def rnnt_loss_mean(log_probs, labels, frame_lengths, label_lengths, blank: int = 0):
+    """Batch-mean RNNT loss (scalar)."""
+    return jnp.mean(
+        rnnt_loss(log_probs, labels, frame_lengths, label_lengths, blank))

@@ -214,6 +214,28 @@ class CTCRecognizer(Recognizer):
         return texts, scores
 
 
+class TransducerRecognizer(Recognizer):
+    """Frame-synchronous greedy transducer decoding (one jitted while_loop,
+    ``models/transducer.py:greedy_decode``). The reference's transducer
+    support is vestigial — checkpoint keys and CLI flags only
+    (``eval.py:45-53,223-226``); this family actually decodes."""
+
+    def __init__(self, model, params, idx2unit=None, max_symbols: int = 200):
+        super().__init__(model, params, idx2unit)
+
+        @jax.jit
+        def greedy(params, feats, feat_mask):
+            return model.apply(params, feats, feat_mask, max_symbols, method="greedy_decode")
+
+        self._jit_greedy = greedy
+
+    def recognize(self, feats, feat_mask):
+        tokens, n = self._jit_greedy(self.params, feats, feat_mask)
+        tokens, n = np.asarray(tokens), np.asarray(n)
+        texts = [[self.translate(tokens[i, : n[i]])] for i in range(len(n))]
+        return texts, np.zeros((len(n), 1), np.float32)
+
+
 def ctc_rescore_scores(logits, memory_mask, hyp: BeamHypotheses, weight: float) -> BeamHypotheses:
     """Joint CTC/attention n-best rescoring: final = (1-w)·att + w·ctc.
 
@@ -300,5 +322,9 @@ def build_recognizer(model_type: str, model, params, lm=None, lm_params=None, ar
             beam_width=get("ctc_beam_width", get("beam_width", 1)),
             nbest=get("nbest", 1), lm_path=get("ngram_lm", None),
             alpha=get("alpha", 0.0), beta=get("beta", 0.0),
+        )
+    if model_type == "transducer":
+        return TransducerRecognizer(
+            model, params, idx2unit=idx2unit, max_symbols=get("max_len", 200),
         )
     raise KeyError(f"unknown model type for recognition: {model_type!r}")
