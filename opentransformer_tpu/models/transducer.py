@@ -155,24 +155,28 @@ class TransducerModel(nn.Module):
             targets_length - 1, blank=BLK)
         return jnp.mean(losses), {}
 
-    def greedy_decode(self, feats, feat_mask, max_symbols: int = 200):
-        """Batched frame-synchronous greedy search: at each state, emit the
-        argmax label and advance the prediction network, or consume a frame
-        on blank. One jittable ``lax.while_loop``; every stream runs until
-        its frames are exhausted (or ``max_symbols`` emitted).
+    def init_decode_state(self, batch: int):
+        """(prediction state, hidden) primed with BOS — the carry for
+        ``greedy_frames`` (offline decode and chunk-streaming share it)."""
+        hidden = self.predictor.init_hidden(batch)
+        state, hidden = self.predictor.decode_step(
+            jnp.full((batch,), 1, jnp.int32), hidden)  # BOS = 1
+        return state, hidden
 
-        Returns (tokens i32[B, max_symbols] 0-padded, n_tokens i32[B]).
+    def greedy_frames(self, memory, frame_len, state, hidden,
+                      max_symbols: int = 200, max_per_frame: int = 8):
+        """Frame-synchronous greedy search over ``memory`` frames: at each
+        lattice state, emit the argmax label and advance the prediction
+        network, or consume a frame on blank. One ``lax.while_loop``; every
+        stream runs until its frames are exhausted (symbol caps force blank).
+
+        Returns (tokens i32[B, max_symbols] 0-padded, n i32[B], state, hidden)
+        — the carried (state, hidden) make this resumable chunk-by-chunk.
         """
-        memory, memory_mask = self.encode(feats, feat_mask)
         b, t_max, _ = memory.shape
-        frame_len = mask_to_length(memory_mask)
-
-        hidden0 = self.predictor.init_hidden(b)
-        state0, hidden0 = self.predictor.decode_step(
-            jnp.full((b,), 1, jnp.int32), hidden0)  # BOS = 1
 
         def cond(st):
-            t, _, _, _, n, _ = st
+            t = st[0]
             return jnp.any(t < frame_len)
 
         def body(st):
@@ -182,9 +186,8 @@ class TransducerModel(nn.Module):
             logits = self.joint.step(enc_t, state)
             best = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             active = t < frame_len
-            # cap symbols per stream; force blank when capped
             can_emit = jnp.logical_and(active, n < max_symbols)
-            can_emit = jnp.logical_and(can_emit, emitted_in_frame < 8)
+            can_emit = jnp.logical_and(can_emit, emitted_in_frame < max_per_frame)
             emit = jnp.logical_and(best != BLK, can_emit)
 
             new_state, new_hidden = self.predictor.decode_step(best, hidden)
@@ -197,15 +200,27 @@ class TransducerModel(nn.Module):
             tokens = jax.lax.select(
                 jnp.logical_and(
                     emit[:, None],
-                    jnp.arange(max_symbols)[None] == n[:, None]),
+                    jnp.arange(tokens.shape[1])[None] == n[:, None]),
                 jnp.broadcast_to(best[:, None], tokens.shape), tokens)
             n = jnp.where(emit, n + 1, n)
             t = jnp.where(jnp.logical_and(active, ~emit), t + 1, t)
             emitted_in_frame = jnp.where(emit, emitted_in_frame + 1, 0)
             return t, state, hidden, tokens, n, emitted_in_frame
 
-        st0 = (jnp.zeros(b, jnp.int32), state0, hidden0,
+        st0 = (jnp.zeros(b, jnp.int32), state, hidden,
                jnp.zeros((b, max_symbols), jnp.int32), jnp.zeros(b, jnp.int32),
                jnp.zeros(b, jnp.int32))
-        _, _, _, tokens, n, _ = jax.lax.while_loop(cond, body, st0)
+        _, state, hidden, tokens, n, _ = jax.lax.while_loop(cond, body, st0)
+        return tokens, n, state, hidden
+
+    def greedy_decode(self, feats, feat_mask, max_symbols: int = 200):
+        """Offline batched greedy search.
+
+        Returns (tokens i32[B, max_symbols] 0-padded, n_tokens i32[B]).
+        """
+        memory, memory_mask = self.encode(feats, feat_mask)
+        b = memory.shape[0]
+        state, hidden = self.init_decode_state(b)
+        tokens, n, _, _ = self.greedy_frames(
+            memory, mask_to_length(memory_mask), state, hidden, max_symbols)
         return tokens, n

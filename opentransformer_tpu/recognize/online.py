@@ -206,3 +206,53 @@ class StreamingCTCRecognizer:
         if self.idx2unit is None:
             return [" ".join(map(str, t)) for t in self.tokens]
         return [" ".join(self.idx2unit.get(i, "<UNK>") for i in t) for t in self.tokens]
+
+
+class StreamingTransducerRecognizer:
+    """Frame-synchronous RNNT recognition: the transducer's greedy lattice
+    walk resumes chunk-by-chunk — prediction-network state and hidden carry
+    across chunks, so the streamed hypothesis equals the offline
+    ``greedy_decode`` on the same (chunked-attention) model."""
+
+    def __init__(self, model, params, batch: int = 1, idx2unit=None,
+                 max_per_chunk: int = 64):
+        self.session = StreamingEncoderSession(model, params, batch)
+        self.model, self.params = model, params
+        self.idx2unit = idx2unit
+        self.tokens: list[list[int]] = [[] for _ in range(batch)]
+
+        def init_state(params, b):
+            return model.apply(params, b, method="init_decode_state")
+
+        def chunk_greedy(params, memory, frame_len, state, hidden):
+            return model.apply(params, memory, frame_len, state, hidden,
+                               max_per_chunk, method="greedy_frames")
+
+        self._state, self._hidden = jax.jit(init_state, static_argnums=1)(params, batch)
+        self._chunk_greedy = jax.jit(chunk_greedy)
+
+    def _consume(self, chunks) -> None:
+        for y in chunks:
+            c = y.shape[1]
+            if c == 0:
+                continue
+            frame_len = jnp.full((y.shape[0],), c, jnp.int32)
+            toks, n, self._state, self._hidden = self._chunk_greedy(
+                self.params, y, frame_len, self._state, self._hidden)
+            toks, n = np.asarray(toks), np.asarray(n)
+            for b in range(toks.shape[0]):
+                self.tokens[b].extend(toks[b, : n[b]].tolist())
+
+    def feed(self, raw: np.ndarray) -> list[list[int]]:
+        """Feed a raw feature chunk; returns the running token ids per stream."""
+        self._consume(self.session.feed(raw))
+        return [list(t) for t in self.tokens]
+
+    def finish(self, tail: Optional[np.ndarray] = None) -> list[str]:
+        """Flush; returns final transcripts (ids joined via idx2unit if given)."""
+        already = len(self.session._outputs)
+        self.session.finish(tail)
+        self._consume(self.session._outputs[already:])
+        if self.idx2unit is None:
+            return [" ".join(map(str, t)) for t in self.tokens]
+        return [" ".join(self.idx2unit.get(i, "<UNK>") for i in t) for t in self.tokens]

@@ -126,3 +126,36 @@ def test_streaming_ctc_matches_batch_greedy():
     hyps = rec.finish(feats[:, n_full * rc:])
     assert rec.tokens == batch_tokens
     assert hyps == [" ".join(map(str, t)) for t in batch_tokens]
+
+
+def test_streaming_transducer_matches_offline_greedy():
+    """Chunk-resumed RNNT greedy equals the offline greedy_decode on the same
+    chunked-attention transducer (predictor state carries across chunks)."""
+    from opentransformer_tpu.recognize.online import StreamingTransducerRecognizer
+
+    cfg = {
+        "type": "transducer", "frontend_type": "conv", "frontend": FRONTEND,
+        "encoder_type": "transformer", "encoder": ENCODER,
+        "vocab_size": 20, "predictor": {"num_layers": 1}, "d_joint": 24,
+    }
+    model = build_model(cfg)
+    rng = np.random.default_rng(5)
+    b, t = 2, 73
+    feats = rng.normal(size=(b, t, FRONTEND["input_size"])).astype(np.float32)
+    mask = np.ones((b, t), bool)
+    targets = np.ones((b, 5), np.int64)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(feats), jnp.asarray(mask),
+                        jnp.asarray(targets.astype(np.int32)), jnp.asarray([4, 4]))
+
+    tokens, n = model.apply(params, jnp.asarray(feats), jnp.asarray(mask),
+                            method="greedy_decode")
+    tokens, n = np.asarray(tokens), np.asarray(n)
+    offline = [tokens[i, : n[i]].tolist() for i in range(b)]
+
+    rec = StreamingTransducerRecognizer(model, params, batch=b)
+    rc = rec.session.raw_chunk
+    n_full = t // rc
+    for s in range(n_full):
+        rec.feed(feats[:, s * rc:(s + 1) * rc])
+    rec.finish(feats[:, n_full * rc:])
+    assert rec.tokens == offline, (rec.tokens, offline)
