@@ -38,6 +38,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("-n", "--ngpu", type=int, default=0,
                    help="number of chips for data parallelism (0 = all)")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel degree")
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline-stage degree: stacked encoder layers "
+                        "(scan_layers: true) shard params+opt state over a "
+                        "'pipe' mesh axis (parallel/mesh.py)")
     p.add_argument("-s", "--seed", type=int, default=1234)
     p.add_argument("-l", "--logging_level", type=str, default="INFO")
     p.add_argument("-p", "--parallel_mode", type=str, default="dp",
@@ -81,8 +85,11 @@ def main(argv=None) -> int:
         logger.info("multihost: process %d/%d", jax.process_index(), jax.process_count())
 
     n_dev = len(jax.devices())
-    n_data = args.ngpu or max(n_dev // args.tp, 1)
-    mesh = make_mesh(n_data=n_data, n_model=args.tp) if n_data * args.tp > 1 else None
+    n_data = args.ngpu or max(n_dev // (args.tp * args.pp), 1)
+    mesh = (make_mesh(n_data=n_data, n_model=args.tp, n_pipe=args.pp)
+            if n_data * args.tp * args.pp > 1 else None)
+    if args.pp > 1 and not cfg["model"].get("encoder", {}).get("scan_layers", False):
+        raise SystemExit("--pp requires encoder.scan_layers: true (stacked layer params)")
     logger.info("devices=%d mesh=%s", n_dev, dict(mesh.shape) if mesh else None)
 
     model_cfg = cfg["model"]

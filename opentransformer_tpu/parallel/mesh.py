@@ -10,6 +10,14 @@ Axes:
   * ``model`` — tensor parallel: attention QKV/out and FFN w1/w2 kernels
     sharded Megatron-style (column-parallel then row-parallel so each
     block needs a single psum), embedding sharded over the vocab axis.
+  * ``pipe``  — pipeline (stage) parallelism over scanned layer stacks
+    (``scan_layers: true``): stacked [L, ...] leaves shard their layer dim,
+    so each stage owns L/S layers' params AND optimizer state; the encoder's
+    ``lax.scan`` streams each layer's weights from its owner over ICI
+    (weight-gathered stage parallelism — memory scales 1/S with stages).
+    Compute-overlapped GPipe microbatching is the sibling building block in
+    ``parallel/pipeline.py``. Rules that name an axis absent from the mesh
+    degrade to replication, so one rule set serves all mesh shapes.
 
 ``param_shardings`` maps a params pytree to NamedShardings by regex rules on
 the flattened parameter path, so models need no partitioning annotations.
@@ -29,29 +37,40 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(
     n_data: int | None = None,
     n_model: int = 1,
+    n_pipe: int = 1,
     devices: Sequence[Any] | None = None,
-    axis_names: tuple[str, str] = ("data", "model"),
+    axis_names: tuple[str, ...] | None = None,
 ) -> Mesh:
-    """Build a (data, model) mesh over the available devices."""
+    """Build a (data, model[, pipe]) mesh over the available devices."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if n_data is None:
-        assert n % n_model == 0, (n, n_model)
-        n_data = n // n_model
-    assert n_data * n_model <= n, f"need {n_data}x{n_model} devices, have {n}"
-    grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
-    return Mesh(grid, axis_names)
+        assert n % (n_model * n_pipe) == 0, (n, n_model, n_pipe)
+        n_data = n // (n_model * n_pipe)
+    total = n_data * n_model * n_pipe
+    assert total <= n, f"need {n_data}x{n_model}x{n_pipe} devices, have {n}"
+    if n_pipe > 1:
+        grid = np.asarray(devices[:total]).reshape(n_data, n_model, n_pipe)
+        return Mesh(grid, axis_names or ("data", "model", "pipe"))
+    grid = np.asarray(devices[:total]).reshape(n_data, n_model)
+    return Mesh(grid, axis_names or ("data", "model"))
 
 
 # (regex over 'path/to/param', PartitionSpec) — first match wins.
 # Kernel shapes are [in, out] for nn.Dense; embedding is [V, D].
 DEFAULT_RULES: tuple[tuple[str, P], ...] = (
     # scanned (stacked-[L, ...]) layouts first: same Megatron axes shifted
-    # one dim right past the layer dim
-    (r".*blocks/(qkv_proj|q_proj|kv_proj)/dense/kernel$", P(None, None, "model")),
-    (r".*blocks/(ffn|pre_ffn|post_ffn)/w1/dense/kernel$", P(None, None, "model")),
-    (r".*blocks/out_proj/dense/kernel$", P(None, "model", None)),
-    (r".*blocks/(ffn|pre_ffn|post_ffn)/w2/dense/kernel$", P(None, "model", None)),
+    # one dim right past the layer dim, which itself shards over 'pipe'
+    # (stage parallelism) when that axis exists in the mesh
+    # (attention projections sit under blocks/<attn module>/..., so allow
+    # intermediate scopes after blocks/)
+    (r".*blocks/.*(qkv_proj|q_proj|kv_proj)/dense/kernel$", P("pipe", None, "model")),
+    (r".*blocks/.*(ffn|pre_ffn|post_ffn)/w1/dense/kernel$", P("pipe", None, "model")),
+    (r".*blocks/.*out_proj/dense/kernel$", P("pipe", "model", None)),
+    (r".*blocks/.*(ffn|pre_ffn|post_ffn)/w2/dense/kernel$", P("pipe", "model", None)),
+    (r".*blocks/.*pos[uv]$", P("pipe", None, "model", None, None)),
+    # remaining stacked leaves (biases, norms, pos_proj): stage-shard L only
+    (r".*blocks/.*", P("pipe")),
     # column-parallel (shard output features): QKV/Q/KV projections, FFN w1
     (r".*(qkv_proj|q_proj|kv_proj)/dense/kernel$", P(None, "model")),
     (r".*(ffn|pre_ffn|post_ffn)/w1/dense/kernel$", P(None, "model")),
@@ -94,10 +113,11 @@ def param_shardings(params: Any, mesh: Mesh, rules: Sequence[tuple[str, P]] = DE
         spec = _spec_for(path, rules)
         if not hasattr(leaf, "ndim") or len(spec) > leaf.ndim:
             return NamedSharding(mesh, P())
-        # drop spec axes that don't divide the dim evenly → replicate that dim
+        # drop spec axes absent from this mesh or not dividing the dim evenly
+        # → replicate that dim (one rule set serves all mesh shapes)
         fixed = []
         for i, axis in enumerate(tuple(spec) + (None,) * (leaf.ndim - len(spec))):
-            if axis is None:
+            if axis is None or axis not in mesh.shape:
                 fixed.append(None)
                 continue
             size = mesh.shape[axis]

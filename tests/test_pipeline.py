@@ -62,3 +62,37 @@ def test_pipeline_gradients_flow():
     g_seq = jax.grad(loss_seq)(stacked)
     for a, b in zip(jax.tree_util.tree_leaves(g_pipe), jax.tree_util.tree_leaves(g_seq)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-4)
+
+
+def test_stage_sharded_training_step():
+    """--pp path: (data x model x pipe) mesh, scanned encoder; the stacked
+    layer dim shards over 'pipe' (each stage owns L/S layers' params + opt
+    state) and a full train step runs with finite loss."""
+    import jax.numpy as jnp
+
+    from opentransformer_tpu.models.registry import build_model
+    from opentransformer_tpu.parallel.mesh import make_mesh, param_shardings
+    from opentransformer_tpu.train.trainer import Trainer
+    from tests.test_models import small_model_cfg
+    from tests.test_train import synth_batch
+
+    cfg = small_model_cfg()
+    cfg["encoder"] = {**cfg["encoder"], "n_blocks": 4, "scan_layers": True}
+    model = build_model(cfg)
+    mesh = make_mesh(n_data=2, n_model=2, n_pipe=2)
+    assert dict(mesh.shape) == {"data": 2, "model": 2, "pipe": 2}
+
+    batch = synth_batch(np.random.default_rng(0), b=4)
+    tcfg = {"optimizer_type": "adam", "optimizer": {}, "scheduler_type": "constant",
+            "scheduler": {"lr": 1e-3}, "epochs": 1}
+    trainer = Trainer(tcfg, model, mesh=mesh, log_interval=10 ** 9)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+
+    # the stacked qkv kernel [L, in, out] must be sharded ('pipe', None, 'model')
+    k = state.params["params"]["encoder"]["blocks"]["slf_attn"]["qkv_proj"]["dense"]["kernel"]
+    spec = k.sharding.spec
+    assert spec[0] == "pipe" and spec[2] == "model", spec
+
+    state = trainer.train_one_epoch(0, state, [batch], jax.random.PRNGKey(1))
+    loss, _ = model.apply(state.params, *trainer.batch_fn(batch))
+    assert np.isfinite(float(loss))
