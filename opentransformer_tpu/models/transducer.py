@@ -224,3 +224,118 @@ class TransducerModel(nn.Module):
         tokens, n, _, _ = self.greedy_frames(
             memory, mask_to_length(memory_mask), state, hidden, max_symbols)
         return tokens, n
+
+    def beam_decode(self, feats, feat_mask, beam_width: int = 4,
+                    max_symbols: int = 100, expansions: int = 2):
+        """Time-synchronous RNNT beam search with bounded per-frame
+        expansions (mAES-style): at every frame, each of K hypotheses is
+        blank-finalized into the next-frame beam and (up to ``expansions``
+        times) extended by its top non-blank labels; the next-frame beam is
+        the global top-K over all finalized candidates. No prefix merging —
+        duplicate label sequences may occupy beam slots (the usual batched-
+        TPU tradeoff: fixed shapes, one lax.scan over frames).
+
+        Returns (tokens i32[B, K, max_symbols], lengths i32[B, K],
+        scores f32[B, K]) sorted best-first.
+        """
+        neg = -1.0e30
+        memory, memory_mask = self.encode(feats, feat_mask)
+        b, t_max, _ = memory.shape
+        k = beam_width
+        frame_len = mask_to_length(memory_mask)
+
+        state0, hidden0 = self.init_decode_state(b)
+
+        def tile(x):
+            return jnp.repeat(x[:, None], k, axis=1)
+
+        def beam_gather(tree, idx):
+            # gather along the beam axis (axis 1) by idx [B, K]
+            def g(x):
+                ii = idx.reshape(idx.shape + (1,) * (x.ndim - 2))
+                return jnp.take_along_axis(x, ii, axis=1)
+            return jax.tree_util.tree_map(g, tree)
+
+        beam = {
+            "scores": jnp.full((b, k), neg).at[:, 0].set(0.0),
+            "tokens": jnp.zeros((b, k, max_symbols), jnp.int32),
+            "lens": jnp.zeros((b, k), jnp.int32),
+            "state": tile(state0),                      # [B, K, D]
+            "hidden": [(tile(h), tile(c)) for h, c in hidden0],
+        }
+
+        def joint_logp(enc_t, beam_state):
+            # enc_t [B, D]; beam_state [B, K, D] → log-probs [B, K, V]
+            enc_bk = jnp.repeat(enc_t[:, None], k, axis=1).reshape(b * k, -1)
+            logits = self.joint.step(enc_bk, beam_state.reshape(b * k, -1))
+            return jax.nn.log_softmax(logits, axis=-1).reshape(b, k, -1)
+
+        def frame_step(beam, inputs):
+            enc_t, t = inputs
+            active = beam
+            done = {**beam, "scores": jnp.full((b, k), neg)}
+            for e in range(expansions + 1):
+                logp = joint_logp(enc_t, active["state"])
+                # blank-finalize every active hyp into the done set (top-K
+                # over the union keeps shapes fixed)
+                blank_scores = active["scores"] + logp[..., BLK]
+                cat = {
+                    key: jnp.concatenate([done[key], active[key]], axis=1)
+                    if not isinstance(done[key], list) else [
+                        (jnp.concatenate([dh, ah], axis=1),
+                         jnp.concatenate([dc, ac], axis=1))
+                        for (dh, dc), (ah, ac) in zip(done[key], active[key])
+                    ]
+                    for key in ("tokens", "lens", "state", "hidden")
+                }
+                cat_scores = jnp.concatenate([done["scores"], blank_scores], axis=1)
+                _, top = jax.lax.top_k(cat_scores, k)
+                done = {"scores": jnp.take_along_axis(cat_scores, top, axis=1),
+                        "tokens": beam_gather(cat["tokens"], top),
+                        "lens": beam_gather(cat["lens"], top),
+                        "state": beam_gather(cat["state"], top),
+                        "hidden": beam_gather(cat["hidden"], top)}
+                if e == expansions:
+                    break
+                # expand: top-K non-blank continuations over K·V candidates
+                nb = active["scores"][:, :, None] + logp
+                nb = nb.at[..., BLK].set(neg)
+                nb = jnp.where((active["lens"] < max_symbols)[:, :, None], nb, neg)
+                v = nb.shape[-1]
+                flat_scores, flat_idx = jax.lax.top_k(nb.reshape(b, k * v), k)
+                parent = flat_idx // v
+                label = (flat_idx % v).astype(jnp.int32)
+                new = {"scores": flat_scores,
+                       "tokens": beam_gather(active["tokens"], parent),
+                       "lens": beam_gather(active["lens"], parent),
+                       "state": beam_gather(active["state"], parent),
+                       "hidden": beam_gather(active["hidden"], parent)}
+                pos = jnp.arange(max_symbols)[None, None, :] == new["lens"][:, :, None]
+                new["tokens"] = jnp.where(pos, label[:, :, None], new["tokens"])
+                new["lens"] = new["lens"] + 1
+                ns, nh = self.predictor.decode_step(
+                    label.reshape(b * k),
+                    [(h.reshape(b * k, -1), c.reshape(b * k, -1))
+                     for h, c in new["hidden"]])
+                new["state"] = ns.reshape(b, k, -1)
+                new["hidden"] = [(h.reshape(b, k, -1), c.reshape(b, k, -1))
+                                 for h, c in nh]
+                active = new
+
+            # advance only streams that still have frames
+            live = (t < frame_len)[:, None]
+
+            def sel(old, upd):
+                return jax.tree_util.tree_map(
+                    lambda o, u: jnp.where(
+                        live.reshape(live.shape + (1,) * (o.ndim - 2)), u, o),
+                    old, upd)
+
+            return sel(beam, done), None
+
+        xs = (jnp.moveaxis(memory, 1, 0), jnp.arange(t_max))
+        beam, _ = jax.lax.scan(frame_step, beam, xs)
+        order = jnp.argsort(-beam["scores"], axis=1)
+        return (jnp.take_along_axis(beam["tokens"], order[:, :, None], axis=1),
+                jnp.take_along_axis(beam["lens"], order, axis=1),
+                jnp.take_along_axis(beam["scores"], order, axis=1))

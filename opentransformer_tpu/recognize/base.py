@@ -220,20 +220,37 @@ class TransducerRecognizer(Recognizer):
     support is vestigial — checkpoint keys and CLI flags only
     (``eval.py:45-53,223-226``); this family actually decodes."""
 
-    def __init__(self, model, params, idx2unit=None, max_symbols: int = 200):
+    def __init__(self, model, params, idx2unit=None, max_symbols: int = 200,
+                 beam_width: int = 1, nbest: int = 1, expansions: int = 2):
         super().__init__(model, params, idx2unit)
+        self.beam_width = int(beam_width)
+        self.nbest = min(int(nbest), max(1, int(beam_width)))
 
         @jax.jit
         def greedy(params, feats, feat_mask):
             return model.apply(params, feats, feat_mask, max_symbols, method="greedy_decode")
 
+        @jax.jit
+        def beam(params, feats, feat_mask):
+            return model.apply(params, feats, feat_mask, self.beam_width,
+                               max_symbols, expansions, method="beam_decode")
+
         self._jit_greedy = greedy
+        self._jit_beam = beam
 
     def recognize(self, feats, feat_mask):
-        tokens, n = self._jit_greedy(self.params, feats, feat_mask)
-        tokens, n = np.asarray(tokens), np.asarray(n)
-        texts = [[self.translate(tokens[i, : n[i]])] for i in range(len(n))]
-        return texts, np.zeros((len(n), 1), np.float32)
+        if self.beam_width <= 1:
+            tokens, n = self._jit_greedy(self.params, feats, feat_mask)
+            tokens, n = np.asarray(tokens), np.asarray(n)
+            texts = [[self.translate(tokens[i, : n[i]])] for i in range(len(n))]
+            return texts, np.zeros((len(n), 1), np.float32)
+        tokens, lens, scores = self._jit_beam(self.params, feats, feat_mask)
+        tokens, lens = np.asarray(tokens), np.asarray(lens)
+        texts = [
+            [self.translate(tokens[i, j, : lens[i, j]]) for j in range(self.nbest)]
+            for i in range(tokens.shape[0])
+        ]
+        return texts, np.asarray(scores)[:, : self.nbest]
 
 
 def ctc_rescore_scores(logits, memory_mask, hyp: BeamHypotheses, weight: float) -> BeamHypotheses:
@@ -326,5 +343,6 @@ def build_recognizer(model_type: str, model, params, lm=None, lm_params=None, ar
     if model_type == "transducer":
         return TransducerRecognizer(
             model, params, idx2unit=idx2unit, max_symbols=get("max_len", 200),
+            beam_width=get("beam_width", 1), nbest=get("nbest", 1),
         )
     raise KeyError(f"unknown model type for recognition: {model_type!r}")

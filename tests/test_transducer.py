@@ -124,6 +124,14 @@ def test_transducer_overfits_one_batch():
     hyps = [tokens[i, : n[i]].tolist() for i in range(b)]
     assert hyps == [row.tolist() for row in labels], (hyps, labels)
 
+    # beam search must recover the labels too, with scores sorted best-first
+    btoks, blens, bscores = model.apply(
+        variables, feats_j, mask_j, 4, 20, 2, method="beam_decode")
+    btoks, blens, bscores = np.asarray(btoks), np.asarray(blens), np.asarray(bscores)
+    beam_best = [btoks[i, 0, : blens[i, 0]].tolist() for i in range(b)]
+    assert beam_best == [row.tolist() for row in labels], beam_best
+    assert np.all(np.diff(bscores, axis=1) <= 1e-5)
+
 
 @pytest.mark.slow
 def test_transducer_cli_train_and_decode(tmp_path):
