@@ -274,45 +274,58 @@ class ConformerEncoderBlock(nn.Module):
     ffn_scale: float = 0.5
     conv_first: bool = False
     conv_norm_type: str = "layer"
+    conv_causal: bool = False  # left-only conv: the streaming-servable variant
     relative_positional: bool = True
     activation: str = "glu"
     ref_compat: bool = False  # replicate the reference's trained-forward defects (§8.2, §8.3)
     dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        if self.macaron_style:
+            self.pre_ffn_norm = nn.LayerNorm(dtype=self.dtype, name="pre_ffn_norm")
+            self.pre_ffn = PositionwiseFeedForward(
+                self.d_model, self.d_ff, self.activation, self.ffn_dropout,
+                dtype=self.dtype, name="pre_ffn")
+        self.attn_norm = nn.LayerNorm(dtype=self.dtype, name="attn_norm")
+        if self.relative_positional:
+            self.slf_attn = RelPosSelfAttention(
+                self.n_heads, self.d_model, self.slf_attn_dropout,
+                use_out_proj=not self.ref_compat, dtype=self.dtype, name="slf_attn")
+        else:
+            self.slf_attn = MultiHeadSelfAttention(
+                self.n_heads, self.d_model, self.slf_attn_dropout,
+                dtype=self.dtype, name="slf_attn")
+        self.conv_norm = nn.LayerNorm(dtype=self.dtype, name="conv_norm")
+        self.conv_module = ConformerConvModule(
+            self.d_model, kernel_size=self.cov_kernel_size,
+            norm_type=self.conv_norm_type, dropout_rate=self.conv_dropout,
+            causal=self.conv_causal, dtype=self.dtype, name="conv_module")
+        self.post_ffn_norm = nn.LayerNorm(dtype=self.dtype, name="post_ffn_norm")
+        if not self.ref_compat:
+            self.post_ffn = PositionwiseFeedForward(
+                self.d_model, self.d_ff, self.activation, self.ffn_dropout,
+                dtype=self.dtype, name="post_ffn")
+        self.final_norm = nn.LayerNorm(dtype=self.dtype, name="final_norm")
+        self.res_dropout = nn.Dropout(self.residual_dropout)
+
     def __call__(self, x, pad_mask, attn_mask, pos_emb=None, *, deterministic: bool = True, train: bool = False):
         scale = jnp.asarray(self.ffn_scale, self.dtype)
         if self.macaron_style:
-            h = nn.LayerNorm(dtype=self.dtype, name="pre_ffn_norm")(x)
-            h = PositionwiseFeedForward(
-                self.d_model, self.d_ff, self.activation, self.ffn_dropout, dtype=self.dtype, name="pre_ffn"
-            )(h, deterministic=deterministic)
-            x = x + scale * nn.Dropout(self.residual_dropout)(h, deterministic=deterministic)
+            h = self.pre_ffn(self.pre_ffn_norm(x), deterministic=deterministic)
+            x = x + scale * self.res_dropout(h, deterministic=deterministic)
 
         def attn_sub(x):
-            h = nn.LayerNorm(dtype=self.dtype, name="attn_norm")(x)
+            h = self.attn_norm(x)
             if self.relative_positional:
-                h, w = RelPosSelfAttention(
-                    self.n_heads, self.d_model, self.slf_attn_dropout,
-                    use_out_proj=not self.ref_compat, dtype=self.dtype, name="slf_attn"
-                )(h, attn_mask, pos_emb, deterministic=deterministic)
+                h, w = self.slf_attn(h, attn_mask, pos_emb, deterministic=deterministic)
             else:
-                h, w = MultiHeadSelfAttention(
-                    self.n_heads, self.d_model, self.slf_attn_dropout, dtype=self.dtype, name="slf_attn"
-                )(h, attn_mask, deterministic=deterministic)
-            return x + nn.Dropout(self.residual_dropout)(h, deterministic=deterministic), w
+                h, w = self.slf_attn(h, attn_mask, deterministic=deterministic)
+            return x + self.res_dropout(h, deterministic=deterministic), w
 
         def conv_sub(x):
-            h = nn.LayerNorm(dtype=self.dtype, name="conv_norm")(x)
-            h = ConformerConvModule(
-                self.d_model,
-                kernel_size=self.cov_kernel_size,
-                norm_type=self.conv_norm_type,
-                dropout_rate=self.conv_dropout,
-                dtype=self.dtype,
-                name="conv_module",
-            )(h, pad_mask, deterministic=deterministic, train=train)
-            return x + nn.Dropout(self.residual_dropout)(h, deterministic=deterministic)
+            h = self.conv_module(self.conv_norm(x), pad_mask,
+                                 deterministic=deterministic, train=train)
+            return x + self.res_dropout(h, deterministic=deterministic)
 
         if self.conv_first:
             x = conv_sub(x)
@@ -325,16 +338,50 @@ class ConformerEncoderBlock(nn.Module):
         # forward() forgot it and applies post_ffn_norm as a bare LayerNorm
         # (otrans/encoder/conformer.py:87); ref_compat=True replicates that so
         # trained reference checkpoints import with exact logits.
-        h = nn.LayerNorm(dtype=self.dtype, name="post_ffn_norm")(x)
+        h = self.post_ffn_norm(x)
         if self.ref_compat:
             x = h
         else:
-            h = PositionwiseFeedForward(
-                self.d_model, self.d_ff, self.activation, self.ffn_dropout, dtype=self.dtype, name="post_ffn"
-            )(h, deterministic=deterministic)
-            x = x + scale * nn.Dropout(self.residual_dropout)(h, deterministic=deterministic)
-        x = nn.LayerNorm(dtype=self.dtype, name="final_norm")(x)
+            h = self.post_ffn(h, deterministic=deterministic)
+            x = x + scale * self.res_dropout(h, deterministic=deterministic)
+        x = self.final_norm(x)
         return x, w
+
+    def encode_step(self, x, cache, kv_mask, *, train: bool = False):
+        """Frame-synchronous chunk step (inference): attention over the
+        shifting KV cache + causal-conv step with carried state. Requires
+        ``conv_causal=True``; exactly matches ``__call__`` under
+        ``chunk_attn_mask``."""
+        scale = jnp.asarray(self.ffn_scale, self.dtype)
+        if self.macaron_style:
+            x = x + scale * self.pre_ffn(self.pre_ffn_norm(x))
+
+        new_cache = dict(cache)
+
+        def attn_sub(x):
+            h = self.attn_norm(x)
+            out, nk, nv = self.slf_attn.chunk_step(h, cache["k"], cache["v"], kv_mask)
+            new_cache["k"], new_cache["v"] = nk, nv
+            return x + out
+
+        def conv_sub(x):
+            h, nstate = self.conv_module.conv_step(self.conv_norm(x), cache["conv"], train=train)
+            new_cache["conv"] = nstate
+            return x + h
+
+        if self.conv_first:
+            x = conv_sub(x)
+            x = attn_sub(x)
+        else:
+            x = attn_sub(x)
+            x = conv_sub(x)
+
+        h = self.post_ffn_norm(x)
+        if self.ref_compat:
+            x = h
+        else:
+            x = x + scale * self.post_ffn(h)
+        return self.final_norm(x), new_cache
 
 
 class ConformerEncoder(nn.Module):
@@ -353,6 +400,7 @@ class ConformerEncoder(nn.Module):
     conv_first: bool = False
     conv_bias: bool = True  # accepted for config parity
     conv_norm_type: str = "layer"
+    conv_causal: bool = False  # left-only conv padding (streaming-servable)
     activation: str = "glu"
     positional_encoding: bool = True
     relative_positional: bool = True
@@ -361,25 +409,12 @@ class ConformerEncoder(nn.Module):
     ref_compat: bool = False  # import-compat with reference-trained conformers (§8.2/§8.3)
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, pad_mask, *, deterministic: bool = True, train: bool = False, return_attn: bool = False):
-        t = x.shape[1]
-        attn_mask = attn_mask_from_pad(pad_mask)
-        if self.chunk_size > 0:
-            attn_mask = jnp.logical_and(
-                attn_mask, chunk_attn_mask(t, self.chunk_size, self.left_chunks)
-            )
-        pos_emb = None
-        if self.relative_positional:
-            pos = jnp.arange(-(t - 1), t)
-            pos_emb = sinusoid_position_encoding(pos, self.d_model)[None].astype(self.dtype)
-        elif self.positional_encoding:
-            x = PositionalEncoding(
-                self.d_model, dropout_rate=self.pos_dropout, dtype=self.dtype, name="pos_enc"
-            )(x, deterministic=deterministic)
-        attns = {}
-        for i in range(self.nblocks):
-            x, w = ConformerEncoderBlock(
+    def setup(self):
+        if not self.relative_positional and self.positional_encoding:
+            self.pos_enc = PositionalEncoding(
+                self.d_model, dropout_rate=self.pos_dropout, dtype=self.dtype, name="pos_enc")
+        self.layers = [
+            ConformerEncoderBlock(
                 d_model=self.d_model,
                 n_heads=self.n_heads,
                 d_ff=self.d_ff,
@@ -392,14 +427,76 @@ class ConformerEncoder(nn.Module):
                 ffn_scale=self.ffn_scale,
                 conv_first=self.conv_first,
                 conv_norm_type=self.conv_norm_type,
+                conv_causal=self.conv_causal,
                 relative_positional=self.relative_positional,
                 activation=self.activation,
                 ref_compat=self.ref_compat,
                 dtype=self.dtype,
                 name=f"block_{i}",
-            )(x, pad_mask, attn_mask, pos_emb, deterministic=deterministic, train=train)
+            )
+            for i in range(self.nblocks)
+        ]
+
+    def __call__(self, x, pad_mask, *, deterministic: bool = True, train: bool = False, return_attn: bool = False):
+        t = x.shape[1]
+        attn_mask = attn_mask_from_pad(pad_mask)
+        if self.chunk_size > 0:
+            attn_mask = jnp.logical_and(
+                attn_mask, chunk_attn_mask(t, self.chunk_size, self.left_chunks)
+            )
+        pos_emb = None
+        if self.relative_positional:
+            pos = jnp.arange(-(t - 1), t)
+            pos_emb = sinusoid_position_encoding(pos, self.d_model)[None].astype(self.dtype)
+        elif self.positional_encoding:
+            x = self.pos_enc(x, deterministic=deterministic)
+        attns = {}
+        for i, layer in enumerate(self.layers):
+            x, w = layer(x, pad_mask, attn_mask, pos_emb, deterministic=deterministic, train=train)
             if return_attn:
                 attns[f"enc_block_{i}"] = w
         if return_attn:
             return x, pad_mask, attns
         return x, pad_mask
+
+    # ---- frame-synchronous streaming (chunked attention + causal conv) ----
+
+    def init_stream_cache(self, batch: int):
+        """Per-block shifting KV caches + causal-conv state for
+        ``encode_step``. Requires chunked attention and ``conv_causal``."""
+        if self.chunk_size <= 0 or self.left_chunks < 0:
+            raise ValueError(
+                "streaming encode requires chunk_size > 0 and left_chunks >= 0 "
+                f"(got chunk_size={self.chunk_size}, left_chunks={self.left_chunks})")
+        if not self.conv_causal:
+            raise ValueError(
+                "streaming a conformer requires conv_causal: true (the SAME-"
+                "padded conv window reaches into future chunks)")
+        left = self.left_chunks * self.chunk_size
+        d_k = self.d_model // self.n_heads
+        kv = (batch, self.n_heads, left, d_k)
+        return [
+            {"k": jnp.zeros(kv, self.dtype), "v": jnp.zeros(kv, self.dtype),
+             "conv": jnp.zeros((batch, self.cov_kernel_size - 1, self.d_model), self.dtype)}
+            for _ in range(self.nblocks)
+        ]
+
+    def encode_step(self, x_chunk, cache, start, cache_len, chunk_mask=None):
+        """One frame-synchronous step; same contract as
+        ``TransformerEncoder.encode_step`` (rel-pos offsets are computed
+        per-chunk inside the attention, so ``start`` is unused there but kept
+        for the abs-PE variant)."""
+        b, c, _ = x_chunk.shape
+        left = self.left_chunks * self.chunk_size
+        x = x_chunk
+        if not self.relative_positional and self.positional_encoding:
+            x = self.pos_enc(x, start=start)
+        cache_valid = jnp.arange(left) >= (left - cache_len)
+        key_valid = jnp.broadcast_to(cache_valid[None], (b, left))
+        new_valid = chunk_mask if chunk_mask is not None else jnp.ones((b, c), bool)
+        kv_mask = jnp.concatenate([key_valid, new_valid], axis=1)[:, None, None, :]
+        new_cache = []
+        for layer, lc in zip(self.layers, cache):
+            x, nc = layer.encode_step(x, lc, kv_mask)
+            new_cache.append(nc)
+        return x, new_cache

@@ -394,6 +394,55 @@ class RelPosSelfAttention(nn.Module):
         out = self.attn_dropout(out, deterministic=deterministic)
         return out, weights
 
+    def chunk_step(self, x, cache_k, cache_v, kv_mask=None):
+        """Chunk-streaming rel-pos attention: C queries over [cache(L) ∥
+        chunk(C)] keys. Relative offsets j−i span [-(L+C-1) .. C-1]; their
+        sinusoid embeddings are identical to the batch path's, so streamed
+        scores equal the batch chunked-attention scores exactly.
+
+        x: [B, C, D]; cache_k/v: [B, H, L, Dh]. Returns (out, new_k, new_v).
+        """
+        c = x.shape[1]
+        l = cache_k.shape[2]
+        y = self.qkv_proj(x)
+        if self.share_qvk_proj:
+            q = k_c = v_c = y
+        else:
+            q, k_c, v_c = jnp.split(y, 3, axis=-1)
+        q = split_heads(q, self.n_heads)
+        k_c = split_heads(k_c, self.n_heads)
+        v_c = split_heads(v_c, self.n_heads)
+        k = jnp.concatenate([cache_k.astype(k_c.dtype), k_c], axis=2)
+        v = jnp.concatenate([cache_v.astype(v_c.dtype), v_c], axis=2)
+
+        offsets = jnp.arange(-(l + c - 1), c)
+        pos_emb = sinusoid_position_encoding(offsets, self.d_model)[None].astype(self.dtype)
+        r = split_heads(self.pos_proj(pos_emb), self.n_heads)  # [1, H, L+2C-1, Dh]
+
+        posu = self.posu.astype(self.dtype)
+        posv = self.posv.astype(self.dtype)
+        ac = jnp.einsum("bhqd,bhkd->bhqk", q + posu, k, preferred_element_type=jnp.float32)
+        content = posv if self.skip_term_b else q + posv
+        bd_raw = jnp.einsum("bhqd,xhsd->bhqs", content, r, preferred_element_type=jnp.float32)
+        if self.skip_term_b:
+            bd_raw = jnp.broadcast_to(bd_raw, ac.shape[:2] + bd_raw.shape[2:])
+        # bd[qi, kv] = bd_raw[qi, (kv - qi) + (C - 1)]  (offset index shift)
+        idx = (jnp.arange(l + c)[None, :] - jnp.arange(c)[:, None]) + (c - 1)
+        bd = jnp.take_along_axis(
+            bd_raw, jnp.broadcast_to(idx[None, None], bd_raw.shape[:2] + idx.shape),
+            axis=-1)
+
+        d_k = self.d_model // self.n_heads
+        scores = (ac + bd) / np.sqrt(d_k)
+        scores = apply_attn_mask(scores, kv_mask)
+        weights = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", weights, v, preferred_element_type=jnp.float32).astype(self.dtype)
+        out = merge_heads(ctx)
+        if self.use_out_proj:
+            out = self.out_proj(out)
+        keep = cache_k.shape[2]
+        return out, k[:, :, k.shape[2] - keep:], v[:, :, v.shape[2] - keep:]
+
 
 # --------------------------------------------------------------------------
 # FFN / Conformer conv
@@ -440,37 +489,65 @@ class ConformerConvModule(nn.Module):
     kernel_size: int = 15
     norm_type: str = "layer"  # 'layer' | 'batch'
     dropout_rate: float = 0.0
+    causal: bool = False  # left-only conv padding: the streaming-servable variant
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, pad_mask=None, *, deterministic: bool = True, train: bool = False):
-        # x: [B, T, D]; pad_mask: bool[B, T]
-        h = TorchLinear(2 * self.d_model, dtype=self.dtype, name="pw1")(x)
-        h = glu(h)
-        # zero padded positions AFTER the GLU (reference conformer.py:44-46) so
-        # they contribute zeros — not GLU(bias) — to the depthwise conv window
-        if pad_mask is not None:
-            h = h * pad_mask[..., None].astype(h.dtype)
-        # depthwise conv over time, 'SAME' padding
-        h = nn.Conv(
+    def setup(self):
+        self.pw1 = TorchLinear(2 * self.d_model, dtype=self.dtype, name="pw1")
+        # explicit pads + VALID so __call__ (SAME/causal) and conv_step share
+        # the one kernel
+        self.dw_conv = nn.Conv(
             features=self.d_model,
             kernel_size=(self.kernel_size,),
             feature_group_count=self.d_model,
-            padding="SAME",
+            padding="VALID",
             kernel_init=torch_kernel_init,
             bias_init=torch_bias_init(self.kernel_size),
             dtype=self.dtype,
             name="dw_conv",
-        )(h)
+        )
         if self.norm_type == "batch":
-            h = nn.BatchNorm(
-                use_running_average=not train, axis_name=None, dtype=self.dtype, name="bn"
-            )(h)
+            self.bn = nn.BatchNorm(axis_name=None, dtype=self.dtype, name="bn")
         else:
-            h = nn.LayerNorm(dtype=self.dtype, name="ln")(h)
+            self.ln = nn.LayerNorm(dtype=self.dtype, name="ln")
+        self.pw2 = TorchLinear(self.d_model, dtype=self.dtype, name="pw2")
+        self.drop = nn.Dropout(self.dropout_rate)
+
+    def _post_conv(self, h, pad_mask, deterministic, train):
+        if self.norm_type == "batch":
+            h = self.bn(h, use_running_average=not train)
+        else:
+            h = self.ln(h)
         h = swish(h)
-        h = TorchLinear(self.d_model, dtype=self.dtype, name="pw2")(h)
-        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        h = self.pw2(h)
+        h = self.drop(h, deterministic=deterministic)
         if pad_mask is not None:
             h = h * pad_mask[..., None].astype(h.dtype)
         return h
+
+    def _glu_in(self, x, pad_mask):
+        h = glu(self.pw1(x))
+        # zero padded positions AFTER the GLU (reference conformer.py:44-46) so
+        # they contribute zeros — not GLU(bias) — to the depthwise conv window
+        if pad_mask is not None:
+            h = h * pad_mask[..., None].astype(h.dtype)
+        return h
+
+    def __call__(self, x, pad_mask=None, *, deterministic: bool = True, train: bool = False):
+        # x: [B, T, D]; pad_mask: bool[B, T]
+        h = self._glu_in(x, pad_mask)
+        k = self.kernel_size
+        pad = (k - 1, 0) if self.causal else (k // 2, k - 1 - k // 2)
+        h = jnp.pad(h, ((0, 0), pad, (0, 0)))
+        h = self.dw_conv(h)
+        return self._post_conv(h, pad_mask, deterministic, train)
+
+    def conv_step(self, x, conv_state, pad_mask=None, *, train: bool = False):
+        """Causal streaming step: ``conv_state`` f[B, k-1, D] holds the last
+        post-GLU frames of previous chunks. Returns (y [B, C, D], new state).
+        Exactly matches ``__call__`` with ``causal=True`` chunk-by-chunk."""
+        h = self._glu_in(x, pad_mask)
+        full = jnp.concatenate([conv_state.astype(h.dtype), h], axis=1)
+        y = self.dw_conv(full)  # VALID: emits exactly C frames
+        new_state = full[:, full.shape[1] - (self.kernel_size - 1):]
+        return self._post_conv(y, pad_mask, True, train), new_state

@@ -159,3 +159,55 @@ def test_streaming_transducer_matches_offline_greedy():
         rec.feed(feats[:, s * rc:(s + 1) * rc])
     rec.finish(feats[:, n_full * rc:])
     assert rec.tokens == offline, (rec.tokens, offline)
+
+
+CONFORMER_ENC = {
+    "d_model": 24, "n_heads": 2, "d_ff": 32, "nblocks": 2,
+    "cov_kernel_size": 7, "residual_dropout": 0.0, "conv_dropout": 0.0,
+    "macaron_style": True, "conv_first": False, "conv_norm_type": "layer",
+    "conv_causal": True, "relative_positional": True, "activation": "glu",
+    "chunk_size": 4, "left_chunks": 2,
+}
+
+
+@pytest.mark.parametrize("relative_positional", [True, False])
+def test_streaming_conformer_matches_batch(relative_positional):
+    """Causal-conv chunked conformer: streamed encode (rel-pos chunk
+    attention + carried conv state) equals the batch encode exactly."""
+    cfg = {
+        "type": "ctc", "frontend_type": "conv", "frontend": FRONTEND,
+        "encoder_type": "conformer",
+        "encoder": {**CONFORMER_ENC, "relative_positional": relative_positional},
+        "vocab_size": 20, "lookahead_steps": 0,
+    }
+    model, params, feats, mask = _init(cfg, t=64 + 9, seed=7)
+    b = feats.shape[0]
+
+    memory, memory_mask = model.apply(
+        params, jnp.asarray(feats), jnp.asarray(mask), method="encode")
+
+    sess = StreamingEncoderSession(model, params, batch=b)
+    rc = sess.raw_chunk
+    for s in range(64 // rc):
+        sess.feed(feats[:, s * rc:(s + 1) * rc])
+    stream_mem, t_valid = sess.finish(feats[:, 64:])
+
+    t_batch = int(np.asarray(jnp.sum(memory_mask[0])))
+    assert t_valid == t_batch
+    np.testing.assert_allclose(
+        np.asarray(stream_mem[:, :t_valid]), np.asarray(memory[:, :t_valid]),
+        rtol=2e-5, atol=2e-5)
+
+
+def test_streaming_conformer_requires_causal_conv():
+    cfg = {
+        "type": "ctc", "frontend_type": "conv", "frontend": FRONTEND,
+        "encoder_type": "conformer",
+        "encoder": {**CONFORMER_ENC, "conv_causal": False},
+        "vocab_size": 20, "lookahead_steps": 0,
+    }
+    model, params, _, _ = _init(cfg, t=40, seed=7)
+    with pytest.raises(Exception, match="conv_causal"):
+        sess = StreamingEncoderSession(model, params, batch=2)
+        sess.feed(np.zeros((2, sess.raw_chunk, FRONTEND["input_size"]), np.float32))
+        sess.feed(np.zeros((2, sess.raw_chunk, FRONTEND["input_size"]), np.float32))
