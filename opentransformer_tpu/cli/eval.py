@@ -76,7 +76,9 @@ def load_checkpoint(path: str):
     """Returns (params, config). Accepts an expdir, a checkpoint dir, or a
     reference torch ``.pt`` file (model or LM — converted on the fly)."""
     path = path.rstrip("/")
-    if path.endswith(".pt") and os.path.isfile(path):
+    if path.endswith(".pt"):
+        if not os.path.isfile(path):
+            raise SystemExit(f"error: checkpoint file not found: {path}")
         from ..compat import load_reference_any
 
         variables, cfg = load_reference_any(path)

@@ -88,8 +88,16 @@ def main(argv=None) -> int:
     n_data = args.ngpu or max(n_dev // (args.tp * args.pp), 1)
     mesh = (make_mesh(n_data=n_data, n_model=args.tp, n_pipe=args.pp)
             if n_data * args.tp * args.pp > 1 else None)
-    if args.pp > 1 and not cfg["model"].get("encoder", {}).get("scan_layers", False):
-        raise SystemExit("--pp requires encoder.scan_layers: true (stacked layer params)")
+    if args.pp > 1:
+        enc = cfg["model"].get("encoder", {})
+        if (cfg["model"].get("encoder_type", "transformer") != "transformer"
+                or not enc.get("scan_layers", False)):
+            raise SystemExit("--pp requires a transformer encoder with "
+                             "scan_layers: true (stacked layer params)")
+        if int(enc.get("n_blocks", 12)) % args.pp != 0:
+            raise SystemExit(f"--pp {args.pp} must divide encoder.n_blocks="
+                             f"{enc.get('n_blocks', 12)} (else stages would "
+                             "silently replicate)")
     logger.info("devices=%d mesh=%s", n_dev, dict(mesh.shape) if mesh else None)
 
     model_cfg = cfg["model"]

@@ -205,6 +205,7 @@ def convert_reference_checkpoint(chkpt: Mapping[str, Any], model_cfg: Mapping) -
         encoder, enc_stats = convert_conformer_encoder(
             chkpt["encoder"], int(enc_cfg.get("nblocks", 12)),
             relative_positional=bool(enc_cfg.get("relative_positional", True)),
+            ref_compat=bool(enc_cfg.get("ref_compat", True)),
         )
         batch_stats["encoder"] = enc_stats
     else:

@@ -37,6 +37,16 @@ from .modules import (
 Dtype = Any
 
 
+def stream_kv_mask(batch, left, chunk, cache_len, chunk_mask=None):
+    """Validity mask for a chunk-streaming attention step over
+    [cache(left) ∥ chunk] keys: cache entries are valid only in the last
+    ``cache_len`` slots (the shifting buffer fills from the right)."""
+    cache_valid = jnp.arange(left) >= (left - cache_len)
+    key_valid = jnp.broadcast_to(cache_valid[None], (batch, left))
+    new_valid = chunk_mask if chunk_mask is not None else jnp.ones((batch, chunk), bool)
+    return jnp.concatenate([key_valid, new_valid], axis=1)[:, None, None, :]
+
+
 class TransformerEncoderLayer(nn.Module):
     d_model: int
     n_heads: int
@@ -248,10 +258,7 @@ class TransformerEncoder(nn.Module):
         b, c, _ = x_chunk.shape
         left = self.left_chunks * self.chunk_size
         x = self.pos_enc(x_chunk, start=start)
-        cache_valid = jnp.arange(left) >= (left - cache_len)
-        key_valid = jnp.broadcast_to(cache_valid[None], (b, left))
-        new_valid = chunk_mask if chunk_mask is not None else jnp.ones((b, c), bool)
-        kv_mask = jnp.concatenate([key_valid, new_valid], axis=1)[:, None, None, :]
+        kv_mask = stream_kv_mask(b, left, c, cache_len, chunk_mask)
         new_cache = []
         for layer, lc in zip(self.layers, cache):
             x, nk, nv = layer.encode_step(x, lc["k"], lc["v"], kv_mask)
@@ -491,10 +498,7 @@ class ConformerEncoder(nn.Module):
         x = x_chunk
         if not self.relative_positional and self.positional_encoding:
             x = self.pos_enc(x, start=start)
-        cache_valid = jnp.arange(left) >= (left - cache_len)
-        key_valid = jnp.broadcast_to(cache_valid[None], (b, left))
-        new_valid = chunk_mask if chunk_mask is not None else jnp.ones((b, c), bool)
-        kv_mask = jnp.concatenate([key_valid, new_valid], axis=1)[:, None, None, :]
+        kv_mask = stream_kv_mask(b, left, c, cache_len, chunk_mask)
         new_cache = []
         for layer, lc in zip(self.layers, cache):
             x, nc = layer.encode_step(x, lc, kv_mask)

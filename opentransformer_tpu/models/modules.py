@@ -537,7 +537,9 @@ class ConformerConvModule(nn.Module):
         # x: [B, T, D]; pad_mask: bool[B, T]
         h = self._glu_in(x, pad_mask)
         k = self.kernel_size
-        pad = (k - 1, 0) if self.causal else (k // 2, k - 1 - k // 2)
+        # non-causal pads match XLA SAME (low=(k-1)//2, high=k//2) so the
+        # refactor from padding="SAME" is bit-identical for any kernel size
+        pad = (k - 1, 0) if self.causal else ((k - 1) // 2, k // 2)
         h = jnp.pad(h, ((0, 0), pad, (0, 0)))
         h = self.dw_conv(h)
         return self._post_conv(h, pad_mask, deterministic, train)

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from ..data import BLK
 from ..ops.masks import mask_to_length
-from ..ops.rnnt_loss import rnnt_loss
+from ..ops.rnnt_loss import rnnt_loss_mean
 from .modules import TorchLinear
 from .speech2text import _build_encoder, _build_frontend
 
@@ -150,10 +150,10 @@ class TransducerModel(nn.Module):
         pred = self.predictor(pred_in, deterministic=deterministic)
         logits = self.joint(memory, pred)
         log_probs = jax.nn.log_softmax(logits, axis=-1)
-        losses = rnnt_loss(
+        loss = rnnt_loss_mean(
             log_probs, targets[:, 1:], mask_to_length(memory_mask),
             targets_length - 1, blank=BLK)
-        return jnp.mean(losses), {}
+        return loss, {}
 
     def init_decode_state(self, batch: int):
         """(prediction state, hidden) primed with BOS — the carry for

@@ -119,10 +119,10 @@ class StreamingEncoderSession:
         self._prev = raw
         return new
 
-    def finish(self, tail: Optional[np.ndarray] = None) -> tuple[jnp.ndarray, int]:
-        """Flush with an optional final partial chunk (< chunk·hop frames).
-        Returns (memory [B, T', D], T'). Newly emitted chunks are visible via
-        the return value of ``flush_chunks`` captured before concatenation."""
+    def flush(self, tail: Optional[np.ndarray] = None) -> list[jnp.ndarray]:
+        """Emit the remaining tail chunks (optional final partial chunk,
+        < chunk·hop frames) and close the session. Returns only the NEWLY
+        emitted encoder chunks."""
         if self._finished:
             raise RuntimeError("session already finished")
         self._finished = True
@@ -134,31 +134,64 @@ class StreamingEncoderSession:
             if tail.shape[1] >= self.raw_chunk:
                 raise ValueError("tail must be shorter than one chunk; use feed()")
             parts.append(tail)
-        if parts:
-            raw = np.concatenate(parts, axis=1)
-            n_raw_total = self._raw_seen + raw.shape[1]
-            from ..models.frontend import ConvFrontEnd
+        if not parts:
+            return []
+        raw = np.concatenate(parts, axis=1)
+        n_raw_total = self._raw_seen + raw.shape[1]
+        from ..models.frontend import ConvFrontEnd
 
-            fc = self.model.frontend_cfg
-            t_total = ConvFrontEnd.output_length(
-                n_raw_total, fc.get("kernel_size", ((3, 3), (3, 3))),
-                fc.get("stride", (2, 2)))
-            remaining = t_total - self._emitted
-            if remaining > 0:
-                # zero-pad so every block sees a full fixed-size window
-                need = (-(-remaining // self.chunk)) * self.raw_chunk + self.excess
-                if need > raw.shape[1]:
-                    raw = np.concatenate(
-                        [raw, np.zeros((self.batch, need - raw.shape[1], raw.shape[2]),
-                                       np.float32)], axis=1)
-                self._emit(jnp.asarray(raw), remaining)
+        fc = self.model.frontend_cfg
+        t_total = ConvFrontEnd.output_length(
+            n_raw_total, fc.get("kernel_size", ((3, 3), (3, 3))),
+            fc.get("stride", (2, 2)))
+        remaining = t_total - self._emitted
+        if remaining <= 0:
+            return []
+        # zero-pad so every block sees a full fixed-size window
+        need = (-(-remaining // self.chunk)) * self.raw_chunk + self.excess
+        if need > raw.shape[1]:
+            raw = np.concatenate(
+                [raw, np.zeros((self.batch, need - raw.shape[1], raw.shape[2]),
+                               np.float32)], axis=1)
+        return self._emit(jnp.asarray(raw), remaining)
+
+    def finish(self, tail: Optional[np.ndarray] = None) -> tuple[jnp.ndarray, int]:
+        """Flush and return the full stitched (memory [B, T', D], T')."""
+        self.flush(tail)
         if not self._outputs:
             d = int(self.model.encoder_cfg.get("d_model", 256))
             return jnp.zeros((self.batch, 0, d)), 0
         return jnp.concatenate(self._outputs, axis=1), self._emitted
 
 
-class StreamingCTCRecognizer:
+class _StreamingRecognizer:
+    """Chunk-fed recognition driver shared by the online recognizers:
+    ``feed``/``finish`` route emitted encoder chunks into the subclass's
+    ``_consume`` which appends to ``self.tokens``."""
+
+    def __init__(self, model, params, batch: int = 1, idx2unit=None):
+        self.session = StreamingEncoderSession(model, params, batch)
+        self.model, self.params = model, params
+        self.idx2unit = idx2unit
+        self.tokens: list[list[int]] = [[] for _ in range(batch)]
+
+    def _consume(self, chunks) -> None:
+        raise NotImplementedError
+
+    def feed(self, raw: np.ndarray) -> list[list[int]]:
+        """Feed a raw feature chunk; returns the running token ids per stream."""
+        self._consume(self.session.feed(raw))
+        return [list(t) for t in self.tokens]
+
+    def finish(self, tail: Optional[np.ndarray] = None) -> list[str]:
+        """Flush; returns final transcripts (ids joined via idx2unit if given)."""
+        self._consume(self.session.flush(tail))
+        if self.idx2unit is None:
+            return [" ".join(map(str, t)) for t in self.tokens]
+        return [" ".join(self.idx2unit.get(i, "<UNK>") for i in t) for t in self.tokens]
+
+
+class StreamingCTCRecognizer(_StreamingRecognizer):
     """Frame-synchronous CTC recognition: greedy best-path tokens emitted as
     chunks arrive (real-time counterpart of ``CTCRecognizer``; same collapse
     rule, blank=PAD=0)."""
@@ -168,11 +201,8 @@ class StreamingCTCRecognizer:
             raise NotImplementedError(
                 "streaming CTC requires lookahead_steps=0 (the look-ahead conv "
                 "mixes future frames across chunk boundaries)")
-        self.session = StreamingEncoderSession(model, params, batch)
-        self.model, self.params = model, params
-        self.idx2unit = idx2unit
+        super().__init__(model, params, batch, idx2unit)
         self._last = np.zeros(batch, np.int64)  # last frame id per stream (BLK init)
-        self.tokens: list[list[int]] = [[] for _ in range(batch)]
 
         def project(params, memory):
             return model.apply(
@@ -193,40 +223,27 @@ class StreamingCTCRecognizer:
                         self.tokens[b].append(i)
                     self._last[b] = i
 
-    def feed(self, raw: np.ndarray) -> list[list[int]]:
-        """Feed a raw feature chunk; returns the running token ids per stream."""
-        self._consume(self.session.feed(raw))
-        return [list(t) for t in self.tokens]
 
-    def finish(self, tail: Optional[np.ndarray] = None) -> list[str]:
-        """Flush; returns final transcripts (ids joined via idx2unit if given)."""
-        already = len(self.session._outputs)
-        self.session.finish(tail)
-        self._consume(self.session._outputs[already:])
-        if self.idx2unit is None:
-            return [" ".join(map(str, t)) for t in self.tokens]
-        return [" ".join(self.idx2unit.get(i, "<UNK>") for i in t) for t in self.tokens]
-
-
-class StreamingTransducerRecognizer:
+class StreamingTransducerRecognizer(_StreamingRecognizer):
     """Frame-synchronous RNNT recognition: the transducer's greedy lattice
     walk resumes chunk-by-chunk — prediction-network state and hidden carry
     across chunks, so the streamed hypothesis equals the offline
-    ``greedy_decode`` on the same (chunked-attention) model."""
+    ``greedy_decode`` whenever the global ``max_symbols`` cap doesn't bind
+    (the per-chunk token buffer is sized chunk·max_per_frame, so nothing is
+    ever silently dropped within a chunk)."""
 
     def __init__(self, model, params, batch: int = 1, idx2unit=None,
-                 max_per_chunk: int = 64):
-        self.session = StreamingEncoderSession(model, params, batch)
-        self.model, self.params = model, params
-        self.idx2unit = idx2unit
-        self.tokens: list[list[int]] = [[] for _ in range(batch)]
+                 max_symbols: int = 10_000, max_per_frame: int = 8):
+        super().__init__(model, params, batch, idx2unit)
+        self.max_symbols = int(max_symbols)
+        buf = self.session.chunk * int(max_per_frame)
 
         def init_state(params, b):
             return model.apply(params, b, method="init_decode_state")
 
         def chunk_greedy(params, memory, frame_len, state, hidden):
             return model.apply(params, memory, frame_len, state, hidden,
-                               max_per_chunk, method="greedy_frames")
+                               buf, max_per_frame, method="greedy_frames")
 
         self._state, self._hidden = jax.jit(init_state, static_argnums=1)(params, batch)
         self._chunk_greedy = jax.jit(chunk_greedy)
@@ -241,18 +258,5 @@ class StreamingTransducerRecognizer:
                 self.params, y, frame_len, self._state, self._hidden)
             toks, n = np.asarray(toks), np.asarray(n)
             for b in range(toks.shape[0]):
-                self.tokens[b].extend(toks[b, : n[b]].tolist())
-
-    def feed(self, raw: np.ndarray) -> list[list[int]]:
-        """Feed a raw feature chunk; returns the running token ids per stream."""
-        self._consume(self.session.feed(raw))
-        return [list(t) for t in self.tokens]
-
-    def finish(self, tail: Optional[np.ndarray] = None) -> list[str]:
-        """Flush; returns final transcripts (ids joined via idx2unit if given)."""
-        already = len(self.session._outputs)
-        self.session.finish(tail)
-        self._consume(self.session._outputs[already:])
-        if self.idx2unit is None:
-            return [" ".join(map(str, t)) for t in self.tokens]
-        return [" ".join(self.idx2unit.get(i, "<UNK>") for i in t) for t in self.tokens]
+                room = self.max_symbols - len(self.tokens[b])
+                self.tokens[b].extend(toks[b, : min(n[b], room)].tolist())

@@ -266,13 +266,14 @@ def _lm_batch(rng, b, u, lens):
     return src, tgt
 
 
-def test_transformer_lm_matches_reference():
+def test_transformer_lm_matches_reference(tmp_path):
     """Transformer LM: loss, full-sequence log-probs, and stepwise KV-cached
-    decode all match the reference ``model/lm.py:94-163``."""
+    decode all match the reference ``model/lm.py:94-163`` — via the full
+    saved-.pt loading path (save_checkpoint → load_reference_lm_checkpoint)."""
     import jax
     import jax.numpy as jnp
 
-    from opentransformer_tpu.compat import convert_transformer_lm
+    from opentransformer_tpu.compat import load_reference_lm_checkpoint
     from opentransformer_tpu.models.registry import build_model
     from otrans.model.lm import TransformerLanguageModel as TorchTLM
 
@@ -293,8 +294,11 @@ def test_transformer_lm_matches_reference():
                         {"targets": torch.from_numpy(tgt)})
         t_logp = tlm.predict(torch.from_numpy(src), last_frame=False).numpy()
 
-    variables = jax.tree_util.tree_map(
-        jnp.asarray, convert_transformer_lm(tlm.state_dict(), 2, True))
+    pt = str(tmp_path / "lm.pt")
+    tlm.save_checkpoint({"model": pcfg}, pt)
+    variables_np, loaded_cfg = load_reference_lm_checkpoint(pt)
+    assert loaded_cfg["model"]["num_blocks"] == 2
+    variables = jax.tree_util.tree_map(jnp.asarray, variables_np)
     model = build_model(pcfg)
 
     loss, _ = model.apply(variables, jnp.asarray(src.astype(np.int32)),
