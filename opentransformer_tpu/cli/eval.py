@@ -35,14 +35,41 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("-c", "--config", type=str, default=None)
     p.add_argument("-b", "--batch_size", type=int, default=None)
     p.add_argument("-bw", "--beam_width", type=int, default=5)
+    p.add_argument("-nb", "--nbest", type=int, default=1,
+                   help="n-best size for the native CTC beam / transducer beam")
     p.add_argument("-pn", "--penalty", type=float, default=0.6)
     p.add_argument("-ld", "--lamda", type=float, default=5.0)
     p.add_argument("-ml", "--max_len", type=int, default=100)
     p.add_argument("-lm", "--load_language_model", type=str, default=None)
     p.add_argument("-lmw", "--lm_weight", type=float, default=0.1)
-    p.add_argument("-ctcw", "--ctc_weight", type=float, default=0.0,
+    p.add_argument("-ngram", "--ngram_lm", type=str, default=None,
+                   help="ARPA n-gram LM for the native CTC prefix beam decoder")
+    p.add_argument("-alpha", "--alpha", type=float, default=0.1,
+                   help="n-gram LM weight (CTC prefix beam)")
+    p.add_argument("-beta", "--beta", type=float, default=0.0,
+                   help="word-insertion bonus (CTC prefix beam)")
+    p.add_argument("-ctcw", "-cw", "--ctc_weight", type=float, default=0.0,
                    help="joint CTC/attention n-best rescoring weight "
                         "(model must be trained with ctc_weight > 0)")
+    p.add_argument("-md", "--mode", type=str, default="beam",
+                   choices=["beam", "greedy"],
+                   help="'greedy' forces beam_width=1")
+    p.add_argument("-mt", "--max_tokens_per_chunk", type=int, default=8,
+                   help="transducer: max emissions per encoder frame")
+    p.add_argument("-n", "--ngpu", type=int, default=1,
+                   help="accepted for reference-CLI parity; decode uses one chip")
+    p.add_argument("-pf", "--path_fusion", action="store_true",
+                   help="accepted for reference-CLI parity (transducer path "
+                        "fusion was vestigial upstream); ignored")
+    p.add_argument("-test", "--test", action="store_true",
+                   help="accepted for reference-CLI parity; ignored")
+    p.add_argument("-resc", "--apply_rescoring", action="store_true",
+                   help="accepted for parity; use -ctcw for working joint "
+                        "CTC/attention rescoring")
+    p.add_argument("-rw", "--rescore_weight", type=float, default=1.0,
+                   help="accepted for parity (see -ctcw / -lm_resc)")
+    p.add_argument("-sba", "--sort_by_avg_score", action="store_true",
+                   help="rank n-best by score/length instead of raw score")
     p.add_argument("-lm_resc", "--lm_rescore_weight", type=float, default=0.0,
                    help="post-beam n-best LM rescoring weight (the reference "
                         "shipped this helper unwired, recognize/base.py:52-88)")
@@ -101,6 +128,8 @@ def load_checkpoint(path: str):
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(asctime)s - %(levelname)s - %(message)s", force=True)
+    if args.mode == "greedy":
+        args.beam_width = 1
 
     params_np, cfg_dict = load_checkpoint(args.load_model)
     if args.config:
@@ -191,6 +220,13 @@ def main(argv=None) -> int:
 
             for i, utt in enumerate(utt_ids):
                 texts[i] = [postprocess(h, args.piece2word) for h in texts[i]]
+                if args.sort_by_avg_score and len(texts[i]) > 1:
+                    # rank n-best by per-token average score (reference -sba)
+                    order = sorted(
+                        range(len(texts[i])),
+                        key=lambda k: -scores[i][k] / max(len(texts[i][k].split()) + 1, 1))
+                    texts[i] = [texts[i][k] for k in order]
+                    scores[i] = np.asarray([scores[i][k] for k in order])
                 best = texts[i][0]
                 ftxt.write(f"{utt} {best}\n")
                 ref_ids = targets_dict.get(utt, [])

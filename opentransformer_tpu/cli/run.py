@@ -42,15 +42,36 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="pipeline-stage degree: stacked encoder layers "
                         "(scan_layers: true) shard params+opt state over a "
                         "'pipe' mesh axis (parallel/mesh.py)")
-    p.add_argument("-s", "--seed", type=int, default=1234)
+    p.add_argument("-s", "-se", "--seed", type=int, default=1234)
     p.add_argument("-l", "--logging_level", type=str, default="INFO")
+    p.add_argument("-lg", "--log_file", type=str, default=None,
+                   help="also write logs to this file (reference run.py:82)")
+    p.add_argument("-mp", "--mixed_precision", action="store_true",
+                   help="bfloat16 compute (the working version of the "
+                        "reference's vestigial apex flags)")
+    p.add_argument("-im", "--init_model", type=str, default=None,
+                   help="warm-start weights from a checkpoint dir, expdir, or "
+                        "reference .pt (fine-tuning; reference run.py:86)")
+    p.add_argument("-ios", "--init_optim_state", type=str, default=None,
+                   help="restore optimizer state from a model.epoch.N dir "
+                        "(reference run.py:87)")
+    p.add_argument("-tfe", "--from_epoch", type=int, default=0,
+                   help="start epoch counter here (reference run.py:91)")
+    p.add_argument("-tfs", "--from_step", type=int, default=0,
+                   help="start scheduler global step here (reference run.py:90)")
+    p.add_argument("-r", "--local_rank", type=int, default=0,
+                   help="accepted for reference-CLI parity; ignored")
+    p.add_argument("-vb", "--verbose", type=int, default=0,
+                   help="accepted for reference-CLI parity; ignored")
+    p.add_argument("-ol", "--opt_level", type=str, default="O1",
+                   help="accepted for reference-CLI parity; ignored (use -mp)")
     p.add_argument("-p", "--parallel_mode", type=str, default="dp",
                    help="accepted for reference-CLI parity; parallelism is the "
                         "mesh (-n data x --tp model), not dp/ddp processes")
     p.add_argument("-g", "--gpus", type=str, default=None,
                    help="accepted for reference-CLI parity; ignored (mesh uses -n)")
     p.add_argument("-ct", "--continue_training", action="store_true")
-    p.add_argument("-kl", "--keep_last_n_checkpoints", type=int, default=30)
+    p.add_argument("-kl", "-knpt", "--keep_last_n_checkpoints", type=int, default=30)
     p.add_argument("-ms", "--mixspeech", action="store_true")
     p.add_argument("-debug", "--debug", action="store_true")
     p.add_argument("--expdir", type=str, default=None)
@@ -72,6 +93,10 @@ def main(argv=None) -> int:
         format="%(asctime)s - %(levelname)s - %(message)s",
         force=True,
     )
+    if args.log_file:
+        fh = logging.FileHandler(args.log_file)
+        fh.setFormatter(logging.Formatter("%(asctime)s - %(levelname)s - %(message)s"))
+        logging.getLogger().addHandler(fh)
     cfg = load_config(args.config)
     expdir = args.expdir or os.path.join("egs_exp", cfg["train"].get("save_name", "exp"))
     os.makedirs(expdir, exist_ok=True)
@@ -104,7 +129,7 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
 
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
-        str(cfg["train"].get("dtype", "float32"))
+        "bfloat16" if args.mixed_precision else str(cfg["train"].get("dtype", "float32"))
     ]
     model = build_model(model_cfg, dtype=dtype)
     is_lm = model_cfg["type"] in LM_TYPES
@@ -166,6 +191,37 @@ def main(argv=None) -> int:
             trainer.global_epoch = epoch + 1
             trainer.global_step = int(payload["extra"].get("global_step", 1))
             logger.info("resumed from epoch %d (global step %d)", epoch, trainer.global_step)
+
+    if args.init_model and not args.continue_training:
+        # warm-start weights (fine-tuning): orbax dir, expdir or reference .pt
+        from .eval import load_checkpoint as load_any_checkpoint
+
+        params_np, _ = load_any_checkpoint(args.init_model)
+        if mesh is not None:
+            params = jax.device_put(params_np, param_shardings(params_np, mesh))
+        else:
+            params = jax.tree_util.tree_map(jax.numpy.asarray, params_np)
+        state = state.replace(params=params)
+        logger.info("initialized model weights from %s", args.init_model)
+
+    if args.init_optim_state and not args.continue_training:
+        path = args.init_optim_state.rstrip("/")
+        template = {
+            "params": jax.tree_util.tree_map(np.asarray, state.params),
+            "opt_state": jax.tree_util.tree_map(np.asarray, state.opt_state),
+            "extra": {"global_step": 0},
+        }
+        payload = Checkpointer(os.path.dirname(path)).restore(
+            os.path.basename(path), item=template)
+        state = state.replace(
+            opt_state=jax.tree_util.tree_map(jax.numpy.asarray, payload["opt_state"]))
+        trainer.global_step = int(payload["extra"].get("global_step", trainer.global_step))
+        logger.info("restored optimizer state from %s", path)
+
+    if args.from_epoch:
+        trainer.global_epoch = args.from_epoch
+    if args.from_step:
+        trainer.global_step = args.from_step
 
     if args.profile:
         jax.profiler.start_trace(args.profile)

@@ -213,7 +213,8 @@ class TransducerModel(nn.Module):
         _, state, hidden, tokens, n, _ = jax.lax.while_loop(cond, body, st0)
         return tokens, n, state, hidden
 
-    def greedy_decode(self, feats, feat_mask, max_symbols: int = 200):
+    def greedy_decode(self, feats, feat_mask, max_symbols: int = 200,
+                      max_per_frame: int = 8):
         """Offline batched greedy search.
 
         Returns (tokens i32[B, max_symbols] 0-padded, n_tokens i32[B]).
@@ -222,7 +223,8 @@ class TransducerModel(nn.Module):
         b = memory.shape[0]
         state, hidden = self.init_decode_state(b)
         tokens, n, _, _ = self.greedy_frames(
-            memory, mask_to_length(memory_mask), state, hidden, max_symbols)
+            memory, mask_to_length(memory_mask), state, hidden, max_symbols,
+            max_per_frame)
         return tokens, n
 
     def beam_decode(self, feats, feat_mask, beam_width: int = 4,

@@ -221,14 +221,16 @@ class TransducerRecognizer(Recognizer):
     (``eval.py:45-53,223-226``); this family actually decodes."""
 
     def __init__(self, model, params, idx2unit=None, max_symbols: int = 200,
-                 beam_width: int = 1, nbest: int = 1, expansions: int = 2):
+                 beam_width: int = 1, nbest: int = 1, expansions: int = 2,
+                 max_per_frame: int = 8):
         super().__init__(model, params, idx2unit)
         self.beam_width = int(beam_width)
         self.nbest = min(int(nbest), max(1, int(beam_width)))
 
         @jax.jit
         def greedy(params, feats, feat_mask):
-            return model.apply(params, feats, feat_mask, max_symbols, method="greedy_decode")
+            return model.apply(params, feats, feat_mask, max_symbols,
+                               max_per_frame, method="greedy_decode")
 
         @jax.jit
         def beam(params, feats, feat_mask):
@@ -344,5 +346,6 @@ def build_recognizer(model_type: str, model, params, lm=None, lm_params=None, ar
         return TransducerRecognizer(
             model, params, idx2unit=idx2unit, max_symbols=get("max_len", 200),
             beam_width=get("beam_width", 1), nbest=get("nbest", 1),
+            max_per_frame=get("max_tokens_per_chunk", 8),
         )
     raise KeyError(f"unknown model type for recognition: {model_type!r}")

@@ -109,3 +109,40 @@ def test_checkpoint_roundtrip_and_average(tmp_path):
     leaf_avg = jax.tree_util.tree_leaves(avg)[0]
     np.testing.assert_allclose(leaf_avg, leaf + 2.0, rtol=1e-6)  # mean(1,2,3)=2
     assert ck.load_config()["model"]["type"] == "speech2text"
+
+
+def test_finetune_flags_cli(tmp_path):
+    """-im/-ios/-tfs warm-start path (reference run.py:86-91): a second run
+    initialized from the first one's checkpoint trains and starts from the
+    requested scheduler step."""
+    import os
+    import sys
+    import yaml
+
+    sys.path.insert(0, "tests")
+    from test_e2e import make_config, make_corpus
+
+    from opentransformer_tpu.cli.run import main as run_main
+
+    root = str(tmp_path)
+    make_corpus(root, n_utts=16)
+    conf = make_config(root)
+    cfg = yaml.safe_load(open(conf))
+    cfg["train"]["epochs"] = 2
+    yaml.safe_dump(cfg, open(conf, "w"))
+
+    base = os.path.join(root, "exp_base")
+    assert run_main(["-c", conf, "-n", "1", "--expdir", base, "--log_interval", "100"]) == 0
+
+    ft = os.path.join(root, "exp_ft")
+    log = os.path.join(root, "ft.log")
+    assert run_main([
+        "-c", conf, "-n", "1", "--expdir", ft, "--log_interval", "100",
+        "-im", os.path.join(base, "model.epoch.1"),
+        "-ios", os.path.join(base, "model.epoch.1"),
+        "-tfs", "50", "-lg", log,
+    ]) == 0
+    text = open(log).read()
+    assert "initialized model weights" in text
+    assert "restored optimizer state" in text
+    assert os.path.isdir(os.path.join(ft, "model.epoch.1"))
