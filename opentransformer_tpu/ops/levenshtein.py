@@ -1,20 +1,44 @@
 """Edit distance + WER/CER scoring.
 
 Replaces the reference's external C++ ``editdistance`` dependency
-(``eval.py:168``, ``tools/computer_wer.py:30``) with a dependency-free
-O(len_a · len_b) two-row DP.
+(``eval.py:168``, ``tools/computer_wer.py:30``) with a first-party native
+implementation (``native/levenshtein.cc``, ctypes, auto-built like the CTC
+decoder) plus a dependency-free two-row-DP Python fallback.
 """
 
 from __future__ import annotations
 
+import ctypes
+import os
+import subprocess
 from typing import Sequence
 
+_NATIVE_DIR = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "native"))
+_SO_PATH = os.path.join(_NATIVE_DIR, "libedit_distance.so")
+_lib = None
 
-def edit_distance(a: Sequence, b: Sequence) -> int:
-    if len(a) < len(b):
-        a, b = b, a
-    if not b:
-        return len(a)
+
+def _load_lib():
+    global _lib
+    if _lib is None:
+        try:
+            if not os.path.exists(_SO_PATH):
+                subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                               capture_output=True)
+            lib = ctypes.CDLL(_SO_PATH)
+            lib.edit_distance_i32.restype = ctypes.c_int32
+            lib.edit_distance_i32.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ]
+            _lib = lib
+        except Exception:
+            _lib = False  # build/load failed: stay on the Python DP
+    return _lib
+
+
+def _edit_distance_py(a: Sequence, b: Sequence) -> int:
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a, 1):
         cur = [i] + [0] * len(b)
@@ -22,6 +46,21 @@ def edit_distance(a: Sequence, b: Sequence) -> int:
             cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
         prev = cur
     return prev[-1]
+
+
+def edit_distance(a: Sequence, b: Sequence) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    if not b:
+        return len(a)
+    lib = _load_lib()
+    if not lib:
+        return _edit_distance_py(a, b)
+    # intern arbitrary hashable tokens into int32 ids for the native kernel
+    ids: dict = {}
+    xa = (ctypes.c_int32 * len(a))(*(ids.setdefault(t, len(ids)) for t in a))
+    xb = (ctypes.c_int32 * len(b))(*(ids.setdefault(t, len(ids)) for t in b))
+    return int(lib.edit_distance_i32(xa, len(a), xb, len(b)))
 
 
 class ErrorRateAccumulator:

@@ -98,3 +98,26 @@ def test_arpa_lm_fusion(tmp_path):
     )
     # lm favors 'a c' (logp -0.1) over 'a b' (-2.0): decision flips
     assert lm_tokens[0, 0, : lm_lens[0, 0]].tolist() == [3, 5]
+
+
+def test_native_edit_distance_matches_python():
+    """native/levenshtein.cc vs the Python DP on fuzzed token sequences
+    (the reference's editdistance pip dep was C++ too)."""
+    import random
+
+    from opentransformer_tpu.ops.levenshtein import (
+        _edit_distance_py,
+        _load_lib,
+        edit_distance,
+    )
+
+    if not _load_lib():
+        import pytest
+
+        pytest.skip("native edit-distance lib unavailable")
+    rng = random.Random(0)
+    for _ in range(300):
+        a = [rng.choice("abcdef") for _ in range(rng.randint(0, 25))]
+        b = [rng.choice("abcdef") for _ in range(rng.randint(0, 25))]
+        x, y = (a, b) if len(a) >= len(b) else (b, a)
+        assert edit_distance(a, b) == _edit_distance_py(x, y)
