@@ -233,9 +233,9 @@ class TransducerModel(nn.Module):
         expansions (mAES-style): at every frame, each of K hypotheses is
         blank-finalized into the next-frame beam and (up to ``expansions``
         times) extended by its top non-blank labels; the next-frame beam is
-        the global top-K over all finalized candidates. No prefix merging —
-        duplicate label sequences may occupy beam slots (the usual batched-
-        TPU tradeoff: fixed shapes, one lax.scan over frames).
+        the global top-K over all finalized candidates, with equal label
+        sequences logaddexp-merged (prefix merging) so duplicates never
+        occupy beam slots. Fixed shapes throughout; one lax.scan over frames.
 
         Returns (tokens i32[B, K, max_symbols], lengths i32[B, K],
         scores f32[B, K]) sorted best-first.
@@ -291,6 +291,21 @@ class TransducerModel(nn.Module):
                     for key in ("tokens", "lens", "state", "hidden")
                 }
                 cat_scores = jnp.concatenate([done["scores"], blank_scores], axis=1)
+                # prefix merge over the 2K union: identical label sequences
+                # (token buffers are 0-padded past lens, so whole-buffer
+                # equality + equal length is exact) fold into the earliest
+                # slot with logaddexp; later duplicates are disabled
+                same = jnp.logical_and(
+                    jnp.all(cat["tokens"][:, :, None, :] == cat["tokens"][:, None, :, :],
+                            axis=-1),
+                    cat["lens"][:, :, None] == cat["lens"][:, None, :])
+                slot = jnp.arange(2 * k)
+                is_dup = jnp.any(
+                    jnp.logical_and(same, slot[None, :, None] < slot[None, None, :]),
+                    axis=1)
+                merged = jax.nn.logsumexp(
+                    jnp.where(same, cat_scores[:, None, :], neg), axis=-1)
+                cat_scores = jnp.where(is_dup, neg, merged)
                 _, top = jax.lax.top_k(cat_scores, k)
                 done = {"scores": jnp.take_along_axis(cat_scores, top, axis=1),
                         "tokens": beam_gather(cat["tokens"], top),
