@@ -228,7 +228,8 @@ class TransducerModel(nn.Module):
         return tokens, n
 
     def beam_decode(self, feats, feat_mask, beam_width: int = 4,
-                    max_symbols: int = 100, expansions: int = 2):
+                    max_symbols: int = 100, expansions: int = 2,
+                    lm_init=None, lm_step=None, lm_weight: float = 0.0):
         """Time-synchronous RNNT beam search with bounded per-frame
         expansions (mAES-style): at every frame, each of K hypotheses is
         blank-finalized into the next-frame beam and (up to ``expansions``
@@ -236,6 +237,11 @@ class TransducerModel(nn.Module):
         the global top-K over all finalized candidates, with equal label
         sequences logaddexp-merged (prefix merging) so duplicates never
         occupy beam slots. Fixed shapes throughout; one lax.scan over frames.
+
+        Optional external-LM shallow fusion: ``lm_init``/``lm_step`` adapters
+        (``recognize/base.make_lm_adapter``; stateful per-hypothesis, so
+        RNN LMs — blank moves don't advance the LM, label expansions add
+        ``lm_weight · log p_lm(label | prefix)`` and step the LM state).
 
         Returns (tokens i32[B, K, max_symbols], lengths i32[B, K],
         scores f32[B, K]) sorted best-first.
@@ -258,6 +264,7 @@ class TransducerModel(nn.Module):
                 return jnp.take_along_axis(x, ii, axis=1)
             return jax.tree_util.tree_map(g, tree)
 
+        use_lm = lm_step is not None and lm_weight != 0.0
         beam = {
             "scores": jnp.full((b, k), neg).at[:, 0].set(0.0),
             "tokens": jnp.zeros((b, k, max_symbols), jnp.int32),
@@ -265,6 +272,10 @@ class TransducerModel(nn.Module):
             "state": tile(state0),                      # [B, K, D]
             "hidden": [(tile(h), tile(c)) for h, c in hidden0],
         }
+        if use_lm:
+            lm_lp0, lm_state0 = lm_step(jnp.full((b,), 1, jnp.int32), lm_init(b), 0)
+            beam["lm_lp"] = tile(lm_lp0)                # [B, K, V] next-label dist
+            beam["lm_state"] = jax.tree_util.tree_map(tile, lm_state0)
 
         def joint_logp(enc_t, beam_state):
             # enc_t [B, D]; beam_state [B, K, D] → log-probs [B, K, V]
@@ -281,15 +292,10 @@ class TransducerModel(nn.Module):
                 # blank-finalize every active hyp into the done set (top-K
                 # over the union keeps shapes fixed)
                 blank_scores = active["scores"] + logp[..., BLK]
-                cat = {
-                    key: jnp.concatenate([done[key], active[key]], axis=1)
-                    if not isinstance(done[key], list) else [
-                        (jnp.concatenate([dh, ah], axis=1),
-                         jnp.concatenate([dc, ac], axis=1))
-                        for (dh, dc), (ah, ac) in zip(done[key], active[key])
-                    ]
-                    for key in ("tokens", "lens", "state", "hidden")
-                }
+                cat = jax.tree_util.tree_map(
+                    lambda d, a: jnp.concatenate([d, a], axis=1),
+                    {kk: vv for kk, vv in done.items() if kk != "scores"},
+                    {kk: vv for kk, vv in active.items() if kk != "scores"})
                 cat_scores = jnp.concatenate([done["scores"], blank_scores], axis=1)
                 # prefix merge over the 2K union: identical label sequences
                 # (token buffers are 0-padded past lens, so whole-buffer
@@ -308,14 +314,13 @@ class TransducerModel(nn.Module):
                 cat_scores = jnp.where(is_dup, neg, merged)
                 _, top = jax.lax.top_k(cat_scores, k)
                 done = {"scores": jnp.take_along_axis(cat_scores, top, axis=1),
-                        "tokens": beam_gather(cat["tokens"], top),
-                        "lens": beam_gather(cat["lens"], top),
-                        "state": beam_gather(cat["state"], top),
-                        "hidden": beam_gather(cat["hidden"], top)}
+                        **beam_gather(cat, top)}
                 if e == expansions:
                     break
                 # expand: top-K non-blank continuations over K·V candidates
                 nb = active["scores"][:, :, None] + logp
+                if use_lm:
+                    nb = nb + lm_weight * active["lm_lp"]
                 nb = nb.at[..., BLK].set(neg)
                 nb = jnp.where((active["lens"] < max_symbols)[:, :, None], nb, neg)
                 v = nb.shape[-1]
@@ -323,10 +328,9 @@ class TransducerModel(nn.Module):
                 parent = flat_idx // v
                 label = (flat_idx % v).astype(jnp.int32)
                 new = {"scores": flat_scores,
-                       "tokens": beam_gather(active["tokens"], parent),
-                       "lens": beam_gather(active["lens"], parent),
-                       "state": beam_gather(active["state"], parent),
-                       "hidden": beam_gather(active["hidden"], parent)}
+                       **beam_gather(
+                           {kk: vv for kk, vv in active.items() if kk != "scores"},
+                           parent)}
                 pos = jnp.arange(max_symbols)[None, None, :] == new["lens"][:, :, None]
                 new["tokens"] = jnp.where(pos, label[:, :, None], new["tokens"])
                 new["lens"] = new["lens"] + 1
@@ -337,6 +341,13 @@ class TransducerModel(nn.Module):
                 new["state"] = ns.reshape(b, k, -1)
                 new["hidden"] = [(h.reshape(b, k, -1), c.reshape(b, k, -1))
                                  for h, c in nh]
+                if use_lm:
+                    flat_lm_state = jax.tree_util.tree_map(
+                        lambda x: x.reshape((b * k,) + x.shape[2:]), new["lm_state"])
+                    lm_lp, lm_state = lm_step(label.reshape(b * k), flat_lm_state, 0)
+                    new["lm_lp"] = lm_lp.reshape(b, k, -1)
+                    new["lm_state"] = jax.tree_util.tree_map(
+                        lambda x: x.reshape((b, k) + x.shape[1:]), lm_state)
                 active = new
 
             # advance only streams that still have frames

@@ -222,10 +222,21 @@ class TransducerRecognizer(Recognizer):
 
     def __init__(self, model, params, idx2unit=None, max_symbols: int = 200,
                  beam_width: int = 1, nbest: int = 1, expansions: int = 2,
-                 max_per_frame: int = 8):
+                 max_per_frame: int = 8, lm=None, lm_params=None,
+                 lm_weight: float = 0.0):
         super().__init__(model, params, idx2unit)
         self.beam_width = int(beam_width)
         self.nbest = min(int(nbest), max(1, int(beam_width)))
+        if lm is not None and lm_weight != 0.0:
+            if not isinstance(lm, RecurrentLanguageModel):
+                raise NotImplementedError(
+                    "transducer LM fusion supports rnn_lm (per-hypothesis "
+                    "emission counts differ, so a transformer LM's shared "
+                    "cache index doesn't apply)")
+            lm_init, lm_step = make_lm_adapter(lm, lm_params, max_symbols)
+        else:
+            lm_init = lm_step = None
+            lm_weight = 0.0
 
         @jax.jit
         def greedy(params, feats, feat_mask):
@@ -235,7 +246,8 @@ class TransducerRecognizer(Recognizer):
         @jax.jit
         def beam(params, feats, feat_mask):
             return model.apply(params, feats, feat_mask, self.beam_width,
-                               max_symbols, expansions, method="beam_decode")
+                               max_symbols, expansions, lm_init, lm_step,
+                               lm_weight, method="beam_decode")
 
         self._jit_greedy = greedy
         self._jit_beam = beam
@@ -347,5 +359,6 @@ def build_recognizer(model_type: str, model, params, lm=None, lm_params=None, ar
             model, params, idx2unit=idx2unit, max_symbols=get("max_len", 200),
             beam_width=get("beam_width", 1), nbest=get("nbest", 1),
             max_per_frame=get("max_tokens_per_chunk", 8),
+            lm=lm, lm_params=lm_params, lm_weight=get("lm_weight", 0.1) if lm is not None else 0.0,
         )
     raise KeyError(f"unknown model type for recognition: {model_type!r}")

@@ -171,3 +171,62 @@ def test_transducer_cli_train_and_decode(tmp_path):
             results[d] = float(txt.split("CER ")[1].split("%")[0])
     assert results, os.listdir(expdir)
     assert min(results.values()) < 20.0, results
+
+
+def test_transducer_beam_lm_fusion():
+    """RNN-LM shallow fusion in the RNNT beam: fused score == base score +
+    w · Σ log p_lm(label | prefix). The LM adds a per-sequence constant to
+    every alignment path, so with an exhaustive beam (K = V hyps, max one
+    symbol → nothing is ever pruned and path sums are complete) the identity
+    holds exactly for every hypothesis."""
+    import jax
+    import jax.numpy as jnp
+
+    from opentransformer_tpu.models.registry import build_model
+    from opentransformer_tpu.recognize.base import make_lm_adapter
+
+    V = 3 + N_UNITS
+    model = build_model(_tiny_cfg())
+    rng = np.random.default_rng(4)
+    b, t = 2, 36
+    feats = jnp.asarray(rng.normal(size=(b, t, FEAT_DIM)), jnp.float32)
+    mask = jnp.ones((b, t), bool)
+    tgt = np.ones((b, 5), np.int64)
+    params = model.init(jax.random.PRNGKey(0), feats, mask,
+                        jnp.asarray(tgt.astype(np.int32)), jnp.asarray([4, 4]))
+
+    lm = build_model({"type": "rnn_lm", "vocab_size": V, "num_layers": 1,
+                      "hidden_size": 16, "dropout": 0.0, "share_embedding": True,
+                      "smoothing": 0.1})
+    lm_params = lm.init(jax.random.PRNGKey(1), jnp.ones((1, 4), jnp.int32),
+                        jnp.ones((1, 4), jnp.int32), jnp.asarray([3]))
+    lm_init, lm_step = make_lm_adapter(lm, lm_params, 20)
+
+    K = V  # exhaustive beam over all length<=1 sequences: no pruning
+    base = model.apply(params, feats, mask, K, 1, 1, method="beam_decode")
+    w = 0.3
+    fused = model.apply(params, feats, mask, K, 1, 1, lm_init, lm_step, w,
+                        method="beam_decode")
+
+    def lm_seq_logp(seq):
+        state = lm_init(1)
+        total, tok = 0.0, jnp.asarray([1], jnp.int32)  # BOS
+        for s in seq:
+            lp, state = lm_step(tok, state, 0)
+            total += float(lp[0, s])
+            tok = jnp.asarray([s], jnp.int32)
+        return total
+
+    btoks, blens, bscores = map(np.asarray, base)
+    ftoks, flens, fscores = map(np.asarray, fused)
+    checked = 0
+    for i in range(b):
+        base_map = {tuple(btoks[i, j, : blens[i, j]]): bscores[i, j]
+                    for j in range(btoks.shape[1])}
+        for j in range(ftoks.shape[1]):
+            seq = tuple(ftoks[i, j, : flens[i, j]])
+            if seq in base_map:
+                expect = base_map[seq] + w * lm_seq_logp(seq)
+                np.testing.assert_allclose(fscores[i, j], expect, rtol=1e-4, atol=1e-4)
+                checked += 1
+    assert checked >= 2 * V - 2, checked  # every live hyp in both runs
