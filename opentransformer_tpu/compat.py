@@ -328,6 +328,127 @@ def load_reference_checkpoint(path: str, model_cfg: Mapping | None = None) -> tu
     return convert_reference_checkpoint(chkpt, mc), cfg
 
 
+# --------------------------------------------------------------- export (→torch)
+# Inverse mappings: flax params → reference torch state dicts, so checkpoints
+# flow BOTH ways (a reference user can evaluate our trained models with their
+# stack). Scope: the speech-transformer family (+ CTC head) and both LMs.
+
+
+def _t(x) -> np.ndarray:
+    return np.asarray(x, np.float32)
+
+
+def _linear_out(p: Mapping, prefix: str, out: dict) -> None:
+    out[f"{prefix}.weight"] = _t(p["dense"]["kernel"]).T
+    out[f"{prefix}.bias"] = _t(p["dense"]["bias"])
+
+
+def _layernorm_out(p: Mapping, prefix: str, out: dict) -> None:
+    out[f"{prefix}.weight"] = _t(p["scale"])
+    out[f"{prefix}.bias"] = _t(p["bias"])
+
+
+def _self_attn_out(p: Mapping, prefix: str, out: dict) -> None:
+    _linear_out(p["qkv_proj"], f"{prefix}.qvk_proj", out)
+    _linear_out(p["out_proj"], f"{prefix}.output_proj", out)
+
+
+def _ffn_out(p: Mapping, prefix: str, out: dict) -> None:
+    _linear_out(p["w1"], f"{prefix}.w_1", out)
+    _linear_out(p["w2"], f"{prefix}.w_2", out)
+
+
+def export_frontend(p: Mapping) -> dict:
+    out: dict = {}
+    for i, name in ((1, "conv1"), (2, "conv2")):
+        w = _t(p[name]["conv"]["kernel"])  # [kT, kF, I, O] → [O, I, kT, kF]
+        out[f"conv{i}.conv_layer.weight"] = w.transpose(3, 2, 0, 1)
+        out[f"conv{i}.conv_layer.bias"] = _t(p[name]["conv"]["bias"])
+    _linear_out(p["output_layer"], "output_layer", out)
+    if "layer_norm" in p:
+        _layernorm_out(p["layer_norm"], "layer_norm", out)
+    return out
+
+
+def export_encoder(p: Mapping) -> dict:
+    out: dict = {}
+    for name, blk in p.items():
+        if not name.startswith("block_"):
+            continue
+        i = int(name[len("block_"):])
+        _self_attn_out(blk["slf_attn"], f"blocks.{i}.slf_attn", out)
+        _ffn_out(blk["ffn"], f"blocks.{i}.feed_forward", out)
+        _layernorm_out(blk["norm1"], f"blocks.{i}.norm1", out)
+        _layernorm_out(blk["norm2"], f"blocks.{i}.norm2", out)
+        if "concat_linear" in blk:
+            _linear_out(blk["concat_linear"], f"blocks.{i}.concat_linear", out)
+    if "after_norm" in p:
+        _layernorm_out(p["after_norm"], "norm", out)
+    return out
+
+
+def export_decoder(p: Mapping) -> dict:
+    out: dict = {"embedding.weight": _t(p["embedding"]["embedding"])}
+    for name, blk in p.items():
+        if not name.startswith("block_"):
+            continue
+        i = int(name[len("block_"):])
+        _self_attn_out(blk["slf_attn"], f"blocks.{i}.slf_attn", out)
+        _linear_out(blk["src_attn"]["q_proj"], f"blocks.{i}.src_attn.q_proj", out)
+        _linear_out(blk["src_attn"]["kv_proj"], f"blocks.{i}.src_attn.vk_proj", out)
+        _linear_out(blk["src_attn"]["out_proj"], f"blocks.{i}.src_attn.output_proj", out)
+        _ffn_out(blk["ffn"], f"blocks.{i}.feed_forward", out)
+        for n in ("norm1", "norm2", "norm3"):
+            _layernorm_out(blk[n], f"blocks.{i}.{n}", out)
+        if "concat_linear1" in blk:
+            _linear_out(blk["concat_linear1"], f"blocks.{i}.concat_linear1", out)
+            _linear_out(blk["concat_linear2"], f"blocks.{i}.concat_linear2", out)
+    if "after_norm" in p:
+        _layernorm_out(p["after_norm"], "after_norm", out)
+    if "output_bias" in p:  # tied: weight aliases the embedding
+        out["output_layer.weight"] = out["embedding.weight"]
+        out["output_layer.bias"] = _t(p["output_bias"])
+    else:
+        _linear_out(p["output_layer"], "output_layer", out)
+    return out
+
+
+def export_ctc(p: Mapping) -> dict:
+    out: dict = {}
+    _linear_out(p["output_layer"], "output_layer", out)
+    if "look_ahead_conv" in p:
+        w = _t(p["look_ahead_conv"]["kernel"])  # [k, 1, D] → [D, 1, k]
+        out["lookahead_conv.weight"] = w.transpose(2, 1, 0)
+        if "bias" in p["look_ahead_conv"]:
+            out["lookahead_conv.bias"] = _t(p["look_ahead_conv"]["bias"])
+    return out
+
+
+def export_reference_checkpoint(variables: Mapping, cfg: Mapping) -> dict:
+    """Our flax variables → the reference's component-wise ``.pt`` payload
+    ({params, frontend, encoder, decoder[, ctc]}, loadable by the reference's
+    ``eval.py:29-56``). Transformer-encoder speech2text family only."""
+    import torch
+
+    if cfg.get("model", cfg).get("encoder_type", "transformer") != "transformer":
+        raise NotImplementedError(
+            "torch export covers the (transformer-encoder) speech2text family")
+    p = variables.get("params", variables)
+
+    def to_torch(sd: dict) -> dict:
+        return {k: torch.from_numpy(np.array(v, np.float32)) for k, v in sd.items()}
+
+    chkpt = {
+        "params": dict(cfg),
+        "frontend": to_torch(export_frontend(p["frontend"])),
+        "encoder": to_torch(export_encoder(p["encoder"])),
+        "decoder": to_torch(export_decoder(p["decoder"])),
+    }
+    if "ctc" in p:
+        chkpt["ctc"] = to_torch(export_ctc(p["ctc"]))
+    return chkpt
+
+
 def to_scan_layout(params: Mapping, component: str = "encoder", block_prefix: str = "block_") -> dict:
     """Convert per-block param layout (block_0..block_{L-1}) to the stacked
     'blocks' layout used by ``scan_layers: true`` encoders.

@@ -427,3 +427,49 @@ def test_conformer_encoder_matches_reference(relative_positional):
         variables, jnp.asarray(target_in.astype(np.int32)), memory, memory_mask,
         method="decode_full")
     np.testing.assert_allclose(np.asarray(logits), t_logits, rtol=1e-3, atol=1e-3)
+
+
+def test_export_to_torch_roundtrip():
+    """OUR randomly-initialized model exported to the reference .pt format
+    must produce identical logits when run by the actual reference torch
+    model — interchange works in both directions."""
+    import jax
+    import jax.numpy as jnp
+
+    from opentransformer_tpu.compat import export_reference_checkpoint
+    from opentransformer_tpu.models.registry import build_model
+    from otrans.model.speech2text import SpeechToText as TorchS2T
+
+    cfg = {**MODEL_CFG, "ctc_weight": 0.3, "encoder_output_size": 32,
+           "lookahead_steps": 2}
+    model = build_model(cfg)
+    rng = np.random.default_rng(11)
+    b, t, f, u = 2, 35, 20, 6
+    feats = rng.normal(size=(b, t, f)).astype(np.float32)
+    feat_mask = np.ones((b, t), bool)
+    feat_mask[1, 29:] = False
+    target_in = np.ones((b, u), np.int64)
+    target_in[:, 1:] = rng.integers(3, VOCAB, (b, u - 1))
+    tgt = np.ones((b, u + 1), np.int64)
+
+    variables = model.init(
+        jax.random.PRNGKey(3), jnp.asarray(feats), jnp.asarray(feat_mask),
+        jnp.asarray(tgt.astype(np.int32)), jnp.asarray([u] * b))
+
+    chkpt = export_reference_checkpoint(variables, {"model": cfg})
+    tmodel = TorchS2T(cfg)
+    tmodel.frontend.load_state_dict(chkpt["frontend"])
+    tmodel.encoder.load_state_dict(chkpt["encoder"])
+    tmodel.decoder.load_state_dict(chkpt["decoder"])
+    tmodel.assistor.load_state_dict(chkpt["ctc"])
+    tmodel.eval()
+
+    t_logits, t_memory, _ = torch_logits(tmodel, feats, feat_mask, target_in)
+
+    memory, memory_mask = model.apply(
+        variables, jnp.asarray(feats), jnp.asarray(feat_mask), method="encode")
+    np.testing.assert_allclose(np.asarray(memory), t_memory, rtol=1e-3, atol=1e-4)
+    logits = model.apply(
+        variables, jnp.asarray(target_in.astype(np.int32)), memory, memory_mask,
+        method="decode_full")
+    np.testing.assert_allclose(np.asarray(logits), t_logits, rtol=1e-3, atol=2e-4)
