@@ -21,7 +21,7 @@ from ..config import Config, load_config
 from ..data import load_idx2unit_map
 from ..data.loader import FeatureLoader
 from ..models.registry import build_model
-from ..ops.levenshtein import ErrorRateAccumulator, edit_distance
+from ..ops.levenshtein import ErrorRateAccumulator, edit_distances
 from ..recognize.base import build_recognizer
 from ..train.checkpoint import Checkpointer
 
@@ -233,7 +233,7 @@ def main(argv=None) -> int:
                 ref = postprocess(
                     " ".join(idx2unit.get(t, "<UNK>") for t in ref_ids), args.piece2word
                 )
-                dists = [edit_distance(ref.split(), h.split()) for h in texts[i]]
+                dists = edit_distances(ref.split(), [h.split() for h in texts[i]])
                 cer.update(ref.split(), best.split())
                 best_n = int(np.argmin(dists)) if dists else 0
                 oracle.update(ref.split(), texts[i][best_n].split())

@@ -192,6 +192,8 @@ def main(argv=None) -> int:
             trainer.global_step = int(payload["extra"].get("global_step", 1))
             logger.info("resumed from epoch %d (global step %d)", epoch, trainer.global_step)
 
+    if args.continue_training and (args.init_model or args.init_optim_state):
+        logger.warning("-ct takes precedence: -im/-ios are ignored when resuming")
     if args.init_model and not args.continue_training:
         # warm-start weights (fine-tuning): orbax dir, expdir or reference .pt
         from .eval import load_checkpoint as load_any_checkpoint

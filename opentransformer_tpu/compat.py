@@ -184,8 +184,10 @@ def convert_conformer_encoder(sd: Mapping, nblocks: int, relative_positional: bo
 def convert_ctc(sd: Mapping) -> dict:
     out = {"output_layer": _linear(sd, "output_layer")}
     # optional look-ahead depthwise conv: torch [D, 1, k] → flax [k, 1, D]
+    # (the reference attribute is 'lookahead_conv', model/ctc.py:18; accept
+    # the underscored spelling too)
     for key in sd:
-        if key.endswith("look_ahead_conv.weight"):
+        if key.endswith(("lookahead_conv.weight", "look_ahead_conv.weight")):
             w = _np(sd[key])
             out["look_ahead_conv"] = {"kernel": w.transpose(2, 1, 0)}
             bkey = key.replace(".weight", ".bias")
@@ -424,19 +426,89 @@ def export_ctc(p: Mapping) -> dict:
     return out
 
 
-def export_reference_checkpoint(variables: Mapping, cfg: Mapping) -> dict:
-    """Our flax variables → the reference's component-wise ``.pt`` payload
-    ({params, frontend, encoder, decoder[, ctc]}, loadable by the reference's
-    ``eval.py:29-56``). Transformer-encoder speech2text family only."""
-    import torch
+def export_transformer_lm(p: Mapping) -> dict:
+    """Transformer LM flax params → reference state dict (``model/lm.py:94+``)."""
+    out: dict = {"embedding.weight": _t(p["embedding"]["embedding"])}
+    for name, blk in p.items():
+        if not name.startswith("block_"):
+            continue
+        i = int(name[len("block_"):])
+        _self_attn_out(blk["slf_attn"], f"blocks.{i}.slf_attn", out)
+        _ffn_out(blk["ffn"], f"blocks.{i}.feed_forward", out)
+        _layernorm_out(blk["norm1"], f"blocks.{i}.norm1", out)
+        _layernorm_out(blk["norm2"], f"blocks.{i}.norm2", out)
+    if "output_bias" in p:
+        out["output_project.weight"] = out["embedding.weight"]
+        out["output_project.bias"] = _t(p["output_bias"])
+    else:
+        _linear_out(p["output_layer"], "output_project", out)
+    return out
 
-    if cfg.get("model", cfg).get("encoder_type", "transformer") != "transformer":
-        raise NotImplementedError(
-            "torch export covers the (transformer-encoder) speech2text family")
-    p = variables.get("params", variables)
+
+def export_rnn_lm(p: Mapping) -> dict:
+    """LSTM LM flax params → reference state dict: per-gate flax kernels fuse
+    back into torch's [4H, H] (i, f, g, o) layout; flax's single h-side bias
+    becomes bias_hh with bias_ih = 0 (torch sums them)."""
+    out: dict = {"embedding.weight": _t(p["embedding"]["embedding"])}
+    layer = 0
+    while f"lstm_{layer}" in p:
+        cell = p[f"lstm_{layer}"]["cell"]
+        w_ih = np.concatenate([_t(cell[f"i{g}"]["kernel"]).T for g in "ifgo"])
+        w_hh = np.concatenate([_t(cell[f"h{g}"]["kernel"]).T for g in "ifgo"])
+        b = np.concatenate([_t(cell[f"h{g}"]["bias"]) for g in "ifgo"])
+        out[f"rnn.weight_ih_l{layer}"] = w_ih
+        out[f"rnn.weight_hh_l{layer}"] = w_hh
+        out[f"rnn.bias_ih_l{layer}"] = np.zeros_like(b)
+        out[f"rnn.bias_hh_l{layer}"] = b
+        layer += 1
+    if "output_bias" in p:
+        out["output_project.weight"] = out["embedding.weight"]
+        out["output_project.bias"] = _t(p["output_bias"])
+    else:
+        _linear_out(p["output_layer"], "output_project", out)
+    return out
+
+
+def from_scan_layout(params: Mapping, component: str = "encoder") -> dict:
+    """Inverse of ``to_scan_layout``: stacked 'blocks' [L, ...] → block_0..L-1."""
+    import jax
+
+    root = dict(params.get("params", params))
+    comp = dict(root[component])
+    stacked = comp.pop("blocks")
+    n = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    for i in range(n):
+        comp[f"block_{i}"] = jax.tree_util.tree_map(lambda x: np.asarray(x)[i], stacked)
+    root[component] = comp
+    return {"params": root} if "params" in params else root
+
+
+def export_reference_checkpoint(variables: Mapping, cfg: Mapping) -> dict:
+    """Our flax variables → the reference's ``.pt`` payload, loadable by the
+    reference's ``eval.py:29-56`` / ``model/lm.py``. Covered: the
+    transformer-encoder speech2text family (scanned layouts are unstacked
+    automatically) and both LM families ({params, model} layout)."""
+    import torch
 
     def to_torch(sd: dict) -> dict:
         return {k: torch.from_numpy(np.array(v, np.float32)) for k, v in sd.items()}
+
+    mc = cfg.get("model", cfg)
+    mtype = mc.get("type", "speech2text")
+    p = variables.get("params", variables)
+    if mtype == "transformer_lm":
+        return {"params": dict(cfg), "model": to_torch(export_transformer_lm(p))}
+    if mtype == "rnn_lm":
+        return {"params": dict(cfg), "model": to_torch(export_rnn_lm(p))}
+    if mtype != "speech2text" or mc.get("encoder_type", "transformer") != "transformer":
+        raise NotImplementedError(
+            f"torch export covers the transformer-encoder speech2text family "
+            f"and LMs (got type={mtype!r}, encoder_type="
+            f"{mc.get('encoder_type', 'transformer')!r})")
+    if "blocks" in p["encoder"]:
+        p = {**p, "encoder": from_scan_layout({"encoder": p["encoder"]})["encoder"]}
+    if "blocks" in p["decoder"]:
+        p = {**p, "decoder": from_scan_layout({"decoder": p["decoder"]}, "decoder")["decoder"]}
 
     chkpt = {
         "params": dict(cfg),

@@ -32,6 +32,11 @@ def _load_lib():
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
             ]
+            lib.edit_distance_nbest.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+            ]
             _lib = lib
         except Exception:
             _lib = False  # build/load failed: stay on the Python DP
@@ -61,6 +66,24 @@ def edit_distance(a: Sequence, b: Sequence) -> int:
     xa = (ctypes.c_int32 * len(a))(*(ids.setdefault(t, len(ids)) for t in a))
     xb = (ctypes.c_int32 * len(b))(*(ids.setdefault(t, len(ids)) for t in b))
     return int(lib.edit_distance_i32(xa, len(a), xb, len(b)))
+
+
+def edit_distances(ref: Sequence, hyps: Sequence[Sequence]) -> list[int]:
+    """distance(ref, h) for every hypothesis — one native call for the whole
+    n-best list (the reference scored each separately, ``eval.py:168``)."""
+    lib = _load_lib()
+    if not lib or not hyps:
+        return [edit_distance(ref, h) for h in hyps]
+    ids: dict = {}
+    xr = (ctypes.c_int32 * max(len(ref), 1))(
+        *(ids.setdefault(t, len(ids)) for t in ref))
+    flat = [ids.setdefault(t, len(ids)) for h in hyps for t in h]
+    lens = [len(h) for h in hyps]
+    xh = (ctypes.c_int32 * max(len(flat), 1))(*flat)
+    xl = (ctypes.c_int32 * len(hyps))(*lens)
+    out = (ctypes.c_int32 * len(hyps))()
+    lib.edit_distance_nbest(xr, len(ref), xh, xl, len(hyps), out)
+    return list(out)
 
 
 class ErrorRateAccumulator:

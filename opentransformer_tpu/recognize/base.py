@@ -10,12 +10,15 @@ Everything numeric is jitted; only string assembly happens on host.
 
 from __future__ import annotations
 
+import logging
 from functools import partial
 from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 from ..data import EOS, PAD
 from ..models.lm import RecurrentLanguageModel, TransformerLanguageModel
@@ -227,7 +230,11 @@ class TransducerRecognizer(Recognizer):
         super().__init__(model, params, idx2unit)
         self.beam_width = int(beam_width)
         self.nbest = min(int(nbest), max(1, int(beam_width)))
-        if lm is not None and lm_weight != 0.0:
+        if lm is not None and lm_weight != 0.0 and self.beam_width <= 1:
+            logger.warning(
+                "transducer LM fusion applies to beam decoding only; greedy "
+                "(-bw 1 / -md greedy) ignores the LM")
+        if lm is not None and lm_weight != 0.0 and self.beam_width > 1:
             if not isinstance(lm, RecurrentLanguageModel):
                 raise NotImplementedError(
                     "transducer LM fusion supports rnn_lm (per-hypothesis "

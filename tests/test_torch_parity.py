@@ -473,3 +473,77 @@ def test_export_to_torch_roundtrip():
         variables, jnp.asarray(target_in.astype(np.int32)), memory, memory_mask,
         method="decode_full")
     np.testing.assert_allclose(np.asarray(logits), t_logits, rtol=1e-3, atol=2e-4)
+
+
+def test_export_lm_roundtrip():
+    """Both LM families export to reference state dicts that the actual
+    reference torch LMs load and score identically."""
+    import jax
+    import jax.numpy as jnp
+
+    from opentransformer_tpu.compat import export_reference_checkpoint
+    from opentransformer_tpu.models.registry import build_model
+    from otrans.model.lm import (
+        RecurrentLanguageModel as TorchRLM,
+        TransformerLanguageModel as TorchTLM,
+    )
+
+    rng = np.random.default_rng(12)
+    src = np.ones((2, 7), np.int64)
+    src[:, 1:] = rng.integers(3, VOCAB, (2, 6))
+    tgt = np.zeros_like(src)
+
+    for mtype, torch_cls, pcfg in (
+        ("transformer_lm", TorchTLM,
+         {"type": "transformer_lm", "vocab_size": VOCAB, "num_blocks": 2,
+          "d_model": 32, "n_heads": 2, "d_ff": 48, "residual_dropout": 0.0,
+          "share_embedding": True, "smoothing": 0.1}),
+        ("rnn_lm", TorchRLM,
+         {"type": "rnn_lm", "vocab_size": VOCAB, "num_layers": 2,
+          "hidden_size": 24, "dropout": 0.0, "share_embedding": True,
+          "smoothing": 0.1}),
+    ):
+        model = build_model(pcfg)
+        variables = model.init(jax.random.PRNGKey(7), jnp.asarray(src.astype(np.int32)),
+                               jnp.asarray(tgt.astype(np.int32)), jnp.asarray([6, 6]))
+        chkpt = export_reference_checkpoint(variables, {"model": pcfg})
+        tlm = torch_cls(pcfg)
+        tlm.load_state_dict(chkpt["model"])
+        tlm.eval()
+        with torch.no_grad():
+            if mtype == "transformer_lm":
+                t_logp = tlm.predict(torch.from_numpy(src), last_frame=False).numpy()
+            else:
+                t_logp, _ = tlm.predict(torch.from_numpy(src))
+                t_logp = t_logp.numpy()
+        import jax.nn
+
+        logits = model.apply(variables, jnp.asarray(src.astype(np.int32)), method="logits")
+        ours = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+        np.testing.assert_allclose(ours, t_logp, rtol=1e-3, atol=2e-4)
+
+
+def test_export_handles_scan_layout():
+    """A scan_layers (stacked 'blocks') checkpoint exports identically to the
+    unstacked layout (auto-unstacked)."""
+    import jax
+    import jax.numpy as jnp
+
+    from opentransformer_tpu.compat import export_reference_checkpoint, to_scan_layout
+    from opentransformer_tpu.models.registry import build_model
+
+    model = build_model(MODEL_CFG)
+    rng = np.random.default_rng(13)
+    feats = rng.normal(size=(1, 25, 20)).astype(np.float32)
+    tgt = np.ones((1, 5), np.int64)
+    variables = model.init(
+        jax.random.PRNGKey(5), jnp.asarray(feats), jnp.ones((1, 25), bool),
+        jnp.asarray(tgt.astype(np.int32)), jnp.asarray([4]))
+
+    plain = export_reference_checkpoint(variables, {"model": MODEL_CFG})
+    stacked = to_scan_layout(jax.tree_util.tree_map(np.asarray, variables))
+    scanned = export_reference_checkpoint(stacked, {"model": MODEL_CFG})
+    assert set(plain["encoder"]) == set(scanned["encoder"])
+    for k in plain["encoder"]:
+        np.testing.assert_allclose(plain["encoder"][k].numpy(),
+                                   scanned["encoder"][k].numpy(), rtol=1e-6)
