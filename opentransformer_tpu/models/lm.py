@@ -153,10 +153,15 @@ class TransformerLanguageModel(nn.Module):
         ]
 
     def decode_step(self, token_t, cache, index):
-        """token_t: i[B] → (log_probs f32[B, V], new cache)."""
+        """token_t: i[B] → (log_probs f32[B, V], new cache). ``index`` may be
+        a scalar (lockstep beam) or i32[B] (ragged per-row positions)."""
         x = self._embed(token_t[:, None], start=0)
-        pe0 = sinusoid_position_encoding(jnp.zeros((1,), jnp.int32), self.d_model)[None]
-        pe_t = sinusoid_position_encoding(index[None] if index.ndim == 0 else index, self.d_model)[None]
+        index = jnp.asarray(index, jnp.int32)
+        pe0 = sinusoid_position_encoding(jnp.zeros((1,), jnp.int32), self.d_model)[None]  # [1,1,D]
+        if index.ndim == 0:
+            pe_t = sinusoid_position_encoding(index[None], self.d_model)[None]  # [1,1,D]
+        else:
+            pe_t = sinusoid_position_encoding(index, self.d_model)[:, None]  # [B,1,D]
         x = x + (pe_t - pe0).astype(self.dtype)
         new_cache = []
         for blk, lc in zip(self.blocks, cache):

@@ -217,18 +217,26 @@ class MultiHeadSelfAttention(nn.Module):
         Args:
           x_t: [B, 1, D] current-position input.
           cache_k/cache_v: [B, H, T_max, Dh] persistent cache buffers.
-          index: i32 scalar — position to write (0-based).
+          index: i32 scalar — position to write (0-based) — or i32[B] for
+            per-row positions (ragged decoding, e.g. per-hypothesis LM state
+            in the RNNT beam).
           mask: optional bool broadcastable [B, H, 1, T_max] (combined causal
             validity mask; caller typically passes positions <= index).
 
         Returns (out [B,1,D], new_cache_k, new_cache_v).
         """
         q, k_t, v_t = self._qkv(x_t)  # [B, H, 1, Dh] each
-        cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, k_t.astype(cache_k.dtype), index, axis=2)
-        cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, v_t.astype(cache_v.dtype), index, axis=2)
         t_max = cache_k.shape[2]
         pos = jnp.arange(t_max)[None, None, None, :]
-        valid = pos <= index
+        if jnp.ndim(index) == 0:
+            cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, k_t.astype(cache_k.dtype), index, axis=2)
+            cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, v_t.astype(cache_v.dtype), index, axis=2)
+            valid = pos <= index
+        else:
+            hot = (jnp.arange(t_max)[None] == index[:, None])[:, None, :, None]  # [B,1,T,1]
+            cache_k = jnp.where(hot, k_t.astype(cache_k.dtype), cache_k)
+            cache_v = jnp.where(hot, v_t.astype(cache_v.dtype), cache_v)
+            valid = pos <= index[:, None, None, None]
         if mask is not None:
             valid = jnp.logical_and(valid, mask)
         ctx, _ = attention_context(q, cache_k.astype(self.dtype), cache_v.astype(self.dtype), valid, self.dtype)

@@ -344,7 +344,10 @@ class TransducerModel(nn.Module):
                 if use_lm:
                     flat_lm_state = jax.tree_util.tree_map(
                         lambda x: x.reshape((b * k,) + x.shape[2:]), new["lm_state"])
-                    lm_lp, lm_state = lm_step(label.reshape(b * k), flat_lm_state, 0)
+                    # per-hypothesis LM position: BOS sat at 0, labels at 1..
+                    lm_lp, lm_state = lm_step(
+                        label.reshape(b * k), flat_lm_state,
+                        new["lens"].reshape(b * k))
                     new["lm_lp"] = lm_lp.reshape(b, k, -1)
                     new["lm_state"] = jax.tree_util.tree_map(
                         lambda x: x.reshape((b, k) + x.shape[1:]), lm_state)

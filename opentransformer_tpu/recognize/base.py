@@ -235,11 +235,8 @@ class TransducerRecognizer(Recognizer):
                 "transducer LM fusion applies to beam decoding only; greedy "
                 "(-bw 1 / -md greedy) ignores the LM")
         if lm is not None and lm_weight != 0.0 and self.beam_width > 1:
-            if not isinstance(lm, RecurrentLanguageModel):
-                raise NotImplementedError(
-                    "transducer LM fusion supports rnn_lm (per-hypothesis "
-                    "emission counts differ, so a transformer LM's shared "
-                    "cache index doesn't apply)")
+            # both LM families work: the transformer LM's cached decode_step
+            # accepts per-row indices (ragged per-hypothesis positions)
             lm_init, lm_step = make_lm_adapter(lm, lm_params, max_symbols)
         else:
             lm_init = lm_step = None

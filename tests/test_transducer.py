@@ -173,12 +173,14 @@ def test_transducer_cli_train_and_decode(tmp_path):
     assert min(results.values()) < 20.0, results
 
 
-def test_transducer_beam_lm_fusion():
-    """RNN-LM shallow fusion in the RNNT beam: fused score == base score +
+@pytest.mark.parametrize("lm_type", ["rnn_lm", "transformer_lm"])
+def test_transducer_beam_lm_fusion(lm_type):
+    """External-LM shallow fusion in the RNNT beam: fused score == base +
     w · Σ log p_lm(label | prefix). The LM adds a per-sequence constant to
     every alignment path, so with an exhaustive beam (K = V hyps, max one
     symbol → nothing is ever pruned and path sums are complete) the identity
-    holds exactly for every hypothesis."""
+    holds exactly for every hypothesis. The transformer LM exercises the
+    per-hypothesis (vector-index) cached decode path."""
     import jax
     import jax.numpy as jnp
 
@@ -195,9 +197,13 @@ def test_transducer_beam_lm_fusion():
     params = model.init(jax.random.PRNGKey(0), feats, mask,
                         jnp.asarray(tgt.astype(np.int32)), jnp.asarray([4, 4]))
 
-    lm = build_model({"type": "rnn_lm", "vocab_size": V, "num_layers": 1,
-                      "hidden_size": 16, "dropout": 0.0, "share_embedding": True,
-                      "smoothing": 0.1})
+    lm_cfg = ({"type": "rnn_lm", "vocab_size": V, "num_layers": 1,
+               "hidden_size": 16, "dropout": 0.0, "share_embedding": True,
+               "smoothing": 0.1} if lm_type == "rnn_lm" else
+              {"type": "transformer_lm", "vocab_size": V, "num_blocks": 1,
+               "d_model": 16, "n_heads": 2, "d_ff": 24, "residual_dropout": 0.0,
+               "share_embedding": True, "smoothing": 0.1})
+    lm = build_model(lm_cfg)
     lm_params = lm.init(jax.random.PRNGKey(1), jnp.ones((1, 4), jnp.int32),
                         jnp.ones((1, 4), jnp.int32), jnp.asarray([3]))
     lm_init, lm_step = make_lm_adapter(lm, lm_params, 20)
@@ -211,8 +217,8 @@ def test_transducer_beam_lm_fusion():
     def lm_seq_logp(seq):
         state = lm_init(1)
         total, tok = 0.0, jnp.asarray([1], jnp.int32)  # BOS
-        for s in seq:
-            lp, state = lm_step(tok, state, 0)
+        for i, s in enumerate(seq):
+            lp, state = lm_step(tok, state, jnp.asarray(i, jnp.int32))
             total += float(lp[0, s])
             tok = jnp.asarray([s], jnp.int32)
         return total
