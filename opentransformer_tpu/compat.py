@@ -426,6 +426,57 @@ def export_ctc(p: Mapping) -> dict:
     return out
 
 
+def export_conformer_encoder(p: Mapping, stats: Mapping, enc_cfg: Mapping) -> dict:
+    """ref_compat conformer flax params (+ batch_stats) → reference state
+    dict. The reference's unused-by-forward parameters (post_ffn — §8.2)
+    don't exist on our side; they are synthesized as zeros so strict
+    ``load_state_dict`` succeeds (the reference forward never reads them).
+    Requires ``ref_compat`` + BatchNorm (what the reference trained)."""
+    d_model = int(enc_cfg.get("d_model", 256))
+    d_ff = int(enc_cfg.get("d_ff", 2048))
+    relpos = bool(enc_cfg.get("relative_positional", True))
+    out: dict = {}
+    for name, blk in p.items():
+        if not name.startswith("block_"):
+            continue
+        i = int(name[len("block_"):])
+        pre = f"blocks.{i}"
+        _ffn_out(blk["pre_ffn"], f"{pre}.pre_ffn", out)
+        _layernorm_out(blk["pre_ffn_norm"], f"{pre}.macaron_ffn_norm", out)
+        if relpos:
+            _linear_out(blk["slf_attn"]["qkv_proj"], f"{pre}.mha.qvk_proj", out)
+            out[f"{pre}.mha.pos_proj.weight"] = _t(
+                blk["slf_attn"]["pos_proj"]["dense"]["kernel"]).T
+            # ours [1, H, 1, Dh] → torch [1, 1, H, Dh]
+            out[f"{pre}.mha.posu"] = _t(blk["slf_attn"]["posu"]).transpose(0, 2, 1, 3)
+            out[f"{pre}.mha.posv"] = _t(blk["slf_attn"]["posv"]).transpose(0, 2, 1, 3)
+        else:
+            _self_attn_out(blk["slf_attn"], f"{pre}.mha", out)
+        _layernorm_out(blk["attn_norm"], f"{pre}.mha_norm", out)
+        cm = blk["conv_module"]
+        _linear_out(cm["pw1"], f"{pre}.conv.pointwise_conv1", out)
+        out[f"{pre}.conv.depthwise_conv.weight"] = _t(
+            cm["dw_conv"]["kernel"]).transpose(2, 1, 0)
+        out[f"{pre}.conv.depthwise_conv.bias"] = _t(cm["dw_conv"]["bias"])
+        out[f"{pre}.conv.batch_norm.weight"] = _t(cm["bn"]["scale"])
+        out[f"{pre}.conv.batch_norm.bias"] = _t(cm["bn"]["bias"])
+        bn = stats[name]["conv_module"]["bn"]
+        out[f"{pre}.conv.batch_norm.running_mean"] = _t(bn["mean"])
+        out[f"{pre}.conv.batch_norm.running_var"] = _t(bn["var"])
+        out[f"{pre}.conv.batch_norm.num_batches_tracked"] = np.zeros((), np.int64)
+        _linear_out(cm["pw2"], f"{pre}.conv.pointwise_conv2", out)
+        _layernorm_out(blk["conv_norm"], f"{pre}.conv_norm", out)
+        _layernorm_out(blk["post_ffn_norm"], f"{pre}.post_ffn_norm", out)
+        _layernorm_out(blk["final_norm"], f"{pre}.final_norm", out)
+        # synthesized (unused by the reference forward, §8.2)
+        w1_out = d_ff * 2 if enc_cfg.get("activation", "glu") == "glu" else d_ff
+        out[f"{pre}.post_ffn.w_1.weight"] = np.zeros((w1_out, d_model), np.float32)
+        out[f"{pre}.post_ffn.w_1.bias"] = np.zeros((w1_out,), np.float32)
+        out[f"{pre}.post_ffn.w_2.weight"] = np.zeros((d_model, d_ff), np.float32)
+        out[f"{pre}.post_ffn.w_2.bias"] = np.zeros((d_model,), np.float32)
+    return out
+
+
 def export_transformer_lm(p: Mapping) -> dict:
     """Transformer LM flax params → reference state dict (``model/lm.py:94+``)."""
     out: dict = {"embedding.weight": _t(p["embedding"]["embedding"])}
@@ -500,20 +551,33 @@ def export_reference_checkpoint(variables: Mapping, cfg: Mapping) -> dict:
         return {"params": dict(cfg), "model": to_torch(export_transformer_lm(p))}
     if mtype == "rnn_lm":
         return {"params": dict(cfg), "model": to_torch(export_rnn_lm(p))}
-    if mtype != "speech2text" or mc.get("encoder_type", "transformer") != "transformer":
+    enc_type = mc.get("encoder_type", "transformer")
+    if mtype != "speech2text" or enc_type not in ("transformer", "conformer"):
         raise NotImplementedError(
-            f"torch export covers the transformer-encoder speech2text family "
-            f"and LMs (got type={mtype!r}, encoder_type="
-            f"{mc.get('encoder_type', 'transformer')!r})")
-    if "blocks" in p["encoder"]:
-        p = {**p, "encoder": from_scan_layout({"encoder": p["encoder"]})["encoder"]}
+            f"torch export covers the speech2text family (transformer or "
+            f"ref_compat conformer encoder) and LMs (got type={mtype!r}, "
+            f"encoder_type={enc_type!r})")
+    if enc_type == "conformer":
+        enc_cfg = mc.get("encoder", {})
+        if not enc_cfg.get("ref_compat", False) or enc_cfg.get("conv_norm_type") != "batch":
+            raise NotImplementedError(
+                "conformer export requires ref_compat: true + conv_norm_type: "
+                "batch (the model the reference actually trains/loads); the "
+                "fixed-architecture variant has no reference equivalent")
+        encoder_sd = export_conformer_encoder(
+            p["encoder"], variables["batch_stats"]["encoder"], enc_cfg)
+    else:
+        enc = p["encoder"]
+        if "blocks" in enc:
+            enc = from_scan_layout({"encoder": enc})["encoder"]
+        encoder_sd = export_encoder(enc)
     if "blocks" in p["decoder"]:
         p = {**p, "decoder": from_scan_layout({"decoder": p["decoder"]}, "decoder")["decoder"]}
 
     chkpt = {
         "params": dict(cfg),
         "frontend": to_torch(export_frontend(p["frontend"])),
-        "encoder": to_torch(export_encoder(p["encoder"])),
+        "encoder": to_torch(encoder_sd),
         "decoder": to_torch(export_decoder(p["decoder"])),
     }
     if "ctc" in p:

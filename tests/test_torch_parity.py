@@ -547,3 +547,61 @@ def test_export_handles_scan_layout():
     for k in plain["encoder"]:
         np.testing.assert_allclose(plain["encoder"][k].numpy(),
                                    scanned["encoder"][k].numpy(), rtol=1e-6)
+
+
+@pytest.mark.parametrize("relative_positional", [True, False])
+def test_export_conformer_roundtrip(relative_positional):
+    """ref_compat conformer: reference .pt → our params → exported .pt loads
+    strict into a fresh reference model and reproduces the original logits
+    (the synthesized post_ffn zeros are unused by the reference forward)."""
+    import jax
+    import jax.numpy as jnp
+
+    from opentransformer_tpu.compat import (
+        convert_reference_checkpoint,
+        export_reference_checkpoint,
+    )
+    from otrans.model.speech2text import SpeechToText as TorchS2T
+
+    ref_enc = {
+        "d_model": 32, "n_heads": 2, "d_ff": 48, "nblocks": 2,
+        "cov_kernel_size": 7, "pos_dropout": 0.0, "slf_attn_dropout": 0.0,
+        "ffn_dropout": 0.0, "residual_dropout": 0.0, "conv_dropout": 0.0,
+        "macaron_style": True, "ffn_scale": 0.5, "conv_bias": True,
+        "positional_encoding": True, "relative_positional": relative_positional,
+        "conv_first": False, "activation": "glu",
+    }
+    ref_cfg = {**MODEL_CFG, "encoder_type": "conformer", "encoder": ref_enc}
+
+    torch.manual_seed(21)
+    t1 = TorchS2T(ref_cfg)
+    t1.eval()
+
+    our_cfg = {**ref_cfg, "encoder": {**ref_enc, "conv_norm_type": "batch",
+                                      "ref_compat": True}}
+    chkpt_in = {
+        "frontend": t1.frontend.state_dict(),
+        "encoder": t1.encoder.state_dict(),
+        "decoder": t1.decoder.state_dict(),
+    }
+    variables = jax.tree_util.tree_map(
+        jnp.asarray, convert_reference_checkpoint(chkpt_in, our_cfg))
+
+    chkpt_out = export_reference_checkpoint(variables, {"model": our_cfg})
+    t2 = TorchS2T(ref_cfg)
+    t2.frontend.load_state_dict(chkpt_out["frontend"])
+    t2.encoder.load_state_dict(chkpt_out["encoder"])
+    t2.decoder.load_state_dict(chkpt_out["decoder"])
+    t2.eval()
+
+    rng = np.random.default_rng(22)
+    b, t, f, u = 2, 33, 20, 5
+    feats = rng.normal(size=(b, t, f)).astype(np.float32)
+    feat_mask = np.ones((b, t), bool)
+    target_in = np.ones((b, u), np.int64)
+    target_in[:, 1:] = rng.integers(3, VOCAB, (b, u - 1))
+
+    l1, m1, _ = torch_logits(t1, feats, feat_mask, target_in)
+    l2, m2, _ = torch_logits(t2, feats, feat_mask, target_in)
+    np.testing.assert_allclose(m2, m1, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(l2, l1, rtol=1e-6, atol=1e-6)
