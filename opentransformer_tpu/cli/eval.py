@@ -79,6 +79,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("-s", "--suffix", type=str, default=None)
     p.add_argument("-p2w", "--piece2word", action="store_true",
                    help="join sentencepiece pieces: strip spaces, '▁'→space")
+    p.add_argument("--online", action="store_true",
+                   help="frame-synchronous streaming decode (ctc/transducer "
+                        "with a chunked-attention encoder; recognize/online.py)")
     p.add_argument("--long_form", action="store_true",
                    help="windowed encoding for long audio (recognize/streaming.py)")
     p.add_argument("--window", type=int, default=1200, help="long-form window frames")
@@ -154,9 +157,15 @@ def main(argv=None) -> int:
         lm_params = jax.tree_util.tree_map(jax.numpy.asarray, lm_params_np)
 
     idx2unit = load_idx2unit_map(cfg["data"]["vocab"])
-    if args.long_form and cfg["model"]["type"] != "speech2text":
+    if args.online:
+        from ..recognize.online import OnlineRecognizerAdapter
+
+        recognizer = OnlineRecognizerAdapter(
+            cfg["model"]["type"], model, params, idx2unit=idx2unit,
+            max_per_frame=args.max_tokens_per_chunk)
+    elif args.long_form and cfg["model"]["type"] != "speech2text":
         logger.warning("--long_form only applies to speech2text models; ignored")
-    if args.long_form and cfg["model"]["type"] == "speech2text":
+    elif args.long_form and cfg["model"]["type"] == "speech2text":
         from ..recognize.streaming import LongFormRecognizer
 
         recognizer = LongFormRecognizer(

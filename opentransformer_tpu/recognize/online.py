@@ -73,8 +73,13 @@ class StreamingEncoderSession:
                                chunk_mask, method=_encode_chunk)
 
         self._step = jax.jit(step)
-        self.cache = model.apply(params, batch,
-                                 method=lambda m, b: m.encoder.init_stream_cache(b))
+        self._init_cache = lambda: model.apply(
+            params, batch, method=lambda m, b: m.encoder.init_stream_cache(b))
+        self.reset()
+
+    def reset(self) -> None:
+        """Start a fresh stream, reusing the compiled step functions."""
+        self.cache = self._init_cache()
         self._prev: Optional[np.ndarray] = None
         self._finished = False
         self._raw_seen = 0     # raw frames in fully-fed chunks
@@ -173,7 +178,13 @@ class _StreamingRecognizer:
         self.session = StreamingEncoderSession(model, params, batch)
         self.model, self.params = model, params
         self.idx2unit = idx2unit
+        self.batch = batch
         self.tokens: list[list[int]] = [[] for _ in range(batch)]
+
+    def reset(self) -> None:
+        """Start a fresh stream (compiled steps are reused)."""
+        self.session.reset()
+        self.tokens = [[] for _ in range(self.batch)]
 
     def _consume(self, chunks) -> None:
         raise NotImplementedError
@@ -211,6 +222,10 @@ class StreamingCTCRecognizer(_StreamingRecognizer):
 
         self._project = jax.jit(project)
 
+    def reset(self) -> None:
+        super().reset()
+        self._last = np.zeros(self.batch, np.int64)
+
     def _consume(self, chunks) -> None:
         for y in chunks:
             if y.shape[1] == 0:
@@ -245,8 +260,13 @@ class StreamingTransducerRecognizer(_StreamingRecognizer):
             return model.apply(params, memory, frame_len, state, hidden,
                                buf, max_per_frame, method="greedy_frames")
 
-        self._state, self._hidden = jax.jit(init_state, static_argnums=1)(params, batch)
+        self._init_decode = jax.jit(init_state, static_argnums=1)
+        self._state, self._hidden = self._init_decode(params, batch)
         self._chunk_greedy = jax.jit(chunk_greedy)
+
+    def reset(self) -> None:
+        super().reset()
+        self._state, self._hidden = self._init_decode(self.params, self.batch)
 
     def _consume(self, chunks) -> None:
         for y in chunks:
@@ -260,3 +280,37 @@ class StreamingTransducerRecognizer(_StreamingRecognizer):
             for b in range(toks.shape[0]):
                 room = self.max_symbols - len(self.tokens[b])
                 self.tokens[b].extend(toks[b, : min(n[b], room)].tolist())
+
+
+class OnlineRecognizerAdapter:
+    """eval.py-compatible front for the streaming recognizers: decodes each
+    utterance by feeding its features chunk by chunk (simulated real-time
+    arrival), so corpus CER/RTF of the ONLINE path is measurable through the
+    standard decode CLI (`eval.py --online`)."""
+
+    def __init__(self, model_type: str, model, params, idx2unit=None,
+                 max_per_frame: int = 8):
+        if model_type == "ctc":
+            self._rec = StreamingCTCRecognizer(model, params, batch=1, idx2unit=idx2unit)
+        elif model_type == "transducer":
+            self._rec = StreamingTransducerRecognizer(
+                model, params, batch=1, idx2unit=idx2unit, max_per_frame=max_per_frame)
+        else:
+            raise NotImplementedError(
+                "--online supports ctc and transducer models (attention "
+                "decoders need the full utterance; see --long_form)")
+
+    def recognize(self, feats, feat_mask):
+        feats = np.asarray(feats)
+        lens = np.asarray(feat_mask).sum(axis=1).astype(int)
+        rc = self._rec.session.raw_chunk
+        texts = []
+        for i in range(feats.shape[0]):
+            self._rec.reset()
+            x = feats[i: i + 1, : lens[i]]
+            n_full = x.shape[1] // rc
+            for s in range(n_full):
+                self._rec.feed(x[:, s * rc:(s + 1) * rc])
+            hyp = self._rec.finish(x[:, n_full * rc:])[0]
+            texts.append([hyp])
+        return texts, np.zeros((feats.shape[0], 1), np.float32)

@@ -79,11 +79,12 @@ def test_train_offline_serve_online(tmp_path):
         refs[utt] = toks
 
     errors = tokens_total = 0
+    rec = StreamingTransducerRecognizer(model, params, batch=1, idx2unit=idx2unit)
+    rc = rec.session.raw_chunk
     for n_utts, (utt, feat) in enumerate(feats_map.items()):
         if n_utts >= 12:
             break
-        rec = StreamingTransducerRecognizer(model, params, batch=1, idx2unit=idx2unit)
-        rc = rec.session.raw_chunk
+        rec.reset()
         feat = np.asarray(feat, np.float32)[None]
         n_full = feat.shape[1] // rc
         for s in range(n_full):
@@ -95,3 +96,14 @@ def test_train_offline_serve_online(tmp_path):
         tokens_total += len(refs[utt])
     cer = errors / max(tokens_total, 1)
     assert cer < 0.2, f"online CER {cer:.2%}"
+
+    # the same path through the decode CLI (`eval.py --online`)
+    from opentransformer_tpu.cli.eval import main as eval_main
+
+    assert eval_main(["-m", expdir, "-d", "test", "--online", "-s", "online"]) == 0
+    results = {}
+    for d in os.listdir(expdir):
+        if "online" in d and d.startswith("decode_test"):
+            txt = open(os.path.join(expdir, d, "RESULT")).read()
+            results[d] = float(txt.split("CER ")[1].split("%")[0])
+    assert results and min(results.values()) < 20.0, results
