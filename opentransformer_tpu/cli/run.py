@@ -42,6 +42,16 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="pipeline-stage degree: stacked encoder layers "
                         "(scan_layers: true) shard params+opt state over a "
                         "'pipe' mesh axis (parallel/mesh.py)")
+    p.add_argument("--pp-schedule", type=str, default=None,
+                   choices=("sharded", "1f1b"),
+                   help="pipeline schedule for --pp: 'sharded' (GSPMD "
+                        "weight-streaming stage sharding, composes with tp) "
+                        "or '1f1b' (interleaved compute pipeline with "
+                        "rematerialized backward, constant activation "
+                        "memory in microbatch count)")
+    p.add_argument("--pp-micro-batches", type=int, default=None,
+                   help="microbatches per step for --pp-schedule 1f1b "
+                        "(default: pp degree; more = smaller bubble)")
     p.add_argument("-s", "-se", "--seed", type=int, default=1234)
     p.add_argument("-l", "--logging_level", type=str, default="INFO")
     p.add_argument("-lg", "--log_file", type=str, default=None,
@@ -163,6 +173,7 @@ def main(argv=None) -> int:
         is_mixspeech=args.mixspeech, is_visual=args.visual, log_interval=args.log_interval,
         keep_last_n=args.keep_last_n_checkpoints, batch_fn=batch_fn,
         is_debug=args.debug, dev_loader=dev_loader, preprocess_fn=preprocess_fn,
+        pp_schedule=args.pp_schedule, pp_micro_batches=args.pp_micro_batches,
     )
 
     first = next(iter(loader))

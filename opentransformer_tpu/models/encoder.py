@@ -182,8 +182,11 @@ class TransformerEncoder(nn.Module):
                 for i in range(self.n_blocks)
             ]
 
-    def __call__(self, x, pad_mask, *, deterministic: bool = True, return_attn: bool = False):
-        """x: [B, T, D]; pad_mask: bool[B, T] → (y [B,T,D], pad_mask, attn?)."""
+    def prepare(self, x, pad_mask, *, deterministic: bool = True):
+        """Everything before the block stack: positional encoding and the
+        attention mask. Split out so the 1F1B pipeline schedule
+        (``parallel/pipeline.py:one_f_one_b_grads``) can drive the blocks
+        microbatch-wise. Returns (x, attn_mask, pos_emb)."""
         t = x.shape[1]
         attn_mask = attn_mask_from_pad(pad_mask)
         if self.chunk_size > 0:
@@ -196,11 +199,19 @@ class TransformerEncoder(nn.Module):
             pos_emb = sinusoid_position_encoding(pos, self.d_model)[None].astype(self.dtype)
         else:
             x = self.pos_enc(x, deterministic=deterministic)
+        return x, attn_mask, pos_emb
+
+    def finalize(self, x):
+        """Everything after the block stack (pipeline-parallel exit)."""
+        return self.after_norm(x) if self.normalize_before else x
+
+    def __call__(self, x, pad_mask, *, deterministic: bool = True, return_attn: bool = False):
+        """x: [B, T, D]; pad_mask: bool[B, T] → (y [B,T,D], pad_mask, attn?)."""
+        x, attn_mask, pos_emb = self.prepare(x, pad_mask, deterministic=deterministic)
 
         if self.scan_layers:
             x, ws = self.blocks(x, attn_mask, pos_emb, deterministic)
-            if self.normalize_before:
-                x = self.after_norm(x)
+            x = self.finalize(x)
             if return_attn:
                 return x, pad_mask, {"enc_blocks": ws}
             return x, pad_mask
@@ -210,8 +221,7 @@ class TransformerEncoder(nn.Module):
             x, w = layer(x, attn_mask, pos_emb, deterministic)
             if return_attn:
                 attns[f"enc_block_{i}"] = w
-        if self.normalize_before:
-            x = self.after_norm(x)
+        x = self.finalize(x)
         if return_attn:
             return x, pad_mask, attns
         return x, pad_mask

@@ -154,6 +154,32 @@ class SpeechToText(nn.Module):
             loss = att_loss
         return loss, aux
 
+    # -- pipeline-parallel split points (parallel/pipeline.py 1F1B schedule) --
+    def pipeline_pre(self, feats, feat_mask, *, deterministic: bool = True, train: bool = False):
+        """Frontend + encoder pre-block work; the encoder block stack itself
+        is driven microbatch-wise by the 1F1B schedule. Returns
+        (x0, memory_mask, attn_mask, pos_emb)."""
+        x, mask = self.frontend(
+            feats.astype(self.dtype), feat_mask, deterministic=deterministic, train=train
+        )
+        x, attn_mask, pos_emb = self.encoder.prepare(x, mask, deterministic=deterministic)
+        return x, mask, attn_mask, pos_emb
+
+    def pipeline_head(self, memory, memory_mask, targets, targets_length, *, deterministic: bool = True):
+        """Encoder finalize + decoder + loss — the post-block tail of
+        ``__call__`` applied to one pipeline microbatch. Returns scalar loss
+        (hybrid CTC folded in; aux losses are not split out on this path)."""
+        memory = self.encoder.finalize(memory)
+        target_in = targets[:, :-1]
+        target_out = targets[:, 1:]
+        logits = self.decoder(target_in, memory, memory_mask, None, deterministic=deterministic)
+        loss = label_smoothing_loss(logits, target_out, self.smoothing, pad_id=PAD)
+        if self.ctc_weight > 0.0:
+            mem_lengths = mask_to_length(memory_mask)
+            closs = self.assistor(memory, mem_lengths, target_out, targets_length)
+            loss = (1.0 - self.ctc_weight) * loss + self.ctc_weight * closs
+        return loss
+
     # -- decode-side entry points (used via model.apply(..., method=...)) ---
     def init_cache(self, memory, max_len: int, beam_width: int = 1):
         return self.decoder.init_cache(memory, max_len, beam_width)

@@ -1,23 +1,31 @@
-"""GPipe-style SPMD pipeline parallelism over a ``pipe`` mesh axis.
+"""SPMD pipeline parallelism over a ``pipe`` mesh axis.
 
 The reference has no pipeline parallelism (SURVEY §2.3). This module
-implements the standard TPU-native pattern: a stack of L structurally
-identical layers is split into S stages (L/S layers each, stacked-parameter
-layout, sharded over the ``pipe`` axis); microbatches flow through stages
-with `lax.ppermute` rotations inside `shard_map`, overlapping stage compute
-across microbatches. The schedule runs ``n_micro + S - 1`` ticks (the usual
-pipeline bubble); autodiff through `shard_map` + `ppermute` gives pipelined
-backward for free.
+implements the TPU-native patterns:
 
-Layout contract:
+  * ``pipeline_apply`` — GPipe-style forward building block: a stack of L
+    structurally identical layers split into S stages (L/S layers each,
+    stacked-parameter layout, sharded over the ``pipe`` axis); microbatches
+    flow through stages with `lax.ppermute` rotations inside `shard_map`.
+    Autodiff through it gives a pipelined backward (GPipe schedule: all
+    forwards, then all backwards — activation stash grows with n_micro).
+
+  * ``one_f_one_b_grads`` — the trainer-grade 1F1B schedule: every tick each
+    stage runs one microbatch forward AND one microbatch backward (the
+    backward rematerializes the stage forward from a stashed stage input, so
+    the stash is a circular buffer of 2S-1 stage inputs — **constant in
+    n_micro**, the property that distinguishes 1F1B from GPipe). The loss
+    head (decoder + loss for one microbatch) runs on the last stage the same
+    tick its forward finishes, seeding the backward wave immediately.
+    Data parallelism composes manually inside the same shard_map (batch dim
+    sliced over ``data``; gradients psum'd), matching the reference's
+    DataParallel loss semantics (mean of per-shard token-normalized losses,
+    ``otrans/train/trainer.py:208``).
+
+Layout contract (both):
   * ``stacked_params``: pytree whose leaves have leading dim L (per-layer
-    parameters, e.g. from vmapped init or `stack_layer_params`).
-  * ``layer_apply(params_i, x) -> x``: applies ONE layer.
-  * inputs ``x``: [n_micro, mb, ...] microbatched activations (replicated).
-
-This is a building block + dryrun demonstration at the scale of this round;
-wiring it through the full Trainer (stage-sharded optimizer state, 1F1B
-schedules) is follow-up work.
+    parameters, e.g. from vmapped init, `nn.scan`, or `stack_layer_params`),
+    sharded ``P('pipe', ...)`` so stage s owns layers [s·L/S, (s+1)·L/S).
 """
 
 from __future__ import annotations
@@ -107,3 +115,326 @@ def pipeline_apply(
         return jax.lax.psum(outputs * mask, axis_name)
 
     return run(staged, x)
+
+
+# ---------------------------------------------------------------------------
+# 1F1B schedule
+# ---------------------------------------------------------------------------
+
+def _dyn(tree, i):
+    """tree_map dynamic_index_in_dim (leading axis) — microbatch selection."""
+    return jax.tree_util.tree_map(
+        lambda a: jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False), tree
+    )
+
+
+def _specs(tree, spec_fn):
+    return jax.tree_util.tree_map(lambda a: spec_fn(a), tree)
+
+
+def one_f_one_b_grads(
+    stage_fwd: Callable[..., jnp.ndarray],
+    head_vjp: Callable[..., tuple],
+    blocks_params: Any,
+    head_params: Any,
+    x0s: jnp.ndarray,
+    stage_args: Any,
+    head_args: Any,
+    bcast_args: Any,
+    rng_blocks,
+    rng_head,
+    mesh: Mesh,
+    axis: str = "pipe",
+    data_axis: str = "data",
+):
+    """Interleaved one-forward-one-backward pipeline schedule with gradients.
+
+    Timing (S stages, n microbatches, tick t, stage s = pipe axis index):
+      forward of microbatch  mf = t - s
+      head (loss + backward seed, last stage only)  mh = t - (S-1)
+      stage backward of      mb = t - 2(S-1) + s
+    for t in [0, n + 2(S-1) - 2]. Forward and backward both run every tick
+    (eager 1F1B): the stage-input stash needs 2(S-1-s)+1 <= 2S-1 slots —
+    constant in n — and the backward REcomputes the stage forward from the
+    stashed input (rematerialization), so no residuals are stored.
+
+    Args:
+      stage_fwd(stage_params, x, stage_args_m, bcast_args, rng_m) -> y:
+        applies this stage's L/S stacked layers to one microbatch.
+      head_vjp(head_params, y, head_args_m, bcast_args, rng_m)
+        -> (loss_m, dL/dy, head_param_grads): loss head for one microbatch,
+        seeded with cotangent 1.0.
+      blocks_params: [L, ...] stacked pytree (sharded P(axis) on dim 0).
+      head_params: replicated pytree.
+      x0s: [n, B, ...] microbatched stage-0 inputs (dim 1 sharded over
+        ``data_axis`` if present in the mesh).
+      stage_args / head_args: pytrees of [n, B, ...] per-microbatch data
+        (attention masks, targets, ...), dim 1 data-sharded.
+      bcast_args: pytree of replicated extras (e.g. rel-pos embeddings).
+      rng_blocks / rng_head: PRNG keys; folded per (data shard, stage,
+        microbatch[, layer]) inside so recompute sees identical dropout.
+
+    Returns (loss, blocks_grads [L, ...], head_grads, dx0s [n, B, ...]):
+    loss is the mean over (microbatch, data shard) of the head losses
+    (reference DataParallel semantics); every gradient is d(loss)/d(·).
+    """
+    n_micro = x0s.shape[0]
+    s_stages = mesh.shape[axis]
+    has_data = data_axis in mesh.shape
+    dp = mesh.shape[data_axis] if has_data else 1
+    d_stash = 2 * s_stages - 1
+    n_ticks = n_micro + 2 * s_stages - 2
+    perm_fwd = [(i, (i + 1) % s_stages) for i in range(s_stages)]
+    perm_bwd = [(i, (i - 1) % s_stages) for i in range(s_stages)]
+    reduce_axes = (axis, data_axis) if has_data else (axis,)
+    scale = 1.0 / float(n_micro * dp)
+
+    def batch_spec(a):
+        # [n, B, ...]: microbatch dim replicated, batch dim data-sharded
+        rest = (None,) * (a.ndim - 2)
+        return P(None, data_axis if has_data else None, *rest)
+
+    blocks_specs = _specs(blocks_params, lambda a: P(axis, *(None,) * (a.ndim - 1)))
+    rep = lambda a: P()  # noqa: E731
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            blocks_specs,
+            _specs(head_params, rep),
+            batch_spec(x0s),
+            _specs(stage_args, batch_spec),
+            _specs(head_args, batch_spec),
+            _specs(bcast_args, rep),
+            P(),
+            P(),
+        ),
+        out_specs=(P(), blocks_specs, _specs(head_params, rep), batch_spec(x0s)),
+        check_vma=False,
+    )
+    def run(blocks_local, head_p, x0s_l, sargs_l, hargs_l, bargs, rngb, rngh):
+        s = jax.lax.axis_index(axis)
+        didx = jax.lax.axis_index(data_axis) if has_data else 0
+        rngb_s = jax.random.fold_in(jax.random.fold_in(rngb, s), didx)
+        rngh_d = jax.random.fold_in(rngh, didx)
+
+        def fwd(params, x, m):
+            return stage_fwd(
+                params, x, _dyn(sargs_l, jnp.clip(m, 0, n_micro - 1)),
+                bargs, jax.random.fold_in(rngb_s, jnp.clip(m, 0, n_micro - 1)),
+            )
+
+        mb_shape = x0s_l.shape[1:]
+        act0 = jnp.zeros(mb_shape, x0s_l.dtype)
+
+        def tick(t, carry):
+            act_in, grad_in, stash, bgrad, hgrad, dx0, loss_acc = carry
+
+            # ---- forward: microbatch mf = t - s
+            mf = t - s
+            fwd_valid = jnp.logical_and(mf >= 0, mf < n_micro)
+            mfc = jnp.clip(mf, 0, n_micro - 1)
+            x_in = jnp.where(s == 0, _dyn(x0s_l, mfc), act_in)
+            slot_f = jnp.mod(mfc, d_stash)
+            old = jax.lax.dynamic_index_in_dim(stash, slot_f, 0, keepdims=False)
+            stash = jax.lax.dynamic_update_index_in_dim(
+                stash, jnp.where(fwd_valid, x_in, old), slot_f, 0
+            )
+            y = fwd(blocks_local, x_in, mfc)
+
+            # ---- head: last stage computes loss + backward seed for mh = mf
+            mh = t - (s_stages - 1)
+            mhc = jnp.clip(mh, 0, n_micro - 1)
+            head_valid = jnp.logical_and(
+                s == s_stages - 1, jnp.logical_and(mh >= 0, mh < n_micro)
+            )
+            loss_m, dl_dy, hg = head_vjp(
+                head_p, y, _dyn(hargs_l, mhc), bargs, jax.random.fold_in(rngh_d, mhc)
+            )
+            hsel = head_valid.astype(jnp.float32)
+            loss_acc = loss_acc + hsel * loss_m
+            hgrad = jax.tree_util.tree_map(
+                lambda a, g: a + hsel.astype(g.dtype) * g, hgrad, hg
+            )
+
+            # ---- backward: microbatch mb = t - 2(S-1) + s (remat fwd + vjp)
+            mb = t - 2 * (s_stages - 1) + s
+            bwd_valid = jnp.logical_and(mb >= 0, mb < n_micro)
+            mbc = jnp.clip(mb, 0, n_micro - 1)
+            x_saved = jax.lax.dynamic_index_in_dim(
+                stash, jnp.mod(mbc, d_stash), 0, keepdims=False
+            )
+            g_in = jnp.where(s == s_stages - 1, dl_dy, grad_in)
+            _, stage_vjp = jax.vjp(lambda p, x: fwd(p, x, mbc), blocks_local, x_saved)
+            gp, gx = stage_vjp(g_in)
+            bsel = bwd_valid.astype(jnp.float32)
+            bgrad = jax.tree_util.tree_map(
+                lambda a, g: a + bsel.astype(g.dtype) * g, bgrad, gp
+            )
+            write0 = jnp.logical_and(s == 0, bwd_valid)
+            dx0_old = jax.lax.dynamic_index_in_dim(dx0, mbc, 0, keepdims=False)
+            dx0 = jax.lax.dynamic_update_index_in_dim(
+                dx0, jnp.where(write0, gx.astype(dx0.dtype), dx0_old), mbc, 0
+            )
+
+            # ---- rotate: activations right, cotangents left
+            act_in = jax.lax.ppermute(y, axis, perm_fwd)
+            grad_in = jax.lax.ppermute(gx, axis, perm_bwd)
+            return act_in, grad_in, stash, bgrad, hgrad, dx0, loss_acc
+
+        carry = (
+            act0,
+            act0,
+            jnp.zeros((d_stash,) + mb_shape, x0s_l.dtype),
+            jax.tree_util.tree_map(jnp.zeros_like, blocks_local),
+            jax.tree_util.tree_map(jnp.zeros_like, head_p),
+            jnp.zeros_like(x0s_l),
+            jnp.zeros((), jnp.float32),
+        )
+        _, _, _, bgrad, hgrad, dx0, loss_acc = jax.lax.fori_loop(
+            0, n_ticks, tick, carry
+        )
+
+        loss = jax.lax.psum(loss_acc, reduce_axes) * scale
+        if has_data:
+            bgrad = jax.tree_util.tree_map(
+                lambda g: jax.lax.psum(g, data_axis), bgrad
+            )
+        bgrad = jax.tree_util.tree_map(lambda g: g * jnp.asarray(scale, g.dtype), bgrad)
+        hgrad = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, reduce_axes) * jnp.asarray(scale, g.dtype), hgrad
+        )
+        dx0 = jax.lax.psum(dx0, axis) * jnp.asarray(scale, dx0.dtype)
+        return loss, bgrad, hgrad, dx0
+
+    return run(
+        blocks_params, head_params, x0s, stage_args, head_args, bcast_args,
+        rng_blocks, rng_head,
+    )
+
+
+def speech2text_1f1b_grad_fn(model, mesh, n_micro: int, axis: str = "pipe"):
+    """Build ``(trainable_params, args, rng) -> (loss, grads)`` computing the
+    SpeechToText training loss/gradients under the 1F1B pipeline schedule.
+
+    The encoder block stack (``scan_layers: true`` stacked params, sharded
+    over ``axis``) is pipelined; the frontend (+ positional encoding) runs
+    before as ordinary GSPMD compute, and the decoder + loss head runs on the
+    last stage inside the schedule. Tensor parallelism does not compose with
+    this path (the shard_map is manual) — use the GSPMD stage-sharded ``--pp``
+    for tp+pp.
+    """
+    from ..models.encoder import TransformerEncoderLayer
+    from ..models.speech2text import _build_encoder
+
+    if getattr(model, "encoder_type", None) != "transformer":
+        raise ValueError("1F1B pipeline requires a transformer encoder")
+    enc = _build_encoder(model.encoder_type, model.encoder_cfg, model.dtype)
+    if not enc.scan_layers:
+        raise ValueError("1F1B pipeline requires encoder scan_layers: true")
+    s_stages = mesh.shape[axis]
+    if enc.n_blocks % s_stages != 0:
+        raise ValueError(f"pipe={s_stages} must divide n_blocks={enc.n_blocks}")
+    layer = TransformerEncoderLayer(
+        d_model=enc.d_model, n_heads=enc.n_heads, d_ff=enc.d_ff,
+        slf_attn_dropout=enc.slf_attn_dropout, ffn_dropout=enc.ffn_dropout,
+        residual_dropout=enc.residual_dropout, normalize_before=enc.normalize_before,
+        concat_after=enc.concat_after, activation=enc.activation,
+        relative_positional=enc.relative_positional, dtype=enc.dtype,
+    )
+    per_stage = enc.n_blocks // s_stages
+    has_data = "data" in mesh.shape
+    dp = mesh.shape["data"] if has_data else 1
+
+    def split_params(trainable):
+        extra = set(trainable) - {"frontend", "encoder", "decoder", "ctc"}
+        if extra:
+            raise ValueError(f"unexpected param collections for 1F1B: {extra}")
+        enc_p = trainable["encoder"]
+        front = {"frontend": trainable["frontend"]}
+        fe = {k: enc_p[k] for k in ("pos_enc",) if k in enc_p}
+        if fe:
+            front["encoder"] = fe
+        head = {"decoder": trainable["decoder"]}
+        he = {k: enc_p[k] for k in ("after_norm",) if k in enc_p}
+        if he:
+            head["encoder"] = he
+        if "ctc" in trainable:
+            head["ctc"] = trainable["ctc"]
+        return front, enc_p["blocks"], head
+
+    def merge_grads(front_g, blocks_g, head_g):
+        enc_g = dict(front_g.get("encoder", {}))
+        enc_g.update(head_g.get("encoder", {}))
+        enc_g["blocks"] = blocks_g
+        grads = {"frontend": front_g["frontend"], "encoder": enc_g,
+                 "decoder": head_g["decoder"]}
+        if "ctc" in head_g:
+            grads["ctc"] = head_g["ctc"]
+        return grads
+
+    def stage_fwd(stage_p, x, sargs, bargs, rng_m):
+        def body(xc, inp):
+            p, i = inp
+            y, _ = layer.apply(
+                {"params": p}, xc, sargs["attn_mask"], bargs["pos_emb"], False,
+                rngs={"dropout": jax.random.fold_in(rng_m, i)},
+            )
+            return y, None
+        y, _ = jax.lax.scan(body, x, (stage_p, jnp.arange(per_stage)))
+        return y
+
+    def head_vjp(head_p, y, hargs, bargs, rng_m):
+        def hf(hp, yy):
+            return model.apply(
+                {"params": hp}, yy, hargs["mask"], hargs["targets"],
+                hargs["tlen"], deterministic=False,
+                rngs={"dropout": rng_m}, method="pipeline_head",
+            )
+        loss_m, vjp_fn = jax.vjp(hf, head_p, y)
+        g_hp, g_y = vjp_fn(jnp.ones_like(loss_m))
+        return loss_m, g_y, g_hp
+
+    def grads_fn(trainable, args, rng):
+        feats, feat_mask, targets, targets_length = args
+        b = feats.shape[0]
+        if b % (n_micro * dp) != 0:
+            raise ValueError(
+                f"batch {b} must divide into pp_micro_batches={n_micro} x dp={dp}"
+            )
+        r_pre, r_blocks, r_head = jax.random.split(rng, 3)
+        front, blocks, head = split_params(trainable)
+
+        def pre_fn(front_p):
+            x, mask, attn_mask, pos_emb = model.apply(
+                {"params": front_p}, feats, feat_mask, deterministic=False,
+                train=True, rngs={"dropout": r_pre}, method="pipeline_pre",
+            )
+            return x, (mask, attn_mask, pos_emb)
+
+        x0, pre_vjp, (mem_mask, attn_mask, pos_emb) = jax.vjp(
+            pre_fn, front, has_aux=True
+        )
+        mb = b // n_micro
+
+        def micro(a):
+            return a.reshape((n_micro, mb) + a.shape[1:])
+
+        x0s = micro(x0)
+        stage_args = {"attn_mask": micro(attn_mask)}
+        head_args = {
+            "mask": micro(mem_mask),
+            "targets": micro(targets),
+            "tlen": micro(targets_length),
+        }
+        bcast = {"pos_emb": pos_emb}
+
+        loss, blocks_g, head_g, dx0s = one_f_one_b_grads(
+            stage_fwd, head_vjp, blocks, head, x0s, stage_args, head_args,
+            bcast, r_blocks, r_head, mesh, axis=axis,
+        )
+        (front_g,) = pre_vjp(dx0s.reshape(x0.shape))
+        return loss, merge_grads(front_g, blocks_g, head_g)
+
+    return grads_fn

@@ -79,6 +79,8 @@ class Trainer:
         static_kwargs: Optional[dict] = None,
         is_debug: bool = False,
         preprocess_fn=None,
+        pp_schedule: Optional[str] = None,
+        pp_micro_batches: Optional[int] = None,
     ):
         # optional jit-compatible device preprocessing (e.g. on-device fbank +
         # SpecAugment, data/device_pipeline.py): maps raw batch_fn args +
@@ -100,6 +102,21 @@ class Trainer:
             # LMs don't accept it.
             static_kwargs = {"train": True} if hasattr(model, "frontend_type") else {}
         self.static_kwargs = static_kwargs
+
+        # pipeline schedule over a 'pipe' mesh axis: 'sharded' (default) is
+        # the GSPMD weight-streaming stage sharding (params + opt state
+        # sharded, lax.scan streams each layer from its owner); '1f1b' is the
+        # interleaved compute pipeline (parallel/pipeline.py:one_f_one_b_grads)
+        self.pp_schedule = pp_schedule or str(params_cfg.get("pp_schedule", "sharded"))
+        self.pp_micro_batches = pp_micro_batches or params_cfg.get("pp_micro_batches")
+        if self.pp_schedule == "1f1b":
+            if mesh is None or "pipe" not in mesh.shape or mesh.shape["pipe"] < 2:
+                raise ValueError("pp_schedule=1f1b needs a mesh with a pipe axis >= 2")
+            if mesh.shape.get("model", 1) > 1:
+                raise ValueError("pp_schedule=1f1b does not compose with tp "
+                                 "(manual shard_map); use the sharded schedule")
+            if is_mixspeech:
+                raise ValueError("mixspeech is not supported under pp_schedule=1f1b")
 
         self.accum_steps = int(params_cfg.get("accum_steps", 1))
         self.grad_clip = float(params_cfg.get("clip_grad", 0.0))
@@ -134,6 +151,8 @@ class Trainer:
 
     # ------------------------------------------------------------ jitted fns
     def _build_grad_fn(self):
+        if self.pp_schedule == "1f1b":
+            return self._build_grad_fn_1f1b()
         model = self.model
         accum = self.accum_steps
         mix = self.is_mixspeech
@@ -194,6 +213,33 @@ class Trainer:
             grad_accum = jax.tree_util.tree_map(lambda a, g: a + g.astype(a.dtype), grad_accum, grads)
             new_variables = {"params": trainable, **{k: new_cols.get(k, v) for k, v in aux_cols.items()}}
             return new_variables, grad_accum, loss, aux
+
+        return jax.jit(grad_step, donate_argnums=(1,))
+
+    def _build_grad_fn_1f1b(self):
+        """Pipelined grad step: 1F1B over the 'pipe' axis + manual dp."""
+        from ..parallel.pipeline import speech2text_1f1b_grad_fn
+
+        n_micro = int(self.pp_micro_batches or self.mesh.shape["pipe"])
+        core = speech2text_1f1b_grad_fn(self.model, self.mesh, n_micro)
+        accum = self.accum_steps
+        preprocess = self.preprocess_fn
+
+        def grad_step(variables, grad_accum, args, rng):
+            aux_cols = {k: v for k, v in variables.items() if k != "params"}
+            if aux_cols:
+                raise ValueError(
+                    f"pp_schedule=1f1b supports params-only models (got "
+                    f"collections {sorted(aux_cols)})"
+                )
+            if preprocess is not None:
+                prng, rng = jax.random.split(rng)
+                args = preprocess(*args, rng=prng, train=True)
+            loss, grads = core(variables["params"], args, rng)
+            grad_accum = jax.tree_util.tree_map(
+                lambda a, g: a + g.astype(a.dtype) / accum, grad_accum, grads
+            )
+            return variables, grad_accum, loss, {}
 
         return jax.jit(grad_step, donate_argnums=(1,))
 
@@ -376,6 +422,16 @@ class Trainer:
         for step, batch in enumerate(batches):
             _, inputs, targets = batch
             args = self._shard_batch(self.batch_fn((None, inputs, targets)))
+            if self.pp_schedule == "1f1b":
+                # the 1F1B shard_map needs batch % (micro x dp) == 0; ragged
+                # tail batches are dropped (drop_last semantics)
+                div = int(self.pp_micro_batches or self.mesh.shape["pipe"])
+                div *= self.mesh.shape.get("data", 1)
+                if args[0].shape[0] % div != 0:
+                    logger.warning(
+                        "1f1b: dropping ragged batch of %d (not divisible "
+                        "by micro x dp = %d)", args[0].shape[0], div)
+                    continue
             rng, r1 = jax.random.split(rng)
             params, grad_accum, loss, aux = self._grad_fn(params, grad_accum, args, r1)
             micro_losses.append(loss)
