@@ -52,6 +52,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--pp-micro-batches", type=int, default=None,
                    help="microbatches per step for --pp-schedule 1f1b "
                         "(default: pp degree; more = smaller bubble)")
+    p.add_argument("--ep", type=int, default=1,
+                   help="expert-parallel degree: MoE expert-stacked params "
+                        "shard over an 'expert' mesh axis (requires "
+                        "encoder.moe_experts divisible by this)")
     p.add_argument("-s", "-se", "--seed", type=int, default=1234)
     p.add_argument("-l", "--logging_level", type=str, default="INFO")
     p.add_argument("-lg", "--log_file", type=str, default=None,
@@ -120,9 +124,15 @@ def main(argv=None) -> int:
         logger.info("multihost: process %d/%d", jax.process_index(), jax.process_count())
 
     n_dev = len(jax.devices())
-    n_data = args.ngpu or max(n_dev // (args.tp * args.pp), 1)
-    mesh = (make_mesh(n_data=n_data, n_model=args.tp, n_pipe=args.pp)
-            if n_data * args.tp * args.pp > 1 else None)
+    n_data = args.ngpu or max(n_dev // (args.tp * args.pp * args.ep), 1)
+    mesh = (make_mesh(n_data=n_data, n_model=args.tp, n_pipe=args.pp,
+                      n_expert=args.ep)
+            if n_data * args.tp * args.pp * args.ep > 1 else None)
+    if args.ep > 1:
+        n_experts = int(cfg["model"].get("encoder", {}).get("moe_experts", 0))
+        if n_experts % args.ep != 0:
+            raise SystemExit(f"--ep {args.ep} requires encoder.moe_experts "
+                             f"divisible by it (got {n_experts})")
     if args.pp > 1:
         enc = cfg["model"].get("encoder", {})
         if (cfg["model"].get("encoder_type", "transformer") != "transformer"

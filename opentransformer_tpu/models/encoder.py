@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from ..ops.masks import attn_mask_from_pad, chunk_attn_mask
 from .modules import (
     ConformerConvModule,
+    MoEFeedForward,
     MultiHeadSelfAttention,
     PositionalEncoding,
     PositionwiseFeedForward,
@@ -58,6 +59,10 @@ class TransformerEncoderLayer(nn.Module):
     concat_after: bool = False
     activation: str = "relu"
     relative_positional: bool = False
+    moe_experts: int = 0       # >0: replace the FFN with a top-k MoE
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 1.25
+    moe_router_jitter: float = 0.0
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -73,9 +78,17 @@ class TransformerEncoderLayer(nn.Module):
             )
         if self.concat_after:
             self.concat_linear = TorchLinear(self.d_model, dtype=self.dtype, name="concat_linear")
-        self.ffn = PositionwiseFeedForward(
-            self.d_model, self.d_ff, self.activation, self.ffn_dropout, dtype=self.dtype, name="ffn"
-        )
+        if self.moe_experts > 0:
+            self.ffn = MoEFeedForward(
+                self.d_model, self.d_ff, n_experts=self.moe_experts,
+                top_k=self.moe_top_k, capacity_factor=self.moe_capacity_factor,
+                activation=self.activation, dropout_rate=self.ffn_dropout,
+                router_jitter=self.moe_router_jitter, dtype=self.dtype, name="moe",
+            )
+        else:
+            self.ffn = PositionwiseFeedForward(
+                self.d_model, self.d_ff, self.activation, self.ffn_dropout, dtype=self.dtype, name="ffn"
+            )
         self.res_dropout = nn.Dropout(self.residual_dropout)
 
     def __call__(self, x, attn_mask, pos_emb=None, deterministic: bool = True):
@@ -101,9 +114,14 @@ class TransformerEncoderLayer(nn.Module):
         h2 = self.norm2(h) if self.normalize_before else h
         residual = h2 if self.normalize_before else h
         ffn_out = self.ffn(h2, deterministic=deterministic)
+        moe_aux = None
+        if self.moe_experts > 0:
+            ffn_out, moe_aux = ffn_out
         h = residual + self.res_dropout(ffn_out, deterministic=deterministic)
         if not self.normalize_before:
             h = self.norm2(h)
+        if self.moe_experts > 0:
+            return h, (w, moe_aux)
         return h, w
 
     def encode_step(self, x, cache_k, cache_v, kv_mask):
@@ -144,6 +162,11 @@ class TransformerEncoder(nn.Module):
     left_chunks: int = -1     # -1 = unlimited left context
     remat: bool = False       # rematerialize blocks (trade FLOPs for memory)
     scan_layers: bool = False  # lax.scan over stacked blocks: O(1) HLO size
+    moe_experts: int = 0       # >0: MoE FFN (beyond-reference; modules.py)
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 1.25
+    moe_router_jitter: float = 0.0
+    moe_every: int = 1         # MoE in every k-th block (scan requires 1)
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -160,6 +183,17 @@ class TransformerEncoder(nn.Module):
             concat_after=self.concat_after, activation=self.activation,
             relative_positional=self.relative_positional, dtype=self.dtype,
         )
+        moe_kw = dict(
+            moe_experts=self.moe_experts, moe_top_k=self.moe_top_k,
+            moe_capacity_factor=self.moe_capacity_factor,
+            moe_router_jitter=self.moe_router_jitter,
+        )
+        if self.moe_experts > 0:
+            if self.scan_layers and self.moe_every != 1:
+                raise ValueError("scan_layers requires moe_every: 1 "
+                                 "(all blocks structurally identical)")
+            if self.scan_layers:
+                layer_kw.update(moe_kw)
         layer_cls = (nn.remat(TransformerEncoderLayer, static_argnums=(4,))
                      if self.remat else TransformerEncoderLayer)
         if self.scan_layers:
@@ -178,7 +212,12 @@ class TransformerEncoder(nn.Module):
             )(**layer_kw, name="blocks")
         else:
             self.layers = [
-                layer_cls(**layer_kw, name=f"block_{i}")
+                layer_cls(
+                    **layer_kw,
+                    **(moe_kw if self.moe_experts > 0
+                       and (i + 1) % self.moe_every == 0 else {}),
+                    name=f"block_{i}",
+                )
                 for i in range(self.n_blocks)
             ]
 
@@ -209,22 +248,33 @@ class TransformerEncoder(nn.Module):
         """x: [B, T, D]; pad_mask: bool[B, T] → (y [B,T,D], pad_mask, attn?)."""
         x, attn_mask, pos_emb = self.prepare(x, pad_mask, deterministic=deterministic)
 
+        moe = self.moe_experts > 0
         if self.scan_layers:
             x, ws = self.blocks(x, attn_mask, pos_emb, deterministic)
+            moe_aux = None
+            if moe:
+                ws, auxs = ws
+                moe_aux = jnp.sum(auxs)
             x = self.finalize(x)
+            out = (x, pad_mask) + ((moe_aux,) if moe else ())
             if return_attn:
-                return x, pad_mask, {"enc_blocks": ws}
-            return x, pad_mask
+                return out + ({"enc_blocks": ws},)
+            return out
 
         attns = {}
+        moe_aux = jnp.zeros((), jnp.float32) if moe else None
         for i, layer in enumerate(self.layers):
             x, w = layer(x, attn_mask, pos_emb, deterministic)
+            if isinstance(w, tuple):
+                w, aux_i = w
+                moe_aux = moe_aux + aux_i
             if return_attn:
                 attns[f"enc_block_{i}"] = w
         x = self.finalize(x)
+        out = (x, pad_mask) + ((moe_aux,) if moe else ())
         if return_attn:
-            return x, pad_mask, attns
-        return x, pad_mask
+            return out + (attns,)
+        return out
 
     # ---- frame-synchronous streaming (chunked-attention models) ----------
 
@@ -236,9 +286,9 @@ class TransformerEncoder(nn.Module):
                 "streaming encode requires chunk_size > 0 and left_chunks >= 0 "
                 f"(got chunk_size={self.chunk_size}, left_chunks={self.left_chunks})"
             )
-        if self.relative_positional or self.scan_layers:
+        if self.relative_positional or self.scan_layers or self.moe_experts > 0:
             raise NotImplementedError(
-                "streaming encode supports absolute-PE, unstacked encoders"
+                "streaming encode supports absolute-PE, unstacked, dense-FFN encoders"
             )
         left = self.left_chunks * self.chunk_size
         d_k = self.d_model // self.n_heads

@@ -481,6 +481,108 @@ class PositionwiseFeedForward(nn.Module):
         return TorchLinear(self.d_model, dtype=self.dtype, name="w2")(h)
 
 
+class MoEFeedForward(nn.Module):
+    """Mixture-of-experts FFN with top-k routing (Switch/GShard style).
+
+    A beyond-reference capability (the reference has no MoE, SURVEY §2.3
+    'EP: absent') designed TPU-first: dense one-hot dispatch/combine einsums
+    (MXU-friendly, static shapes — no scatter), fixed per-expert capacity
+    with token dropping (dropped tokens pass through on the residual), and
+    expert-stacked parameters [E, ...] that shard over an ``expert`` mesh
+    axis (``parallel/mesh.py``) so XLA emits the dispatch all-to-alls.
+
+    Routing: top-k (k in {1, 2}) of a softmax router; gates renormalized
+    over the selected experts; earlier choices get capacity priority. The
+    load-balance auxiliary loss is the Switch formulation E·Σ_e f_e·P_e
+    (f = fraction of tokens whose first choice is e, P = mean router prob);
+    the model adds it to the training loss with ``moe_aux_weight``.
+
+    Returns (y, aux_loss). Padded positions are routed like real tokens
+    (their outputs are masked by the loss; they only consume capacity).
+    """
+
+    d_model: int
+    d_ff: int
+    n_experts: int = 4
+    top_k: int = 1
+    capacity_factor: float = 1.25
+    activation: str = "relu"
+    dropout_rate: float = 0.0
+    router_jitter: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        if self.top_k not in (1, 2):
+            raise ValueError(f"moe_top_k must be 1 or 2, got {self.top_k}")
+        b, t, d = x.shape
+        e = self.n_experts
+        f_out = 2 * self.d_ff if self.activation == "glu" else self.d_ff
+        cap = int(np.ceil(t * self.capacity_factor * self.top_k / e))
+        cap = max(min(cap, t), 1)
+
+        # router in fp32 for stable softmax
+        r_in = x
+        if self.router_jitter > 0.0 and not deterministic:
+            noise = jax.random.uniform(
+                self.make_rng("dropout"), x.shape, x.dtype,
+                1.0 - self.router_jitter, 1.0 + self.router_jitter,
+            )
+            r_in = x * noise
+        logits = TorchLinear(e, dtype=jnp.float32, name="router")(
+            r_in.astype(jnp.float32)
+        )
+        probs = jax.nn.softmax(logits, axis=-1)  # [B, T, E]
+
+        # top-k selection with renormalized gates; slot 0 = first choice
+        dispatch = jnp.zeros((b, t, e, cap), jnp.float32)
+        combine = jnp.zeros((b, t, e, cap), jnp.float32)
+        counts = jnp.zeros((b, e), jnp.float32)  # kept tokens per expert
+        remaining = probs
+        gate_sum = jnp.zeros((b, t), jnp.float32)
+        slots = []
+        for _ in range(self.top_k):
+            idx = jnp.argmax(remaining, axis=-1)  # [B, T]
+            oh = jax.nn.one_hot(idx, e, dtype=jnp.float32)  # [B, T, E]
+            gate = jnp.sum(remaining * oh, axis=-1)  # [B, T]
+            slots.append((oh, gate))
+            gate_sum = gate_sum + gate
+            remaining = remaining * (1.0 - oh)
+        for oh, gate in slots:
+            # position of each token within its expert (earlier slots and
+            # earlier tokens first); over-capacity tokens are dropped
+            pos = jnp.cumsum(oh, axis=1) - oh + counts[:, None, :]  # [B,T,E]
+            keep = (pos < cap).astype(jnp.float32) * oh
+            counts = counts + jnp.sum(keep, axis=1)
+            pos_oh = jax.nn.one_hot(
+                jnp.sum(pos * oh, axis=-1).astype(jnp.int32), cap, dtype=jnp.float32
+            )  # [B, T, C]
+            sel = keep[:, :, :, None] * pos_oh[:, :, None, :]  # [B,T,E,C]
+            dispatch = dispatch + sel
+            combine = combine + sel * (gate / jnp.maximum(gate_sum, 1e-9))[:, :, None, None]
+
+        # load-balance aux (Switch): first-choice fractions vs mean probs
+        f_frac = jnp.mean(slots[0][0], axis=(0, 1))  # [E]
+        p_mean = jnp.mean(probs, axis=(0, 1))  # [E]
+        aux = e * jnp.sum(f_frac * p_mean)
+
+        # expert compute on gathered tokens (stacked [E, ...] parameters)
+        kinit = torch_bias_init(d)  # U(-1/sqrt(fan_in), ..) == torch Linear
+        w1 = self.param("w1", kinit, (e, d, f_out))
+        b1 = self.param("b1", torch_bias_init(d), (e, f_out))
+        w2 = self.param("w2", torch_bias_init(self.d_ff), (e, self.d_ff, d))
+        b2 = self.param("b2", torch_bias_init(self.d_ff), (e, d))
+        xe = jnp.einsum("btec,btd->becd", dispatch.astype(self.dtype), x)
+        h = jnp.einsum("becd,edf->becf", xe, w1.astype(self.dtype))
+        h = h + b1.astype(self.dtype)[None, :, None, :]
+        h = glu(h) if self.activation == "glu" else ACTIVATIONS[self.activation](h)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        ye = jnp.einsum("becf,efd->becd", h, w2.astype(self.dtype))
+        ye = ye + b2.astype(self.dtype)[None, :, None, :]
+        y = jnp.einsum("btec,becd->btd", combine.astype(self.dtype), ye)
+        return y, aux.astype(jnp.float32)
+
+
 class DepthwiseConv1d(nn.Module):
     """Depthwise temporal conv as an unrolled shift-multiply-accumulate.
 

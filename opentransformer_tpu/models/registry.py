@@ -34,6 +34,7 @@ def build_model(model_cfg: Any, dtype=jnp.float32) -> nn.Module:
             ctc_weight=float(model_cfg.get("ctc_weight", 0.0)),
             smoothing=float(model_cfg.get("smoothing", 0.1)),
             lookahead_steps=int(model_cfg.get("lookahead_steps", 0)),
+            moe_aux_weight=float(model_cfg.get("moe_aux_weight", 0.01)),
             dtype=dtype,
         )
     if mtype == "ctc":

@@ -96,6 +96,7 @@ class SpeechToText(nn.Module):
     ctc_weight: float = 0.0
     smoothing: float = 0.1
     lookahead_steps: int = 0
+    moe_aux_weight: float = 0.01  # weight of the MoE load-balance loss
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -114,7 +115,8 @@ class SpeechToText(nn.Module):
                 dtype=self.dtype, name="ctc",
             )
 
-    def encode(self, feats, feat_mask, *, deterministic: bool = True, train: bool = False):
+    def encode(self, feats, feat_mask, *, deterministic: bool = True, train: bool = False,
+               return_aux: bool = False):
         x, mask = self.frontend(
             feats.astype(self.dtype), feat_mask, deterministic=deterministic, train=train
         )
@@ -122,11 +124,16 @@ class SpeechToText(nn.Module):
             {"train": train} if self.encoder_type == "conformer" else {}
         ))
         memory, memory_mask = enc_out[0], enc_out[1]
+        if return_aux:
+            # MoE encoders return a 3rd element: the load-balance aux loss
+            return memory, memory_mask, (enc_out[2] if len(enc_out) > 2 else None)
         return memory, memory_mask
 
     def __call__(self, feats, feat_mask, targets, targets_length, *, deterministic: bool = True, train: bool = False):
         """Returns (scalar loss f32, aux losses dict)."""
-        memory, memory_mask = self.encode(feats, feat_mask, deterministic=deterministic, train=train)
+        memory, memory_mask, moe_aux = self.encode(
+            feats, feat_mask, deterministic=deterministic, train=train, return_aux=True
+        )
 
         target_in = targets[:, :-1]
         target_out = targets[:, 1:]
@@ -152,6 +159,9 @@ class SpeechToText(nn.Module):
             loss = (1.0 - self.ctc_weight) * att_loss + self.ctc_weight * closs
         else:
             loss = att_loss
+        if moe_aux is not None:
+            aux["moe_aux"] = moe_aux
+            loss = loss + self.moe_aux_weight * moe_aux
         return loss, aux
 
     # -- pipeline-parallel split points (parallel/pipeline.py 1F1B schedule) --

@@ -38,22 +38,27 @@ def make_mesh(
     n_data: int | None = None,
     n_model: int = 1,
     n_pipe: int = 1,
+    n_expert: int = 1,
     devices: Sequence[Any] | None = None,
     axis_names: tuple[str, ...] | None = None,
 ) -> Mesh:
-    """Build a (data, model[, pipe]) mesh over the available devices."""
+    """Build a (data, model[, pipe][, expert]) mesh over the devices."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if n_data is None:
-        assert n % (n_model * n_pipe) == 0, (n, n_model, n_pipe)
-        n_data = n // (n_model * n_pipe)
-    total = n_data * n_model * n_pipe
-    assert total <= n, f"need {n_data}x{n_model}x{n_pipe} devices, have {n}"
+        assert n % (n_model * n_pipe * n_expert) == 0, (n, n_model, n_pipe, n_expert)
+        n_data = n // (n_model * n_pipe * n_expert)
+    total = n_data * n_model * n_pipe * n_expert
+    assert total <= n, f"need {n_data}x{n_model}x{n_pipe}x{n_expert} devices, have {n}"
+    dims, names = [n_data, n_model], ["data", "model"]
     if n_pipe > 1:
-        grid = np.asarray(devices[:total]).reshape(n_data, n_model, n_pipe)
-        return Mesh(grid, axis_names or ("data", "model", "pipe"))
-    grid = np.asarray(devices[:total]).reshape(n_data, n_model)
-    return Mesh(grid, axis_names or ("data", "model"))
+        dims.append(n_pipe)
+        names.append("pipe")
+    if n_expert > 1:
+        dims.append(n_expert)
+        names.append("expert")
+    grid = np.asarray(devices[:total]).reshape(dims)
+    return Mesh(grid, axis_names or tuple(names))
 
 
 # (regex over 'path/to/param', PartitionSpec) — first match wins.
@@ -69,8 +74,19 @@ DEFAULT_RULES: tuple[tuple[str, P], ...] = (
     (r".*blocks/.*out_proj/dense/kernel$", P("pipe", "model", None)),
     (r".*blocks/.*(ffn|pre_ffn|post_ffn)/w2/dense/kernel$", P("pipe", "model", None)),
     (r".*blocks/.*pos[uv]$", P("pipe", None, "model", None, None)),
+    # MoE experts (modules.py:MoEFeedForward): expert dim over 'expert'
+    # (EP), hidden dim over 'model' (TP within each expert); router stays
+    # replicated (falls through to the catch-alls)
+    (r".*blocks/.*moe/w1$", P("pipe", "expert", None, "model")),
+    (r".*blocks/.*moe/w2$", P("pipe", "expert", "model", None)),
+    (r".*blocks/.*moe/b1$", P("pipe", "expert", "model")),
+    (r".*blocks/.*moe/b2$", P("pipe", "expert", None)),
     # remaining stacked leaves (biases, norms, pos_proj): stage-shard L only
     (r".*blocks/.*", P("pipe")),
+    (r".*moe/w1$", P("expert", None, "model")),
+    (r".*moe/w2$", P("expert", "model", None)),
+    (r".*moe/b1$", P("expert", "model")),
+    (r".*moe/b2$", P("expert", None)),
     # column-parallel (shard output features): QKV/Q/KV projections, FFN w1
     (r".*(qkv_proj|q_proj|kv_proj)/dense/kernel$", P(None, "model")),
     (r".*(ffn|pre_ffn|post_ffn)/w1/dense/kernel$", P(None, "model")),

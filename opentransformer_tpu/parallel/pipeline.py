@@ -333,6 +333,9 @@ def speech2text_1f1b_grad_fn(model, mesh, n_micro: int, axis: str = "pipe"):
     enc = _build_encoder(model.encoder_type, model.encoder_cfg, model.dtype)
     if not enc.scan_layers:
         raise ValueError("1F1B pipeline requires encoder scan_layers: true")
+    if enc.moe_experts > 0:
+        raise ValueError("1F1B pipeline does not yet thread the MoE aux loss; "
+                         "use the sharded schedule for MoE encoders")
     s_stages = mesh.shape[axis]
     if enc.n_blocks % s_stages != 0:
         raise ValueError(f"pipe={s_stages} must divide n_blocks={enc.n_blocks}")

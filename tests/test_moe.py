@@ -1,0 +1,128 @@
+"""MoE FFN + expert parallelism (beyond-reference: SURVEY §2.3 'EP: absent')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opentransformer_tpu.models.modules import MoEFeedForward, PositionwiseFeedForward
+
+
+def test_single_expert_equals_dense_ffn():
+    """n_experts=1, capacity=T: MoE must reduce exactly to the dense FFN
+    (softmax over one expert = gate 1.0, nothing dropped)."""
+    d, ff, t = 16, 32, 12
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(3, t, d)), jnp.float32)
+    moe = MoEFeedForward(d, ff, n_experts=1, top_k=1, capacity_factor=1.0,
+                         activation="glu")
+    dense = PositionwiseFeedForward(d, ff, activation="glu")
+    pm = moe.init(jax.random.PRNGKey(0), x)
+    pd = dense.init(jax.random.PRNGKey(1), x)
+    # copy expert-0 weights into the dense FFN layout
+    pd = {"params": {
+        "w1": {"dense": {"kernel": pm["params"]["w1"][0], "bias": pm["params"]["b1"][0]}},
+        "w2": {"dense": {"kernel": pm["params"]["w2"][0], "bias": pm["params"]["b2"][0]}},
+    }}
+    y_moe, aux = moe.apply(pm, x)
+    y_dense = dense.apply(pd, x)
+    np.testing.assert_allclose(np.asarray(y_moe), np.asarray(y_dense), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(aux), 1.0, rtol=1e-6)  # E*f*P = 1*1*1
+
+
+def test_capacity_drops_pass_zero():
+    """Force all tokens to expert 0 with tiny capacity: tokens beyond the
+    capacity produce zero output (residual pass-through at the call site)."""
+    d, ff, t = 8, 16, 10
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(1, t, d)), jnp.float32)
+    moe = MoEFeedForward(d, ff, n_experts=4, top_k=1, capacity_factor=0.4)
+    p = moe.init(jax.random.PRNGKey(0), x)
+    # router kernel/bias that always picks expert 0
+    p = jax.tree_util.tree_map(np.array, p)
+    p["params"]["router"]["dense"]["kernel"] = np.zeros((8, 4), np.float32)
+    p["params"]["router"]["dense"]["bias"] = np.array([10.0, 0, 0, 0], np.float32)
+    y, aux = moe.apply(jax.tree_util.tree_map(jnp.asarray, p), x)
+    cap = max(int(np.ceil(t * 0.4 / 4)), 1)
+    y = np.asarray(y)
+    assert np.all(np.abs(y[0, :cap]) > 0)          # kept tokens computed
+    np.testing.assert_allclose(y[0, cap:], 0.0)    # dropped tokens zero
+
+
+def test_top2_gates_and_grads():
+    """top-2: finite output, aux > 0, gradients reach router and experts."""
+    d, ff = 12, 24
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(2, 9, d)), jnp.float32)
+    moe = MoEFeedForward(d, ff, n_experts=4, top_k=2, capacity_factor=2.0)
+    p = moe.init(jax.random.PRNGKey(3), x)
+
+    def loss(p):
+        y, aux = moe.apply(p, x)
+        return jnp.sum(y ** 2) + 0.01 * aux
+
+    g = jax.grad(loss)(p)["params"]
+    assert np.all(np.isfinite(np.asarray(loss(p))))
+    for path in ("router", "w1", "w2"):
+        leaf = g[path]["dense"]["kernel"] if path == "router" else g[path]
+        assert float(jnp.max(jnp.abs(leaf))) > 0, path
+
+
+def test_moe_encoder_trains_on_ep_mesh():
+    """(data x model x expert) mesh: expert params shard over 'expert',
+    the MoE aux loss reaches the training loss, and a step runs finite."""
+    from opentransformer_tpu.models.registry import build_model
+    from opentransformer_tpu.parallel.mesh import make_mesh
+    from opentransformer_tpu.train.trainer import Trainer
+    from tests.test_models import small_model_cfg
+    from tests.test_train import synth_batch
+
+    cfg = small_model_cfg()
+    cfg["encoder"] = {**cfg["encoder"], "moe_experts": 4, "moe_top_k": 2,
+                      "moe_capacity_factor": 2.0}
+    model = build_model(cfg)
+    mesh = make_mesh(n_data=2, n_model=2, n_expert=2)
+    assert dict(mesh.shape) == {"data": 2, "model": 2, "expert": 2}
+
+    batch = synth_batch(np.random.default_rng(0), b=4)
+    tcfg = {"optimizer_type": "adam", "optimizer": {}, "scheduler_type": "constant",
+            "scheduler": {"lr": 1e-3}, "epochs": 1}
+    trainer = Trainer(tcfg, model, mesh=mesh, log_interval=10 ** 9)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+
+    w1 = state.params["params"]["encoder"]["block_0"]["moe"]["w1"]
+    assert tuple(w1.sharding.spec) == ("expert", None, "model"), w1.sharding.spec
+
+    # aux losses surface in the model output dict
+    loss, aux = model.apply(state.params, *trainer.batch_fn(batch))
+    assert "moe_aux" in aux and np.isfinite(float(aux["moe_aux"]))
+
+    state = trainer.train_one_epoch(0, state, [batch], jax.random.PRNGKey(1))
+    loss2, _ = model.apply(state.params, *trainer.batch_fn(batch))
+    assert np.isfinite(float(loss2))
+
+
+def test_moe_scan_layers_and_moe_every():
+    """scan_layers stacks MoE blocks ([L, E, ...] params); moe_every=2 in
+    unstacked mode alternates dense/MoE blocks."""
+    from opentransformer_tpu.models.registry import build_model
+    from tests.test_models import small_model_cfg
+    from tests.test_train import synth_batch
+    from opentransformer_tpu.train.trainer import default_speech_batch
+
+    args = default_speech_batch(synth_batch(np.random.default_rng(0), b=2))
+
+    cfg = small_model_cfg()
+    cfg["encoder"] = {**cfg["encoder"], "moe_experts": 2, "scan_layers": True}
+    model = build_model(cfg)
+    v = model.init(jax.random.PRNGKey(0), *args)
+    w1 = v["params"]["encoder"]["blocks"]["moe"]["w1"]
+    assert w1.shape[:2] == (2, 2)  # [L, E, ...]
+    loss, aux = model.apply(v, *args)
+    assert "moe_aux" in aux and np.isfinite(float(loss))
+
+    cfg = small_model_cfg()
+    cfg["encoder"] = {**cfg["encoder"], "moe_experts": 2, "moe_every": 2}
+    model = build_model(cfg)
+    v = model.init(jax.random.PRNGKey(0), *args)
+    enc = v["params"]["encoder"]
+    assert "moe" in enc["block_1"] and "moe" not in enc["block_0"]
+    assert "ffn" in enc["block_0"]
+    loss, aux = model.apply(v, *args)
+    assert np.isfinite(float(loss))
