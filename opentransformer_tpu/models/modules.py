@@ -559,7 +559,11 @@ class MoEFeedForward(nn.Module):
             )  # [B, T, C]
             sel = keep[:, :, :, None] * pos_oh[:, :, None, :]  # [B,T,E,C]
             dispatch = dispatch + sel
-            combine = combine + sel * (gate / jnp.maximum(gate_sum, 1e-9))[:, :, None, None]
+            # top-1 keeps the raw router prob as the gate (Switch) so the
+            # main loss differentiates the router; top-k>1 renormalizes over
+            # the selected experts (GShard)
+            g = gate / jnp.maximum(gate_sum, 1e-9) if self.top_k > 1 else gate
+            combine = combine + sel * g[:, :, None, None]
 
         # load-balance aux (Switch): first-choice fractions vs mean probs
         f_frac = jnp.mean(slots[0][0], axis=(0, 1))  # [E]

@@ -64,6 +64,22 @@ def test_top2_gates_and_grads():
         assert float(jnp.max(jnp.abs(leaf))) > 0, path
 
 
+def test_top1_router_gets_main_loss_gradient():
+    """Switch top-1: the gate is the raw router prob, so the router must
+    receive gradient from the task loss alone (no aux term)."""
+    d, ff = 12, 24
+    x = jnp.asarray(np.random.default_rng(4).normal(size=(2, 9, d)), jnp.float32)
+    moe = MoEFeedForward(d, ff, n_experts=4, top_k=1, capacity_factor=2.0)
+    p = moe.init(jax.random.PRNGKey(5), x)
+
+    def task_loss(p):
+        y, _ = moe.apply(p, x)
+        return jnp.sum(y ** 2)
+
+    g = jax.grad(task_loss)(p)["params"]["router"]["dense"]["kernel"]
+    assert float(jnp.max(jnp.abs(g))) > 0
+
+
 def test_moe_encoder_trains_on_ep_mesh():
     """(data x model x expert) mesh: expert params shard over 'expert',
     the MoE aux loss reaches the training loss, and a step runs finite."""
