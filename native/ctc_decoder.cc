@@ -6,7 +6,10 @@
 // the label-synchronous prefix search that doesn't map to the MXU.
 //
 // Exposed as a C ABI for ctypes (no pybind11 in the image):
-//   lm_load(path, vocab, vocab_size)          -> LM handle (ARPA text format)
+//   lm_load(path, vocab, vocab_size)          -> LM handle (ARPA text or the
+//                                                "OTLM" binary cache, detected
+//                                                by magic; see SaveBinary)
+//   lm_save_binary(handle, path)              -> write the binary cache
 //   lm_free(handle)
 //   ctc_beam_decode(...)                      -> n-best token sequences
 //
@@ -49,6 +52,7 @@ struct NgramLM {
   std::unordered_map<std::string, std::pair<float, float>> table;
   std::unordered_map<std::string, int> vocab;  // unit string -> token id
   float oov_logp = -10.0f;
+  uint64_t vocab_hash = 0;  // ids in `table` depend on the vocab ordering
 
   static std::string Key(const int32_t* ids, int n) {
     return std::string(reinterpret_cast<const char*>(ids), n * sizeof(int32_t));
@@ -80,10 +84,95 @@ struct NgramLM {
   }
 };
 
+// FNV-1a over the vocab units (ids in the LM table are positional).
+uint64_t HashVocab(const char* const* vocab_units, int vocab_size) {
+  uint64_t h = 1469598103934665603ull;
+  auto mix = [&](const char* s, size_t n) {
+    for (size_t i = 0; i < n; ++i) {
+      h ^= (unsigned char)s[i];
+      h *= 1099511628211ull;
+    }
+  };
+  for (int i = 0; i < vocab_size; ++i) {
+    mix(vocab_units[i], std::strlen(vocab_units[i]) + 1);  // incl. NUL sep
+  }
+  return h ^ (uint64_t)vocab_size;
+}
+
+// ---------------------------------------------------------------------------
+// Binary LM cache ("OTLM"): a serialized parse of the ARPA table. Loading it
+// skips text tokenization and vocab lookups — the startup cost for large
+// n-gram models (the reason KenLM has a binary format; ours is first-party).
+// Layout: magic u32 | version u32 | order i32 | oov f32 | vocab_hash u64 |
+//         n u64 | n x { key_bytes u32, key..., logp f32, backoff f32 }.
+// ---------------------------------------------------------------------------
+constexpr uint32_t kOtlmMagic = 0x4d4c544f;  // "OTLM" little-endian
+constexpr uint32_t kOtlmVersion = 1;
+
+bool SaveBinary(const NgramLM& lm, const char* path) {
+  std::ofstream out(path, std::ios::binary | std::ios::trunc);
+  if (!out.good()) return false;
+  auto put = [&](const void* p, size_t n) { out.write((const char*)p, n); };
+  uint64_t n = lm.table.size();
+  put(&kOtlmMagic, 4);
+  put(&kOtlmVersion, 4);
+  put(&lm.order, 4);
+  put(&lm.oov_logp, 4);
+  put(&lm.vocab_hash, 8);
+  put(&n, 8);
+  for (const auto& kv : lm.table) {
+    uint32_t kb = kv.first.size();
+    put(&kb, 4);
+    put(kv.first.data(), kb);
+    put(&kv.second.first, 4);
+    put(&kv.second.second, 4);
+  }
+  return out.good();
+}
+
+NgramLM* LoadBinary(std::ifstream& in, uint64_t expected_hash) {
+  auto lm = std::make_unique<NgramLM>();
+  uint32_t version = 0;
+  uint64_t n = 0, hash = 0;
+  auto get = [&](void* p, size_t sz) { in.read((char*)p, sz); };
+  get(&version, 4);
+  get(&lm->order, 4);
+  get(&lm->oov_logp, 4);
+  get(&hash, 8);
+  get(&n, 8);
+  if (!in.good() || version != kOtlmVersion || hash != expected_hash) {
+    return nullptr;  // stale cache (different vocab) or format mismatch
+  }
+  lm->vocab_hash = hash;
+  lm->table.reserve(n);
+  std::string key;
+  for (uint64_t i = 0; i < n; ++i) {
+    uint32_t kb = 0;
+    get(&kb, 4);
+    if (!in.good() || kb > 4096) return nullptr;
+    key.resize(kb);
+    get(&key[0], kb);
+    float logp = 0.0f, backoff = 0.0f;
+    get(&logp, 4);
+    get(&backoff, 4);
+    if (!in.good()) return nullptr;
+    lm->table.emplace(key, std::make_pair(logp, backoff));
+  }
+  return lm.release();
+}
+
 NgramLM* LoadArpa(const char* path, const char* const* vocab_units, int vocab_size) {
-  std::ifstream in(path);
+  std::ifstream in(path, std::ios::binary);
+  if (!in.good()) return nullptr;
+  uint64_t vhash = HashVocab(vocab_units, vocab_size);
+  uint32_t magic = 0;
+  in.read((char*)&magic, 4);
+  if (in.gcount() == 4 && magic == kOtlmMagic) return LoadBinary(in, vhash);
+  in.close();
+  in.open(path);
   if (!in.good()) return nullptr;
   auto lm = std::make_unique<NgramLM>();
+  lm->vocab_hash = vhash;
   for (int i = 0; i < vocab_size; ++i) lm->vocab[vocab_units[i]] = i;
 
   const float ln10 = std::log(10.0f);
@@ -237,6 +326,12 @@ void lm_free(void* handle) { delete static_cast<NgramLM*>(handle); }
 
 int lm_order(void* handle) {
   return handle ? static_cast<NgramLM*>(handle)->order : 0;
+}
+
+// Serialize a loaded LM to the binary cache format; returns 0 on success.
+int lm_save_binary(void* handle, const char* path) {
+  if (!handle) return 1;
+  return SaveBinary(*static_cast<NgramLM*>(handle), path) ? 0 : 1;
 }
 
 // log_probs: [batch, frames, vocab] f32; frame_counts: [batch] i32.

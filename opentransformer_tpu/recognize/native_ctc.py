@@ -29,15 +29,21 @@ def _load_lib():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO_PATH):
+    try:
+        # `make` is an up-to-date no-op; also rebuilds a stale .so
         subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)], check=True,
                        capture_output=True)
+    except (OSError, subprocess.CalledProcessError):
+        if not os.path.exists(_SO_PATH):
+            raise
     lib = ctypes.CDLL(_SO_PATH)
     lib.lm_load.restype = ctypes.c_void_p
     lib.lm_load.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int]
     lib.lm_free.argtypes = [ctypes.c_void_p]
     lib.lm_order.restype = ctypes.c_int
     lib.lm_order.argtypes = [ctypes.c_void_p]
+    lib.lm_save_binary.restype = ctypes.c_int
+    lib.lm_save_binary.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.ctc_beam_decode.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -51,16 +57,40 @@ def _load_lib():
 
 
 class NgramLM:
-    """ARPA n-gram LM handle for decoder fusion."""
+    """n-gram LM handle for decoder fusion (ARPA text or "OTLM" binary).
 
-    def __init__(self, arpa_path: str, vocab_units: Sequence[str]):
+    With ``binary_cache=True`` (default), loading an ARPA file writes a
+    binary cache next to it (``<path>.otbin``) and later loads prefer the
+    cache — skipping text parsing, the startup cost for large n-gram
+    models (same motivation as KenLM's binary format, first-party here).
+    The cache embeds a vocab hash; a cache built against a different vocab
+    ordering is rejected and the ARPA text is re-parsed.
+    """
+
+    def __init__(self, arpa_path: str, vocab_units: Sequence[str],
+                 binary_cache: bool = True):
         lib = _load_lib()
         arr = (ctypes.c_char_p * len(vocab_units))(
             *[u.encode("utf-8") for u in vocab_units]
         )
-        self._handle = lib.lm_load(arpa_path.encode(), arr, len(vocab_units))
+        self._handle = None
+        cache = arpa_path + ".otbin"
+        from_cache = False
+        if binary_cache and os.path.exists(cache) and (
+            not os.path.exists(arpa_path)
+            or os.path.getmtime(cache) >= os.path.getmtime(arpa_path)
+        ):
+            self._handle = lib.lm_load(cache.encode(), arr, len(vocab_units))
+            from_cache = bool(self._handle)
+        if not self._handle:
+            self._handle = lib.lm_load(arpa_path.encode(), arr, len(vocab_units))
         if not self._handle:
             raise FileNotFoundError(arpa_path)
+        if binary_cache and not from_cache and not arpa_path.endswith(".otbin"):
+            try:
+                lib.lm_save_binary(self._handle, cache.encode())
+            except OSError:
+                pass
 
     @property
     def order(self) -> int:

@@ -121,3 +121,69 @@ def test_native_edit_distance_matches_python():
         b = [rng.choice("abcdef") for _ in range(rng.randint(0, 25))]
         x, y = (a, b) if len(a) >= len(b) else (b, a)
         assert edit_distance(a, b) == _edit_distance_py(x, y)
+
+
+def test_binary_lm_cache_roundtrip(tmp_path):
+    """Loading an ARPA writes an .otbin cache; the cache loads to identical
+    decode behavior, and a cache built with a different vocab is rejected
+    (falls back to re-parsing the text)."""
+    import os
+    import textwrap
+
+    arpa = textwrap.dedent("""\
+        \\data\\
+        ngram 1=4
+        ngram 2=2
+
+        \\1-grams:
+        -0.5\ta\t-0.3
+        -1.5\tb\t-0.3
+        -0.6\tc\t-0.3
+        -0.5\t<s>\t-0.3
+
+        \\2-grams:
+        -2.0\ta b
+        -0.1\ta c
+
+        \\end\\
+    """)
+    path = str(tmp_path / "lm.arpa")
+    with open(path, "w") as f:
+        f.write(arpa)
+    vocab = ["<blank>", "<s/e>", "<unk>", "a", "b", "c"]
+
+    lm_text = native.NgramLM(path, vocab)  # writes the cache
+    cache = path + ".otbin"
+    assert os.path.exists(cache)
+    with open(cache, "rb") as f:
+        assert f.read(4) == b"OTLM"
+
+    lm_bin = native.NgramLM(path, vocab)  # now loads from the cache
+    assert lm_bin.order == lm_text.order == 2
+
+    lp = np.log(np.array([
+        [0.04, 0.01, 0.01, 0.90, 0.02, 0.02],
+        [0.04, 0.01, 0.01, 0.02, 0.49, 0.43],
+    ], np.float32))
+    outs = []
+    for lm in (lm_text, lm_bin):
+        tokens, lens, scores = native.ctc_beam_decode(
+            lp[None], np.asarray([2], np.int32), beam_width=8, prune_k=6,
+            nbest=2, alpha=1.0, beta=0.0, lm=lm,
+        )
+        outs.append((tokens.tolist(), lens.tolist(), scores.tolist()))
+    assert outs[0] == outs[1]
+    assert outs[0][0][0][0][: outs[0][1][0][0]] == [3, 5]  # LM flip preserved
+
+    # different vocab ordering -> cache rejected, text re-parsed, same flip
+    vocab2 = ["<blank>", "<s/e>", "<unk>", "c", "a", "b"]  # a=4, b=5, c=3
+    lm2 = native.NgramLM(path, vocab2)
+    lp2 = np.log(np.array([
+        [0.04, 0.01, 0.01, 0.02, 0.90, 0.02],   # 'a' (id 4)
+        [0.04, 0.01, 0.01, 0.43, 0.02, 0.49],   # b barely beats c
+    ], np.float32))
+    t2, l2, _ = native.ctc_beam_decode(
+        lp2[None], np.asarray([2], np.int32), beam_width=8, prune_k=6,
+        nbest=1, alpha=1.0, beta=0.0, lm=lm2,
+    )
+    assert t2[0, 0, : l2[0, 0]].tolist() == [4, 3]  # 'a c' in the new ids
