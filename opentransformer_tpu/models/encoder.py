@@ -345,6 +345,10 @@ class ConformerEncoderBlock(nn.Module):
     relative_positional: bool = True
     activation: str = "glu"
     ref_compat: bool = False  # replicate the reference's trained-forward defects (§8.2, §8.3)
+    moe_experts: int = 0       # >0: the post-macaron FFN becomes a top-k MoE
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 1.25
+    moe_router_jitter: float = 0.0
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -368,7 +372,18 @@ class ConformerEncoderBlock(nn.Module):
             norm_type=self.conv_norm_type, dropout_rate=self.conv_dropout,
             causal=self.conv_causal, dtype=self.dtype, name="conv_module")
         self.post_ffn_norm = nn.LayerNorm(dtype=self.dtype, name="post_ffn_norm")
-        if not self.ref_compat:
+        if self.moe_experts > 0:
+            if self.ref_compat:
+                raise ValueError("ref_compat drops the post-FFN (SURVEY §8.2); "
+                                 "it cannot host the MoE — unset one of them")
+            # MoE in the second macaron FFN (the first stays dense); module
+            # named 'moe' so the EP sharding rules (parallel/mesh.py) apply
+            self.post_ffn = MoEFeedForward(
+                self.d_model, self.d_ff, n_experts=self.moe_experts,
+                top_k=self.moe_top_k, capacity_factor=self.moe_capacity_factor,
+                activation=self.activation, dropout_rate=self.ffn_dropout,
+                router_jitter=self.moe_router_jitter, dtype=self.dtype, name="moe")
+        elif not self.ref_compat:
             self.post_ffn = PositionwiseFeedForward(
                 self.d_model, self.d_ff, self.activation, self.ffn_dropout,
                 dtype=self.dtype, name="post_ffn")
@@ -408,10 +423,16 @@ class ConformerEncoderBlock(nn.Module):
         h = self.post_ffn_norm(x)
         if self.ref_compat:
             x = h
+            moe_aux = None
         else:
             h = self.post_ffn(h, deterministic=deterministic)
+            moe_aux = None
+            if self.moe_experts > 0:
+                h, moe_aux = h
             x = x + scale * self.res_dropout(h, deterministic=deterministic)
         x = self.final_norm(x)
+        if self.moe_experts > 0:
+            return x, (w, moe_aux)
         return x, w
 
     def encode_step(self, x, cache, kv_mask, *, train: bool = False):
@@ -474,14 +495,26 @@ class ConformerEncoder(nn.Module):
     chunk_size: int = 0
     left_chunks: int = -1
     ref_compat: bool = False  # import-compat with reference-trained conformers (§8.2/§8.3)
+    moe_experts: int = 0       # >0: MoE post-FFN (beyond-reference; modules.py)
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 1.25
+    moe_router_jitter: float = 0.0
+    moe_every: int = 1         # MoE in every k-th block
     dtype: Dtype = jnp.float32
 
     def setup(self):
         if not self.relative_positional and self.positional_encoding:
             self.pos_enc = PositionalEncoding(
                 self.d_model, dropout_rate=self.pos_dropout, dtype=self.dtype, name="pos_enc")
+        moe_kw = dict(
+            moe_experts=self.moe_experts, moe_top_k=self.moe_top_k,
+            moe_capacity_factor=self.moe_capacity_factor,
+            moe_router_jitter=self.moe_router_jitter,
+        )
         self.layers = [
             ConformerEncoderBlock(
+                **(moe_kw if self.moe_experts > 0
+                   and (i + 1) % self.moe_every == 0 else {}),
                 d_model=self.d_model,
                 n_heads=self.n_heads,
                 d_ff=self.d_ff,
@@ -518,13 +551,19 @@ class ConformerEncoder(nn.Module):
         elif self.positional_encoding:
             x = self.pos_enc(x, deterministic=deterministic)
         attns = {}
+        moe = self.moe_experts > 0
+        moe_aux = jnp.zeros((), jnp.float32) if moe else None
         for i, layer in enumerate(self.layers):
             x, w = layer(x, pad_mask, attn_mask, pos_emb, deterministic=deterministic, train=train)
+            if isinstance(w, tuple):
+                w, aux_i = w
+                moe_aux = moe_aux + aux_i
             if return_attn:
                 attns[f"enc_block_{i}"] = w
+        out = (x, pad_mask) + ((moe_aux,) if moe else ())
         if return_attn:
-            return x, pad_mask, attns
-        return x, pad_mask
+            return out + (attns,)
+        return out
 
     # ---- frame-synchronous streaming (chunked attention + causal conv) ----
 
@@ -539,6 +578,8 @@ class ConformerEncoder(nn.Module):
             raise ValueError(
                 "streaming a conformer requires conv_causal: true (the SAME-"
                 "padded conv window reaches into future chunks)")
+        if self.moe_experts > 0:
+            raise NotImplementedError("streaming encode supports dense-FFN blocks")
         left = self.left_chunks * self.chunk_size
         d_k = self.d_model // self.n_heads
         kv = (batch, self.n_heads, left, d_k)

@@ -142,3 +142,44 @@ def test_moe_scan_layers_and_moe_every():
     assert "ffn" in enc["block_0"]
     loss, aux = model.apply(v, *args)
     assert np.isfinite(float(loss))
+
+
+def test_conformer_moe():
+    """Conformer: the second macaron FFN becomes an MoE (moe_every honored);
+    aux loss reaches the model output; streaming guard refuses MoE blocks."""
+    import pytest
+    from opentransformer_tpu.models.registry import build_model
+    from tests.test_models import small_model_cfg
+    from tests.test_train import synth_batch
+    from opentransformer_tpu.train.trainer import default_speech_batch
+
+    args = default_speech_batch(synth_batch(np.random.default_rng(0), b=2))
+    cfg = small_model_cfg(encoder_type="conformer")
+    cfg["encoder"] = {**cfg["encoder"], "moe_experts": 2, "moe_every": 2,
+                      "moe_capacity_factor": 2.0}
+    model = build_model(cfg)
+    v = model.init(jax.random.PRNGKey(0), *args)
+    enc = v["params"]["encoder"]
+    assert "moe" in enc["block_1"] and "moe" not in enc["block_0"]
+    assert "post_ffn" in enc["block_0"]
+    loss, aux = model.apply(v, *args)
+    assert "moe_aux" in aux and np.isfinite(float(loss))
+
+    def task_loss(p):
+        l, _ = model.apply(p, *args)
+        return l
+
+    g = jax.grad(task_loss)(v)["params"]["encoder"]["block_1"]["moe"]
+    assert float(jnp.max(jnp.abs(g["w1"]))) > 0
+
+    from opentransformer_tpu.models.encoder import ConformerEncoder
+    stream = ConformerEncoder(d_model=32, n_heads=2, d_ff=64, nblocks=2,
+                              chunk_size=4, left_chunks=2, conv_causal=True,
+                              relative_positional=False, moe_experts=2)
+    with pytest.raises(NotImplementedError):
+        stream.init_stream_cache(1)
+
+    # ref_compat has no post-FFN to host the MoE
+    cfg["encoder"] = {**cfg["encoder"], "ref_compat": True, "moe_every": 1}
+    with pytest.raises(ValueError):
+        build_model(cfg).init(jax.random.PRNGKey(0), *args)
