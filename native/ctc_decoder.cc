@@ -212,6 +212,10 @@ NgramLM* LoadArpa(const char* path, const char* const* vocab_units, int vocab_si
     ss >> backoff;  // optional
     lm->table[NgramLM::Key(ids.data(), ids.size())] = {logp * ln10, backoff * ln10};
   }
+  // an "LM" with zero n-grams is a parse failure (e.g. a truncated binary
+  // cache whose magic was clobbered falling through to the text parser) —
+  // fail loudly rather than silently scoring everything as OOV
+  if (lm->table.empty()) return nullptr;
   return lm.release();
 }
 

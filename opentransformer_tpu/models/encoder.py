@@ -91,8 +91,10 @@ class TransformerEncoderLayer(nn.Module):
             )
         self.res_dropout = nn.Dropout(self.residual_dropout)
 
-    def __call__(self, x, attn_mask, pos_emb=None, deterministic: bool = True):
-        # (deterministic is positional-friendly for nn.remat static_argnums)
+    def __call__(self, x, attn_mask, pos_emb=None, deterministic: bool = True,
+                 pad_mask=None):
+        # (deterministic is positional-friendly for nn.remat static_argnums;
+        # pad_mask [B, T] gates MoE dispatch and is unused for dense FFNs)
         # reference-parity pre-norm: the residual is the NORMALIZED tensor
         # (encoder/transformer.py:43-45 sets residual after norm1) — not
         # standard pre-LN. Post-norm (the shipped configs) is unaffected.
@@ -113,10 +115,11 @@ class TransformerEncoderLayer(nn.Module):
 
         h2 = self.norm2(h) if self.normalize_before else h
         residual = h2 if self.normalize_before else h
-        ffn_out = self.ffn(h2, deterministic=deterministic)
         moe_aux = None
         if self.moe_experts > 0:
-            ffn_out, moe_aux = ffn_out
+            ffn_out, moe_aux = self.ffn(h2, deterministic=deterministic, pad_mask=pad_mask)
+        else:
+            ffn_out = self.ffn(h2, deterministic=deterministic)
         h = residual + self.res_dropout(ffn_out, deterministic=deterministic)
         if not self.normalize_before:
             h = self.norm2(h)
@@ -208,7 +211,7 @@ class TransformerEncoder(nn.Module):
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
                 length=self.n_blocks,
-                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
             )(**layer_kw, name="blocks")
         else:
             self.layers = [
@@ -250,7 +253,7 @@ class TransformerEncoder(nn.Module):
 
         moe = self.moe_experts > 0
         if self.scan_layers:
-            x, ws = self.blocks(x, attn_mask, pos_emb, deterministic)
+            x, ws = self.blocks(x, attn_mask, pos_emb, deterministic, pad_mask)
             moe_aux = None
             if moe:
                 ws, auxs = ws
@@ -264,7 +267,7 @@ class TransformerEncoder(nn.Module):
         attns = {}
         moe_aux = jnp.zeros((), jnp.float32) if moe else None
         for i, layer in enumerate(self.layers):
-            x, w = layer(x, attn_mask, pos_emb, deterministic)
+            x, w = layer(x, attn_mask, pos_emb, deterministic, pad_mask)
             if isinstance(w, tuple):
                 w, aux_i = w
                 moe_aux = moe_aux + aux_i
@@ -425,10 +428,12 @@ class ConformerEncoderBlock(nn.Module):
             x = h
             moe_aux = None
         else:
-            h = self.post_ffn(h, deterministic=deterministic)
             moe_aux = None
             if self.moe_experts > 0:
-                h, moe_aux = h
+                h, moe_aux = self.post_ffn(h, deterministic=deterministic,
+                                           pad_mask=pad_mask)
+            else:
+                h = self.post_ffn(h, deterministic=deterministic)
             x = x + scale * self.res_dropout(h, deterministic=deterministic)
         x = self.final_norm(x)
         if self.moe_experts > 0:

@@ -497,8 +497,11 @@ class MoEFeedForward(nn.Module):
     (f = fraction of tokens whose first choice is e, P = mean router prob);
     the model adds it to the training loss with ``moe_aux_weight``.
 
-    Returns (y, aux_loss). Padded positions are routed like real tokens
-    (their outputs are masked by the loss; they only consume capacity).
+    Returns (y, aux_loss). With ``pad_mask`` (bool [B, T], True = valid),
+    padded positions are excluded from dispatch (they claim no capacity,
+    produce zero output, and don't skew the load-balance statistics) —
+    without it, pads in heavily padded buckets would flood one expert's
+    capacity ahead of later real tokens.
     """
 
     d_model: int
@@ -512,7 +515,7 @@ class MoEFeedForward(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, *, deterministic: bool = True, pad_mask=None):
         if self.top_k not in (1, 2):
             raise ValueError(f"moe_top_k must be 1 or 2, got {self.top_k}")
         b, t, d = x.shape
@@ -533,6 +536,7 @@ class MoEFeedForward(nn.Module):
             r_in.astype(jnp.float32)
         )
         probs = jax.nn.softmax(logits, axis=-1)  # [B, T, E]
+        valid = None if pad_mask is None else pad_mask.astype(jnp.float32)  # [B, T]
 
         # top-k selection with renormalized gates; slot 0 = first choice
         dispatch = jnp.zeros((b, t, e, cap), jnp.float32)
@@ -544,6 +548,8 @@ class MoEFeedForward(nn.Module):
         for _ in range(self.top_k):
             idx = jnp.argmax(remaining, axis=-1)  # [B, T]
             oh = jax.nn.one_hot(idx, e, dtype=jnp.float32)  # [B, T, E]
+            if valid is not None:
+                oh = oh * valid[:, :, None]  # pads dispatch nowhere
             gate = jnp.sum(remaining * oh, axis=-1)  # [B, T]
             slots.append((oh, gate))
             gate_sum = gate_sum + gate
@@ -565,9 +571,12 @@ class MoEFeedForward(nn.Module):
             g = gate / jnp.maximum(gate_sum, 1e-9) if self.top_k > 1 else gate
             combine = combine + sel * g[:, :, None, None]
 
-        # load-balance aux (Switch): first-choice fractions vs mean probs
-        f_frac = jnp.mean(slots[0][0], axis=(0, 1))  # [E]
-        p_mean = jnp.mean(probs, axis=(0, 1))  # [E]
+        # load-balance aux (Switch): first-choice fractions vs mean probs,
+        # statistics over valid tokens only
+        denom = jnp.maximum(jnp.sum(valid), 1.0) if valid is not None else float(b * t)
+        f_frac = jnp.sum(slots[0][0], axis=(0, 1)) / denom  # [E]
+        masked_probs = probs if valid is None else probs * valid[:, :, None]
+        p_mean = jnp.sum(masked_probs, axis=(0, 1)) / denom  # [E]
         aux = e * jnp.sum(f_frac * p_mean)
 
         # expert compute on gathered tokens (stacked [E, ...] parameters)

@@ -45,6 +45,7 @@ def build_model(model_cfg: Any, dtype=jnp.float32) -> nn.Module:
             encoder_cfg=_as_dict(model_cfg["encoder"]),
             vocab_size=int(model_cfg["vocab_size"]),
             lookahead_steps=int(model_cfg.get("lookahead_steps", 0)),
+            moe_aux_weight=float(model_cfg.get("moe_aux_weight", 0.01)),
             dtype=dtype,
         )
     if mtype == "transducer":
@@ -56,6 +57,7 @@ def build_model(model_cfg: Any, dtype=jnp.float32) -> nn.Module:
             vocab_size=int(model_cfg["vocab_size"]),
             predictor_cfg=_as_dict(model_cfg.get("predictor", {}) or {}),
             d_joint=int(model_cfg.get("d_joint", model_cfg["encoder"].get("d_model", 256))),
+            moe_aux_weight=float(model_cfg.get("moe_aux_weight", 0.01)),
             dtype=dtype,
         )
     if mtype == "transformer_lm":

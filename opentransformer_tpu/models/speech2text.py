@@ -214,6 +214,7 @@ class CTCModel(nn.Module):
     encoder_cfg: dict
     vocab_size: int
     lookahead_steps: int = 0
+    moe_aux_weight: float = 0.01  # weight of the MoE load-balance loss
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -223,22 +224,31 @@ class CTCModel(nn.Module):
             vocab_size=self.vocab_size, lookahead_steps=self.lookahead_steps, dtype=self.dtype, name="ctc"
         )
 
-    def encode(self, feats, feat_mask, *, deterministic: bool = True, train: bool = False):
+    def encode(self, feats, feat_mask, *, deterministic: bool = True, train: bool = False,
+               return_aux: bool = False):
         x, mask = self.frontend(
             feats.astype(self.dtype), feat_mask, deterministic=deterministic, train=train
         )
         enc_out = self.encoder(x, mask, deterministic=deterministic, **(
             {"train": train} if self.encoder_type == "conformer" else {}
         ))
+        if return_aux:
+            return enc_out[0], enc_out[1], (enc_out[2] if len(enc_out) > 2 else None)
         return enc_out[0], enc_out[1]
 
     def __call__(self, feats, feat_mask, targets, targets_length, *, deterministic: bool = True, train: bool = False):
-        memory, memory_mask = self.encode(feats, feat_mask, deterministic=deterministic, train=train)
+        memory, memory_mask, moe_aux = self.encode(
+            feats, feat_mask, deterministic=deterministic, train=train, return_aux=True
+        )
         # reference parity: labels = y + EOS, lengths include EOS
         target_out = targets[:, 1:]
         mem_lengths = mask_to_length(memory_mask)
         loss = self.assistor(memory, mem_lengths, target_out, targets_length)
-        return loss, {}
+        aux = {}
+        if moe_aux is not None:
+            aux["moe_aux"] = moe_aux
+            loss = loss + self.moe_aux_weight * moe_aux
+        return loss, aux
 
     def recognize_logits(self, feats, feat_mask):
         """Frame log-probs for CTC decoding: (f32[B, T', V], bool[B, T'])."""

@@ -116,6 +116,7 @@ class TransducerModel(nn.Module):
     vocab_size: int
     predictor_cfg: dict | None = None
     d_joint: int = 256
+    moe_aux_weight: float = 0.01  # weight of the MoE load-balance loss
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -133,19 +134,22 @@ class TransducerModel(nn.Module):
             name="joint",
         )
 
-    def encode(self, feats, feat_mask, *, deterministic: bool = True, train: bool = False):
+    def encode(self, feats, feat_mask, *, deterministic: bool = True, train: bool = False,
+               return_aux: bool = False):
         x, mask = self.frontend(
             feats.astype(self.dtype), feat_mask, deterministic=deterministic, train=train)
         enc_out = self.encoder(x, mask, deterministic=deterministic, **(
             {"train": train} if self.encoder_type == "conformer" else {}))
+        if return_aux:
+            return enc_out[0], enc_out[1], (enc_out[2] if len(enc_out) > 2 else None)
         return enc_out[0], enc_out[1]
 
     def __call__(self, feats, feat_mask, targets, targets_length, *,
                  deterministic: bool = True, train: bool = False):
         """Collate contract (BOS⧺y⧺EOS⧺PAD, targets_length = len(y)+1):
         prediction input = BOS⧺y…, labels = y with length len(y)."""
-        memory, memory_mask = self.encode(
-            feats, feat_mask, deterministic=deterministic, train=train)
+        memory, memory_mask, moe_aux = self.encode(
+            feats, feat_mask, deterministic=deterministic, train=train, return_aux=True)
         pred_in = targets[:, :-1]
         pred = self.predictor(pred_in, deterministic=deterministic)
         logits = self.joint(memory, pred)
@@ -153,7 +157,11 @@ class TransducerModel(nn.Module):
         loss = rnnt_loss_mean(
             log_probs, targets[:, 1:], mask_to_length(memory_mask),
             targets_length - 1, blank=BLK)
-        return loss, {}
+        aux = {}
+        if moe_aux is not None:
+            aux["moe_aux"] = moe_aux
+            loss = loss + self.moe_aux_weight * moe_aux
+        return loss, aux
 
     def init_decode_state(self, batch: int):
         """(prediction state, hidden) primed with BOS — the carry for

@@ -326,8 +326,13 @@ def speech2text_1f1b_grad_fn(model, mesh, n_micro: int, axis: str = "pipe"):
     for tp+pp.
     """
     from ..models.encoder import TransformerEncoderLayer
-    from ..models.speech2text import _build_encoder
+    from ..models.speech2text import SpeechToText, _build_encoder
 
+    if not isinstance(model, SpeechToText):
+        raise ValueError(
+            f"1F1B pipeline supports speech2text models (got {type(model).__name__}); "
+            "ctc/transducer heads are not wired as pipeline loss heads"
+        )
     if getattr(model, "encoder_type", None) != "transformer":
         raise ValueError("1F1B pipeline requires a transformer encoder")
     enc = _build_encoder(model.encoder_type, model.encoder_cfg, model.dtype)

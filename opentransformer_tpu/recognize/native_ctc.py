@@ -87,10 +87,9 @@ class NgramLM:
         if not self._handle:
             raise FileNotFoundError(arpa_path)
         if binary_cache and not from_cache and not arpa_path.endswith(".otbin"):
-            try:
-                lib.lm_save_binary(self._handle, cache.encode())
-            except OSError:
-                pass
+            # best-effort: a nonzero rc (e.g. read-only dir) just means the
+            # next load re-parses the text
+            lib.lm_save_binary(self._handle, cache.encode())
 
     @property
     def order(self) -> int:

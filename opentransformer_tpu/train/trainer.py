@@ -422,23 +422,26 @@ class Trainer:
         for step, batch in enumerate(batches):
             _, inputs, targets = batch
             args = self._shard_batch(self.batch_fn((None, inputs, targets)))
+            skip = False
             if self.pp_schedule == "1f1b":
                 # the 1F1B shard_map needs batch % (micro x dp) == 0; ragged
-                # tail batches are dropped (drop_last semantics)
+                # tail batches are dropped (drop_last semantics) — but an
+                # already-accumulated window still flushes below
                 div = int(self.pp_micro_batches or self.mesh.shape["pipe"])
                 div *= self.mesh.shape.get("data", 1)
                 if args[0].shape[0] % div != 0:
                     logger.warning(
                         "1f1b: dropping ragged batch of %d (not divisible "
                         "by micro x dp = %d)", args[0].shape[0], div)
-                    continue
-            rng, r1 = jax.random.split(rng)
-            params, grad_accum, loss, aux = self._grad_fn(params, grad_accum, args, r1)
-            micro_losses.append(loss)
-            micro_aux.append(aux)
-            micro += 1
+                    skip = True
+            if not skip:
+                rng, r1 = jax.random.split(rng)
+                params, grad_accum, loss, aux = self._grad_fn(params, grad_accum, args, r1)
+                micro_losses.append(loss)
+                micro_aux.append(aux)
+                micro += 1
 
-            if micro == self.accum_steps or step == n_batches - 1:
+            if micro > 0 and (micro == self.accum_steps or step == n_batches - 1):
                 lr = self.schedule(self.global_step, self.global_epoch)
                 rng, r2 = jax.random.split(rng)
                 params, opt_state, nan_skips, gnorm = self._update_fn(

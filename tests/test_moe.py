@@ -183,3 +183,29 @@ def test_conformer_moe():
     cfg["encoder"] = {**cfg["encoder"], "ref_compat": True, "moe_every": 1}
     with pytest.raises(ValueError):
         build_model(cfg).init(jax.random.PRNGKey(0), *args)
+
+
+def test_pad_mask_excludes_pads_from_capacity():
+    """Padded positions must not claim expert capacity or skew the aux
+    stats: with pads ahead of real tokens and capacity for only the real
+    ones, masked dispatch keeps every real token."""
+    d, ff, t = 8, 16, 8
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(1, t, d)), jnp.float32)
+    moe = MoEFeedForward(d, ff, n_experts=2, top_k=1, capacity_factor=1.0)
+    p = moe.init(jax.random.PRNGKey(0), x)
+    p = jax.tree_util.tree_map(np.array, p)
+    p["params"]["router"]["dense"]["kernel"] = np.zeros((8, 2), np.float32)
+    p["params"]["router"]["dense"]["bias"] = np.array([10.0, 0], np.float32)
+    p = jax.tree_util.tree_map(jnp.asarray, p)
+    # cap = ceil(8 * 1.0 / 2) = 4; first 4 positions are "pads"
+    mask = jnp.asarray([[False] * 4 + [True] * 4])
+
+    y_nomask, _ = moe.apply(p, x)
+    np.testing.assert_allclose(np.asarray(y_nomask)[0, 4:], 0.0)  # real tokens dropped!
+
+    y, aux = moe.apply(p, x, pad_mask=mask)
+    y = np.asarray(y)
+    np.testing.assert_allclose(y[0, :4], 0.0)      # pads produce zero
+    assert np.all(np.abs(y[0, 4:]) > 0)            # all real tokens kept
+    # all (valid) first choices on expert 0 with prob ~1 -> aux ~= E * 1 * 1
+    np.testing.assert_allclose(float(aux), 2.0, rtol=1e-3)
