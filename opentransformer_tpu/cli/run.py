@@ -97,6 +97,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="write a jax.profiler trace to this directory")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() and shard batches by host")
+    p.add_argument("--async-save", action="store_true",
+                   help="overlap checkpoint device-fetch + write with training "
+                        "(also config key train.async_save)")
     return p
 
 
@@ -177,7 +180,8 @@ def main(argv=None) -> int:
         dev_loader = FeatureLoader(cfg, "dev", is_eval=True, seed=args.seed, **shard_kw)
         logger.info("dev loader: %d batches", len(dev_loader))
 
-    ck = Checkpointer(expdir, config=cfg.raw)
+    ck = Checkpointer(expdir, config=cfg.raw,
+                      async_save=args.async_save or bool(cfg["train"].get("async_save", False)))
     trainer = Trainer(
         cfg["train"], model, mesh=mesh, expdir=expdir, checkpointer=ck,
         is_mixspeech=args.mixspeech, is_visual=args.visual, log_interval=args.log_interval,

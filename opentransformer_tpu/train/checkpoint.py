@@ -20,6 +20,7 @@ import json
 import os
 import re
 import shutil
+import threading
 from typing import Any, Optional
 
 import jax
@@ -31,16 +32,46 @@ def _to_host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(jax.device_get(x)), tree)
 
 
-class Checkpointer:
-    """Manages ``<expdir>/model.epoch.N`` orbax checkpoints."""
+def _snapshot(tree):
+    """On-device copies: the trainer's next optimizer update DONATES the live
+    param/opt buffers, so an async save must not hold references to them."""
+    return jax.tree_util.tree_map(
+        lambda x: x.copy() if isinstance(x, jax.Array) else np.asarray(x), tree
+    )
 
-    def __init__(self, expdir: str, config: Optional[dict] = None):
+
+class Checkpointer:
+    """Manages ``<expdir>/model.epoch.N`` orbax checkpoints.
+
+    ``async_save=True`` overlaps the device->host fetch and file write with
+    continued training (SURVEY §5's prescribed orbax async save — the fetch
+    dominates on low-bandwidth device links): ``save`` snapshots the state
+    on-device and returns immediately; a worker thread fetches and writes.
+    At most one save is in flight (a new save waits for the previous one);
+    call ``wait()`` before reading checkpoints or exiting.
+    """
+
+    def __init__(self, expdir: str, config: Optional[dict] = None,
+                 async_save: bool = False):
         self.expdir = os.path.abspath(expdir)
         os.makedirs(self.expdir, exist_ok=True)
         self._ckpt = ocp.PyTreeCheckpointer()
+        self.async_save = async_save
+        self._thread: Optional[threading.Thread] = None
+        self._error: Optional[BaseException] = None
         if config is not None:
             with open(os.path.join(self.expdir, "config.json"), "w") as f:
                 json.dump(config, f, ensure_ascii=False)
+
+    def wait(self) -> None:
+        """Block until the in-flight async save (if any) finishes; re-raise
+        its error."""
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
 
     # -- paths ------------------------------------------------------------
     def epoch_path(self, epoch: int) -> str:
@@ -56,18 +87,41 @@ class Checkpointer:
 
     # -- save/restore -----------------------------------------------------
     def save(self, epoch: int, state, extra: Optional[dict] = None, keep_last_n: int = 0) -> str:
-        payload = {
+        path = self.epoch_path(epoch)
+        if self.async_save:
+            self.wait()
+            payload = {
+                "params": _snapshot(state.params),
+                "opt_state": _snapshot(state.opt_state),
+                "extra": dict(extra or {}),
+            }
+
+            def work():
+                try:
+                    self._write(path, {
+                        "params": _to_host(payload["params"]),
+                        "opt_state": _to_host(payload["opt_state"]),
+                        "extra": payload["extra"],
+                    }, keep_last_n)
+                except BaseException as e:  # surfaced on the next wait()
+                    self._error = e
+
+            self._thread = threading.Thread(target=work, name="ckpt-save", daemon=True)
+            self._thread.start()
+            return path
+        self._write(path, {
             "params": _to_host(state.params),
             "opt_state": _to_host(state.opt_state),
             "extra": dict(extra or {}),
-        }
-        path = self.epoch_path(epoch)
+        }, keep_last_n)
+        return path
+
+    def _write(self, path: str, payload: dict, keep_last_n: int) -> None:
         if os.path.exists(path):
             shutil.rmtree(path)
         self._ckpt.save(path, payload)
         if keep_last_n > 0:
             self.prune(keep_last_n)
-        return path
 
     def save_params_only(self, name: str, params) -> str:
         path = os.path.join(self.expdir, name)
@@ -80,12 +134,14 @@ class Checkpointer:
         """Restore a checkpoint; pass ``item`` (a template pytree of the same
         structure) to reconstruct exotic containers — optax namedtuple states
         come back as plain lists/dicts otherwise."""
+        self.wait()  # read-after-write: drain any in-flight async save
         full = path if os.path.isabs(path) else os.path.join(self.expdir, path)
         if item is not None:
             return self._ckpt.restore(full, item=item)
         return self._ckpt.restore(full)
 
     def restore_latest(self, item=None) -> tuple[int, dict] | None:
+        self.wait()  # an in-flight async save may be the latest epoch
         epochs = self.list_epochs()
         if not epochs:
             return None

@@ -347,6 +347,8 @@ class Trainer:
                         and jax.process_index() == 0):
                     self.checkpointer.save_params_only("model.best", state.params)
                     logger.info("new best epoch %d (dev loss %.5f)", epoch, dev_loss)
+        if self.checkpointer is not None:
+            self.checkpointer.wait()  # drain an in-flight async save
         return state
 
     def evaluate(self, state: TrainState, dev_loader) -> float:

@@ -183,3 +183,39 @@ def test_scan_decoder_beam_search():
     hyp_scan = SpeechToTextRecognizer(model_scan, scan_params, beam_width=3, max_len=8).recognize_arrays(feats, feat_mask)
     np.testing.assert_array_equal(np.asarray(hyp_plain.tokens), np.asarray(hyp_scan.tokens))
     np.testing.assert_allclose(np.asarray(hyp_plain.scores), np.asarray(hyp_scan.scores), rtol=2e-4, atol=2e-4)
+
+
+def test_async_checkpoint_save(tmp_path):
+    """Async save must snapshot on-device BEFORE returning: deleting the live
+    buffers afterwards (what the trainer's donating update step does) must
+    not corrupt the write; restore sees the values at save time."""
+    import jax.numpy as jnp
+
+    from opentransformer_tpu.train.checkpoint import Checkpointer
+    from opentransformer_tpu.train.trainer import TrainState
+
+    params = {"w": jnp.arange(8.0), "b": jnp.ones((3,))}
+    opt = {"m": jnp.zeros((8,))}
+    state = TrainState(params=params, opt_state=opt, nan_skips=jnp.zeros((), jnp.int32))
+
+    ck = Checkpointer(str(tmp_path / "exp"), async_save=True)
+    ck.save(3, state, extra={"global_step": 7})
+    # simulate the next update donating the live buffers
+    for leaf in jax.tree_util.tree_leaves((params, opt)):
+        leaf.delete()
+    got = ck.restore_latest()
+    assert got is not None
+    epoch, payload = got
+    assert epoch == 3 and payload["extra"]["global_step"] == 7
+    np.testing.assert_array_equal(payload["params"]["w"], np.arange(8.0))
+    np.testing.assert_array_equal(payload["opt_state"]["m"], np.zeros((8,)))
+
+    # errors surface on wait(): break the underlying writer for the next save
+    import pytest
+
+    ck._ckpt = None  # worker's self._ckpt.save raises AttributeError
+    state2 = TrainState(params={"w": jnp.ones((2,))}, opt_state={},
+                        nan_skips=jnp.zeros((), jnp.int32))
+    ck.save(4, state2)
+    with pytest.raises(AttributeError):
+        ck.wait()
