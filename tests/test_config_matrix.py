@@ -21,14 +21,19 @@ COMBOS = list(itertools.product(
 
 @pytest.mark.parametrize("enc_type,pre_norm,relpos,act", COMBOS)
 def test_config_combo(enc_type, pre_norm, relpos, act):
+    # glu combos also run with an MoE FFN (top-1 on post-norm, top-2 on
+    # pre-norm) so the mixture path is exercised across both encoder
+    # families x relpos without extra parametrizations
+    moe = {"moe_experts": 2, "moe_top_k": 2 if pre_norm else 1,
+           "moe_capacity_factor": 2.0} if act == "glu" else {}
     if enc_type == "conformer":
         enc = {"d_model": 32, "n_heads": 2, "d_ff": 64, "nblocks": 1,
                "cov_kernel_size": 5, "relative_positional": relpos,
-               "activation": act, "macaron_style": pre_norm}
+               "activation": act, "macaron_style": pre_norm, **moe}
     else:
         enc = {"d_model": 32, "n_heads": 2, "d_ff": 64, "n_blocks": 1,
                "normalize_before": pre_norm, "relative_positional": relpos,
-               "activation": act, "concat_after": pre_norm}  # also cover concat_after
+               "activation": act, "concat_after": pre_norm, **moe}  # also cover concat_after
     cfg = {
         "type": "speech2text",
         "frontend_type": "conv",
