@@ -84,7 +84,7 @@ def main() -> None:
     rtfx = audio_seconds / elapsed
     utts_per_sec = utts / elapsed
 
-    print(json.dumps({
+    out = {
         "metric": "aishell_flagship_beam5_decode_rtfx_per_chip",
         "value": round(rtfx, 2),
         "unit": "x_realtime",
@@ -92,7 +92,63 @@ def main() -> None:
         "utts_per_sec_per_chip": round(utts_per_sec, 2),
         "config": f"B{BATCH} T{FRAMES} beam{BEAM} steps{MAX_LEN} bf16 no-early-exit",
         "device": str(jax.devices()[0]),
-    }))
+    }
+    try:
+        out.update(train_throughput(model, params))
+    except Exception as e:  # decode RTFx stays the headline metric
+        out["train_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+    print(json.dumps(out))
+
+
+def train_throughput(model, params, b=16, t=512, u=32, iters=5):
+    """Secondary metric: full training-step throughput (fwd+bwd+adam) on the
+    flagship geometry — the surface the reference's Trainer spends its life
+    in (otrans/train/trainer.py hot loop)."""
+    import jax
+    import jax.numpy as jnp
+
+    from opentransformer_tpu.train.trainer import Trainer
+
+    from __graft_entry__ import TRAIN_CFG
+
+    trainer = Trainer(dict(TRAIN_CFG), model, log_interval=10 ** 9)
+    rng = np.random.default_rng(2)
+    tgt = np.ones((b, u + 2), np.int32)
+    tgt[:, 1:-1] = rng.integers(3, 4000, (b, u))
+    mk = jnp.ones((b, t), bool)
+    batch = (None, {"inputs": jnp.asarray(rng.normal(size=(b, t, 40)), jnp.float32),
+                    "mask": mk},
+             {"targets": jnp.asarray(tgt), "targets_length": jnp.asarray([u + 1] * b)})
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    grad_fn = trainer._build_grad_fn()
+    update_fn = trainer._build_update_fn()
+    args0 = trainer.batch_fn(batch)
+
+    def one_update(variables, opt_state, feats, key):
+        # fresh accumulator each update: grad_fn donates it
+        zeros = trainer._zeros_like_grads(variables)
+        v, g, loss, _ = grad_fn(variables, zeros, (feats,) + args0[1:], key)
+        v, opt_state, _, gnorm = update_fn(v, opt_state, g, jnp.zeros((), jnp.int32),
+                                           1e-4, key)
+        return v, opt_state, gnorm
+
+    feats_iter = [jnp.asarray(rng.normal(size=(b, t, 40)), jnp.float32)
+                  for _ in range(iters + 1)]
+    keys = jax.random.split(jax.random.PRNGKey(1), iters + 1)
+    v, opt = state.params, state.opt_state
+    v, opt, gnorm = one_update(v, opt, feats_iter[0], keys[0])  # compile
+    float(gnorm)
+    t0 = time.perf_counter()
+    for i in range(1, iters + 1):
+        v, opt, gnorm = one_update(v, opt, feats_iter[i], keys[i])
+        float(gnorm)  # 8-byte fetch forces completion (see module docstring)
+    dt = time.perf_counter() - t0
+    frames_per_sec = iters * b * t / dt
+    return {
+        "train_updates_per_sec_per_chip": round(iters / dt, 3),
+        "train_audio_sec_per_sec_per_chip": round(frames_per_sec * 0.01, 1),
+        "train_config": f"B{b} T{t} U{u} fwd+bwd+clip+adam bf16",
+    }
 
 
 if __name__ == "__main__":
