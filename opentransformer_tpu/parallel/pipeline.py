@@ -146,6 +146,7 @@ def one_f_one_b_grads(
     mesh: Mesh,
     axis: str = "pipe",
     data_axis: str = "data",
+    aux_weight: float | None = None,
 ):
     """Interleaved one-forward-one-backward pipeline schedule with gradients.
 
@@ -173,11 +174,19 @@ def one_f_one_b_grads(
       bcast_args: pytree of replicated extras (e.g. rel-pos embeddings).
       rng_blocks / rng_head: PRNG keys; folded per (data shard, stage,
         microbatch[, layer]) inside so recompute sees identical dropout.
+      aux_weight: if not None, ``stage_fwd`` must return ``(y, aux)`` with a
+        scalar per-microbatch auxiliary loss (e.g. the MoE load-balance
+        term); the schedule adds ``aux_weight · mean_{micro,dp}(Σ_stages aux)``
+        to the loss and seeds the stage VJP's aux cotangent with
+        ``aux_weight`` so router gradients flow in the same backward wave.
 
-    Returns (loss, blocks_grads [L, ...], head_grads, dx0s [n, B, ...]):
-    loss is the mean over (microbatch, data shard) of the head losses
-    (reference DataParallel semantics); every gradient is d(loss)/d(·).
+    Returns (loss, blocks_grads [L, ...], head_grads, dx0s [n, B, ...])
+    — plus a trailing ``aux`` scalar (the unweighted mean auxiliary loss)
+    when ``aux_weight`` is not None. loss is the mean over (microbatch,
+    data shard) of the head losses (reference DataParallel semantics, plus
+    the weighted aux term); every gradient is d(loss)/d(·).
     """
+    has_aux = aux_weight is not None
     n_micro = x0s.shape[0]
     s_stages = mesh.shape[axis]
     has_data = data_axis in mesh.shape
@@ -210,7 +219,8 @@ def one_f_one_b_grads(
             P(),
             P(),
         ),
-        out_specs=(P(), blocks_specs, _specs(head_params, rep), batch_spec(x0s)),
+        out_specs=(P(), blocks_specs, _specs(head_params, rep), batch_spec(x0s))
+        + ((P(),) if has_aux else ()),
         check_vma=False,
     )
     def run(blocks_local, head_p, x0s_l, sargs_l, hargs_l, bargs, rngb, rngh):
@@ -220,6 +230,7 @@ def one_f_one_b_grads(
         rngh_d = jax.random.fold_in(rngh, didx)
 
         def fwd(params, x, m):
+            # (y, aux) when has_aux, else y
             return stage_fwd(
                 params, x, _dyn(sargs_l, jnp.clip(m, 0, n_micro - 1)),
                 bargs, jax.random.fold_in(rngb_s, jnp.clip(m, 0, n_micro - 1)),
@@ -229,7 +240,7 @@ def one_f_one_b_grads(
         act0 = jnp.zeros(mb_shape, x0s_l.dtype)
 
         def tick(t, carry):
-            act_in, grad_in, stash, bgrad, hgrad, dx0, loss_acc = carry
+            act_in, grad_in, stash, bgrad, hgrad, dx0, loss_acc, aux_acc = carry
 
             # ---- forward: microbatch mf = t - s
             mf = t - s
@@ -241,7 +252,12 @@ def one_f_one_b_grads(
             stash = jax.lax.dynamic_update_index_in_dim(
                 stash, jnp.where(fwd_valid, x_in, old), slot_f, 0
             )
-            y = fwd(blocks_local, x_in, mfc)
+            out = fwd(blocks_local, x_in, mfc)
+            if has_aux:
+                y, aux_m = out
+                aux_acc = aux_acc + fwd_valid.astype(jnp.float32) * aux_m
+            else:
+                y = out
 
             # ---- head: last stage computes loss + backward seed for mh = mf
             mh = t - (s_stages - 1)
@@ -267,7 +283,12 @@ def one_f_one_b_grads(
             )
             g_in = jnp.where(s == s_stages - 1, dl_dy, grad_in)
             _, stage_vjp = jax.vjp(lambda p, x: fwd(p, x, mbc), blocks_local, x_saved)
-            gp, gx = stage_vjp(g_in)
+            if has_aux:
+                # the aux cotangent is the constant weight it carries in the
+                # total loss (the 1/(n·dp) mean scale is applied at the end)
+                gp, gx = stage_vjp((g_in, jnp.asarray(aux_weight, jnp.float32)))
+            else:
+                gp, gx = stage_vjp(g_in)
             bsel = bwd_valid.astype(jnp.float32)
             bgrad = jax.tree_util.tree_map(
                 lambda a, g: a + bsel.astype(g.dtype) * g, bgrad, gp
@@ -281,7 +302,7 @@ def one_f_one_b_grads(
             # ---- rotate: activations right, cotangents left
             act_in = jax.lax.ppermute(y, axis, perm_fwd)
             grad_in = jax.lax.ppermute(gx, axis, perm_bwd)
-            return act_in, grad_in, stash, bgrad, hgrad, dx0, loss_acc
+            return act_in, grad_in, stash, bgrad, hgrad, dx0, loss_acc, aux_acc
 
         carry = (
             act0,
@@ -291,12 +312,19 @@ def one_f_one_b_grads(
             jax.tree_util.tree_map(jnp.zeros_like, head_p),
             jnp.zeros_like(x0s_l),
             jnp.zeros((), jnp.float32),
+            jnp.zeros((), jnp.float32),
         )
-        _, _, _, bgrad, hgrad, dx0, loss_acc = jax.lax.fori_loop(
+        _, _, _, bgrad, hgrad, dx0, loss_acc, aux_acc = jax.lax.fori_loop(
             0, n_ticks, tick, carry
         )
 
         loss = jax.lax.psum(loss_acc, reduce_axes) * scale
+        if has_aux:
+            # sum over stages (psum over the pipe axis) = sum over layers,
+            # matching the sequential encoder's per-layer aux sum; mean over
+            # (microbatch, data shard) matches the chunked loss semantics
+            aux_total = jax.lax.psum(aux_acc, reduce_axes) * scale
+            loss = loss + jnp.float32(aux_weight) * aux_total
         if has_data:
             bgrad = jax.tree_util.tree_map(
                 lambda g: jax.lax.psum(g, data_axis), bgrad
@@ -306,6 +334,8 @@ def one_f_one_b_grads(
             lambda g: jax.lax.psum(g, reduce_axes) * jnp.asarray(scale, g.dtype), hgrad
         )
         dx0 = jax.lax.psum(dx0, axis) * jnp.asarray(scale, dx0.dtype)
+        if has_aux:
+            return loss, bgrad, hgrad, dx0, aux_total
         return loss, bgrad, hgrad, dx0
 
     return run(
@@ -315,15 +345,17 @@ def one_f_one_b_grads(
 
 
 def speech2text_1f1b_grad_fn(model, mesh, n_micro: int, axis: str = "pipe"):
-    """Build ``(trainable_params, args, rng) -> (loss, grads)`` computing the
-    SpeechToText training loss/gradients under the 1F1B pipeline schedule.
+    """Build ``(trainable_params, args, rng) -> (loss, grads, aux)`` computing
+    the SpeechToText training loss/gradients under the 1F1B pipeline schedule.
 
     The encoder block stack (``scan_layers: true`` stacked params, sharded
     over ``axis``) is pipelined; the frontend (+ positional encoding) runs
     before as ordinary GSPMD compute, and the decoder + loss head runs on the
-    last stage inside the schedule. Tensor parallelism does not compose with
-    this path (the shard_map is manual) — use the GSPMD stage-sharded ``--pp``
-    for tp+pp.
+    last stage inside the schedule. MoE encoders are supported: each stage
+    emits its layers' load-balance aux, threaded through the schedule with
+    ``aux_weight=moe_aux_weight`` (reported in ``aux['moe_aux']``). Tensor
+    parallelism does not compose with this path (the shard_map is manual) —
+    use the GSPMD stage-sharded ``--pp`` for tp+pp.
     """
     from ..models.encoder import TransformerEncoderLayer
     from ..models.speech2text import SpeechToText, _build_encoder
@@ -338,18 +370,19 @@ def speech2text_1f1b_grad_fn(model, mesh, n_micro: int, axis: str = "pipe"):
     enc = _build_encoder(model.encoder_type, model.encoder_cfg, model.dtype)
     if not enc.scan_layers:
         raise ValueError("1F1B pipeline requires encoder scan_layers: true")
-    if enc.moe_experts > 0:
-        raise ValueError("1F1B pipeline does not yet thread the MoE aux loss; "
-                         "use the sharded schedule for MoE encoders")
     s_stages = mesh.shape[axis]
     if enc.n_blocks % s_stages != 0:
         raise ValueError(f"pipe={s_stages} must divide n_blocks={enc.n_blocks}")
+    moe = enc.moe_experts > 0
     layer = TransformerEncoderLayer(
         d_model=enc.d_model, n_heads=enc.n_heads, d_ff=enc.d_ff,
         slf_attn_dropout=enc.slf_attn_dropout, ffn_dropout=enc.ffn_dropout,
         residual_dropout=enc.residual_dropout, normalize_before=enc.normalize_before,
         concat_after=enc.concat_after, activation=enc.activation,
-        relative_positional=enc.relative_positional, dtype=enc.dtype,
+        relative_positional=enc.relative_positional,
+        moe_experts=enc.moe_experts, moe_top_k=enc.moe_top_k,
+        moe_capacity_factor=enc.moe_capacity_factor,
+        moe_router_jitter=enc.moe_router_jitter, dtype=enc.dtype,
     )
     per_stage = enc.n_blocks // s_stages
     has_data = "data" in mesh.shape
@@ -385,12 +418,18 @@ def speech2text_1f1b_grad_fn(model, mesh, n_micro: int, axis: str = "pipe"):
     def stage_fwd(stage_p, x, sargs, bargs, rng_m):
         def body(xc, inp):
             p, i = inp
-            y, _ = layer.apply(
+            y, w = layer.apply(
                 {"params": p}, xc, sargs["attn_mask"], bargs["pos_emb"], False,
                 rngs={"dropout": jax.random.fold_in(rng_m, i)},
+                **({"pad_mask": sargs["pad_mask"]} if moe else {}),
             )
+            if moe:
+                _, aux_i = w  # MoE layers return (attn_w, load-balance aux)
+                return y, aux_i
             return y, None
-        y, _ = jax.lax.scan(body, x, (stage_p, jnp.arange(per_stage)))
+        y, auxs = jax.lax.scan(body, x, (stage_p, jnp.arange(per_stage)))
+        if moe:
+            return y, jnp.sum(auxs)
         return y
 
     def head_vjp(head_p, y, hargs, bargs, rng_m):
@@ -431,6 +470,8 @@ def speech2text_1f1b_grad_fn(model, mesh, n_micro: int, axis: str = "pipe"):
 
         x0s = micro(x0)
         stage_args = {"attn_mask": micro(attn_mask)}
+        if moe:
+            stage_args["pad_mask"] = micro(mem_mask)
         head_args = {
             "mask": micro(mem_mask),
             "targets": micro(targets),
@@ -438,11 +479,18 @@ def speech2text_1f1b_grad_fn(model, mesh, n_micro: int, axis: str = "pipe"):
         }
         bcast = {"pos_emb": pos_emb}
 
-        loss, blocks_g, head_g, dx0s = one_f_one_b_grads(
+        out = one_f_one_b_grads(
             stage_fwd, head_vjp, blocks, head, x0s, stage_args, head_args,
             bcast, r_blocks, r_head, mesh, axis=axis,
+            aux_weight=float(model.moe_aux_weight) if moe else None,
         )
+        if moe:
+            loss, blocks_g, head_g, dx0s, moe_aux = out
+            aux = {"moe_aux": moe_aux}
+        else:
+            loss, blocks_g, head_g, dx0s = out
+            aux = {}
         (front_g,) = pre_vjp(dx0s.reshape(x0.shape))
-        return loss, merge_grads(front_g, blocks_g, head_g)
+        return loss, merge_grads(front_g, blocks_g, head_g), aux
 
     return grads_fn

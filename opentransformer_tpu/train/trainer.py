@@ -235,11 +235,11 @@ class Trainer:
             if preprocess is not None:
                 prng, rng = jax.random.split(rng)
                 args = preprocess(*args, rng=prng, train=True)
-            loss, grads = core(variables["params"], args, rng)
+            loss, grads, aux = core(variables["params"], args, rng)
             grad_accum = jax.tree_util.tree_map(
                 lambda a, g: a + g.astype(a.dtype) / accum, grad_accum, grads
             )
-            return variables, grad_accum, loss, {}
+            return variables, grad_accum, loss, aux
 
         return jax.jit(grad_step, donate_argnums=(1,))
 

@@ -123,7 +123,7 @@ def _reference_pp_loss(model, trainable, args, n_micro, dp):
     return total / (n_micro * dp)
 
 
-def _pp_cfg(ctc_weight=0.0, normalize_before=False):
+def _pp_cfg(ctc_weight=0.0, normalize_before=False, moe_experts=0):
     from tests.test_models import small_model_cfg
 
     cfg = small_model_cfg(ctc_weight=ctc_weight)
@@ -131,24 +131,32 @@ def _pp_cfg(ctc_weight=0.0, normalize_before=False):
         **cfg["encoder"], "n_blocks": 4, "scan_layers": True,
         "residual_dropout": 0.0, "normalize_before": normalize_before,
     }
+    if moe_experts:
+        cfg["encoder"].update(moe_experts=moe_experts, moe_top_k=2,
+                              ffn_dropout=0.0)
     cfg["frontend"] = {**cfg["frontend"], "dropout": 0.0}
     cfg["decoder"] = {**cfg["decoder"], "residual_dropout": 0.0}
     return cfg
 
 
-def _pp_grad_parity(mesh, n_micro, ctc_weight=0.0, normalize_before=False, b=8):
+def _pp_grad_parity(mesh, n_micro, ctc_weight=0.0, normalize_before=False, b=8,
+                    moe_experts=0):
     from opentransformer_tpu.models.registry import build_model
     from opentransformer_tpu.parallel.pipeline import speech2text_1f1b_grad_fn
     from tests.test_train import synth_batch
     from opentransformer_tpu.train.trainer import default_speech_batch
 
-    model = build_model(_pp_cfg(ctc_weight, normalize_before))
+    model = build_model(_pp_cfg(ctc_weight, normalize_before, moe_experts))
     args = default_speech_batch(synth_batch(np.random.default_rng(0), b=b))
     trainable = model.init(jax.random.PRNGKey(0), *args)["params"]
 
     core = speech2text_1f1b_grad_fn(model, mesh, n_micro)
     with mesh:
-        loss_pp, grads_pp = jax.jit(core)(trainable, args, jax.random.PRNGKey(1))
+        loss_pp, grads_pp, aux_pp = jax.jit(core)(
+            trainable, args, jax.random.PRNGKey(1)
+        )
+    if moe_experts:
+        assert np.isfinite(float(aux_pp["moe_aux"])) and float(aux_pp["moe_aux"]) > 0
 
     dp = mesh.shape.get("data", 1)
     loss_ref, grads_ref = jax.value_and_grad(
@@ -184,6 +192,16 @@ def test_1f1b_grad_parity_dp_and_ctc():
 
     mesh = make_mesh(n_data=2, n_model=1, n_pipe=2)
     _pp_grad_parity(mesh, n_micro=2, ctc_weight=0.3, normalize_before=True, b=8)
+
+
+def test_1f1b_grad_parity_moe():
+    """MoE encoder under 1F1B: the load-balance aux loss (and its router
+    gradients) thread through the schedule — loss/grads match the chunked
+    sequential reference, whose per-chunk forward adds moe_aux_weight·aux."""
+    from opentransformer_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_data=2, n_model=1, n_pipe=2)
+    _pp_grad_parity(mesh, n_micro=2, b=8, moe_experts=2)
 
 
 def test_1f1b_training_step():
