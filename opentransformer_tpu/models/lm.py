@@ -25,6 +25,7 @@ from ..data import PAD
 from ..ops.loss import label_smoothing_loss
 from ..ops.masks import attn_mask_from_pad, causal_mask
 from .modules import (
+    MoEFeedForward,
     MultiHeadSelfAttention,
     PositionwiseFeedForward,
     sinusoid_position_encoding,
@@ -42,16 +43,35 @@ class TransformerLMLayer(nn.Module):
     residual_dropout: float = 0.1
     normalize_before: bool = False
     activation: str = "relu"
+    moe_experts: int = 0       # >0: the FFN becomes a top-k MoE (beyond-ref)
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 1.25
+    moe_router_jitter: float = 0.0
     dtype: Dtype = jnp.float32
 
     def setup(self):
         self.norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
         self.norm2 = nn.LayerNorm(dtype=self.dtype, name="norm2")
         self.slf_attn = MultiHeadSelfAttention(self.n_heads, self.d_model, 0.0, dtype=self.dtype, name="slf_attn")
-        self.ffn = PositionwiseFeedForward(self.d_model, self.d_ff, self.activation, 0.0, dtype=self.dtype, name="ffn")
+        if self.moe_experts > 0:
+            # named 'moe' so the EP sharding rules (parallel/mesh.py) apply
+            self.ffn = MoEFeedForward(
+                self.d_model, self.d_ff, n_experts=self.moe_experts,
+                top_k=self.moe_top_k, capacity_factor=self.moe_capacity_factor,
+                activation=self.activation, dropout_rate=0.0,
+                router_jitter=self.moe_router_jitter, dtype=self.dtype, name="moe",
+            )
+        else:
+            self.ffn = PositionwiseFeedForward(self.d_model, self.d_ff, self.activation, 0.0, dtype=self.dtype, name="ffn")
         self.res_dropout = nn.Dropout(self.residual_dropout)
 
-    def __call__(self, x, attn_mask, *, deterministic: bool = True):
+    def _ffn(self, h, deterministic, pad_mask):
+        if self.moe_experts > 0:
+            return self.ffn(h, deterministic=deterministic, pad_mask=pad_mask)
+        return self.ffn(h, deterministic=deterministic), None
+
+    def __call__(self, x, attn_mask, *, deterministic: bool = True, pad_mask=None):
+        """Returns x, or (x, load-balance aux) for MoE layers."""
         h = self.norm1(x) if self.normalize_before else x
         residual = h if self.normalize_before else x
         out, _ = self.slf_attn(h, attn_mask, deterministic=deterministic)
@@ -60,9 +80,12 @@ class TransformerLMLayer(nn.Module):
             x = self.norm1(x)
         h = self.norm2(x) if self.normalize_before else x
         residual = h if self.normalize_before else x
-        x = residual + self.res_dropout(self.ffn(h, deterministic=deterministic), deterministic=deterministic)
+        ffn_out, moe_aux = self._ffn(h, deterministic, pad_mask)
+        x = residual + self.res_dropout(ffn_out, deterministic=deterministic)
         if not self.normalize_before:
             x = self.norm2(x)
+        if self.moe_experts > 0:
+            return x, moe_aux
         return x
 
     def decode_step(self, x_t, cache, index):
@@ -74,7 +97,10 @@ class TransformerLMLayer(nn.Module):
             x = self.norm1(x)
         h = self.norm2(x) if self.normalize_before else x
         residual = h if self.normalize_before else x
-        x = residual + self.ffn(h)
+        # MoE decode: a length-1 sequence routes each beam's token to its
+        # top expert(s) (capacity 1 per expert per row); aux is discarded
+        ffn_out, _ = self._ffn(h, True, None)
+        x = residual + ffn_out
         if not self.normalize_before:
             x = self.norm2(x)
         return x, {"k": new_k, "v": new_v}
@@ -90,6 +116,11 @@ class TransformerLanguageModel(nn.Module):
     smoothing: float = 0.1
     share_embedding: bool = True
     activation: str = "glu"  # the reference hardcodes glu (model/lm.py:113)
+    moe_experts: int = 0       # >0: MoE FFN in every block (beyond-reference)
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 1.25
+    moe_router_jitter: float = 0.0
+    moe_aux_weight: float = 0.01
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -101,6 +132,9 @@ class TransformerLanguageModel(nn.Module):
             TransformerLMLayer(
                 d_model=self.d_model, n_heads=self.n_heads, d_ff=self.d_ff,
                 residual_dropout=self.residual_dropout, activation=self.activation,
+                moe_experts=self.moe_experts, moe_top_k=self.moe_top_k,
+                moe_capacity_factor=self.moe_capacity_factor,
+                moe_router_jitter=self.moe_router_jitter,
                 dtype=self.dtype, name=f"block_{i}",
             )
             for i in range(self.num_blocks)
@@ -125,15 +159,29 @@ class TransformerLanguageModel(nn.Module):
             return logits + self.output_bias.astype(jnp.float32)
         return self.output_layer(h).astype(jnp.float32)
 
-    def logits(self, tokens, pad_mask=None, *, deterministic: bool = True):
+    def _forward(self, tokens, pad_mask=None, *, deterministic: bool = True):
+        """→ (logits f32[B,T,V], moe_aux | None)."""
         u = tokens.shape[1]
         mask = causal_mask(u)
         if pad_mask is not None:
             mask = jnp.logical_and(mask, attn_mask_from_pad(pad_mask))
+        moe = self.moe_experts > 0
+        # MoE dispatch gating only (the attention mask stays causal-only for
+        # reference parity): PAD tokens claim no expert capacity
+        dispatch_mask = (tokens != PAD) if moe else None
         x = self._embed(tokens)
+        moe_aux = jnp.zeros((), jnp.float32) if moe else None
         for blk in self.blocks:
-            x = blk(x, mask, deterministic=deterministic)
-        return self._project(x)
+            out = blk(x, mask, deterministic=deterministic, pad_mask=dispatch_mask)
+            if moe:
+                x, aux_i = out
+                moe_aux = moe_aux + aux_i
+            else:
+                x = out
+        return self._project(x), moe_aux
+
+    def logits(self, tokens, pad_mask=None, *, deterministic: bool = True):
+        return self._forward(tokens, pad_mask, deterministic=deterministic)[0]
 
     def __call__(self, src, tgt, tgt_length, *, deterministic: bool = True):
         """src = BOS⧺tokens, tgt = tokens⧺EOS. Returns (loss, aux).
@@ -141,8 +189,13 @@ class TransformerLanguageModel(nn.Module):
         Reference parity: the self-attn mask is causal ONLY (get_seq_mask,
         model/lm.py:14-18) — padded keys are attendable; the loss masks
         padded outputs."""
-        logits = self.logits(src, deterministic=deterministic)
-        return label_smoothing_loss(logits, tgt, self.smoothing, pad_id=PAD), {}
+        logits, moe_aux = self._forward(src, deterministic=deterministic)
+        loss = label_smoothing_loss(logits, tgt, self.smoothing, pad_id=PAD)
+        aux = {}
+        if moe_aux is not None:
+            aux["moe_aux"] = moe_aux
+            loss = loss + self.moe_aux_weight * moe_aux
+        return loss, aux
 
     def init_cache(self, batch: int, max_len: int):
         d_k = self.d_model // self.n_heads

@@ -209,3 +209,90 @@ def test_pad_mask_excludes_pads_from_capacity():
     assert np.all(np.abs(y[0, 4:]) > 0)            # all real tokens kept
     # all (valid) first choices on expert 0 with prob ~1 -> aux ~= E * 1 * 1
     np.testing.assert_allclose(float(aux), 2.0, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# MoE language models
+# ---------------------------------------------------------------------------
+
+def test_moe_transformer_lm_loss_and_aux():
+    """moe_experts>0 on the transformer LM: the load-balance aux reaches the
+    training loss, and PAD tokens are gated out of dispatch."""
+    from opentransformer_tpu.models.lm import TransformerLanguageModel
+
+    model = TransformerLanguageModel(
+        vocab_size=20, num_blocks=2, d_model=32, n_heads=2, d_ff=64,
+        residual_dropout=0.0, moe_experts=2, moe_top_k=2, moe_aux_weight=0.05,
+    )
+    rng = np.random.default_rng(0)
+    src = np.asarray(rng.integers(3, 20, (3, 7)), np.int32)
+    src[1, 5:] = 0  # PAD tail
+    src = jnp.asarray(src)
+    tgt = jnp.asarray(rng.integers(3, 20, (3, 7)), jnp.int32)
+    lens = jnp.asarray([7, 5, 7])
+    params = model.init(jax.random.PRNGKey(0), src, tgt, lens)
+    loss, aux = model.apply(params, src, tgt, lens)
+    assert np.isfinite(float(loss))
+    assert "moe_aux" in aux and float(aux["moe_aux"]) > 0
+    # the aux term is differentiable into the router
+    g = jax.grad(lambda p: model.apply(p, src, tgt, lens)[0])(params)
+    rk = g["params"]["block_0"]["moe"]["router"]["dense"]["kernel"]
+    assert float(jnp.max(jnp.abs(rk))) > 0
+
+
+def test_moe_transformer_lm_cached_decode_parity():
+    """With drop-free capacity (cf*k/e >= 1 -> cap = T), the KV-cached
+    decode_step must reproduce the full-prefix log-probs: routing is
+    per-token, so a length-1 step sees the same experts and gates."""
+    from opentransformer_tpu.models.lm import TransformerLanguageModel
+
+    model = TransformerLanguageModel(
+        vocab_size=20, num_blocks=2, d_model=32, n_heads=2, d_ff=64,
+        residual_dropout=0.0, moe_experts=2, moe_top_k=2,
+        moe_capacity_factor=1.0,
+    )
+    rng = np.random.default_rng(2)
+    tokens = jnp.asarray(rng.integers(1, 20, (3, 6)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), tokens, tokens, jnp.asarray([6] * 3))
+
+    full_logp = jax.nn.log_softmax(model.apply(params, tokens, method="logits"), axis=-1)
+
+    cache = model.apply(params, 3, 6, method="init_cache")
+    outs = []
+    for i in range(6):
+        logp, cache = model.apply(params, tokens[:, i], cache, jnp.asarray(i),
+                                  method="decode_step")
+        outs.append(logp)
+    step_logp = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(full_logp), np.asarray(step_logp),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_moe_lm_trains_on_ep_mesh():
+    """LM MoE params shard over the 'expert' axis and a Trainer step runs."""
+    from opentransformer_tpu.models.registry import build_model
+    from opentransformer_tpu.parallel.mesh import make_mesh
+    from opentransformer_tpu.train.trainer import Trainer, lm_batch
+
+    cfg = {"type": "transformer_lm", "vocab_size": 20, "num_blocks": 2,
+           "d_model": 32, "n_heads": 2, "d_ff": 64, "residual_dropout": 0.0,
+           "moe_experts": 2, "moe_top_k": 1, "moe_capacity_factor": 2.0}
+    model = build_model(cfg)
+    mesh = make_mesh(n_data=2, n_model=2, n_expert=2)
+
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.integers(3, 20, (4, 7)), jnp.int32)
+    tgt = jnp.asarray(rng.integers(3, 20, (4, 7)), jnp.int32)
+    batch = (None, {"inputs": src},
+             {"targets": tgt, "targets_length": jnp.asarray([7] * 4)})
+    tcfg = {"optimizer_type": "adam", "optimizer": {}, "scheduler_type": "constant",
+            "scheduler": {"lr": 1e-3}, "epochs": 1}
+    trainer = Trainer(tcfg, model, mesh=mesh, log_interval=10 ** 9, batch_fn=lm_batch)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+
+    w1 = state.params["params"]["block_0"]["moe"]["w1"]
+    assert tuple(w1.sharding.spec) == ("expert", None, "model"), w1.sharding.spec
+
+    state = trainer.train_one_epoch(0, state, [batch], jax.random.PRNGKey(1))
+    loss, aux = model.apply(state.params, *trainer.batch_fn(batch))
+    assert np.isfinite(float(loss)) and "moe_aux" in aux
