@@ -128,6 +128,51 @@ def _dyn(tree, i):
     )
 
 
+def _identity_psum(axis_name: str):
+    """Megatron's "f" operator: identity forward, all-reduce backward.
+
+    Placed at a tensor-parallel branch's input so autodiff of the manual
+    per-shard math produces the full input cotangent (each model shard's
+    partial path contributes a partial dx; the transpose of this op sums
+    them).
+    """
+
+    @jax.custom_vjp
+    def f(x):
+        return x
+
+    def fwd(x):
+        return x, None
+
+    def bwd(_, g):
+        return (jax.lax.psum(g, axis_name),)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def _psum_identity(axis_name: str):
+    """Megatron's "g" operator: all-reduce forward, identity backward.
+
+    Must be explicit (not bare ``lax.psum``): under ``check_vma=False``
+    shard_map can't see that the upstream cotangent is replicated, so psum
+    would transpose to another psum and overcount branch gradients tp×.
+    """
+
+    @jax.custom_vjp
+    def f(x):
+        return jax.lax.psum(x, axis_name)
+
+    def fwd(x):
+        return jax.lax.psum(x, axis_name), None
+
+    def bwd(_, g):
+        return (g,)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def _specs(tree, spec_fn):
     return jax.tree_util.tree_map(lambda a: spec_fn(a), tree)
 
@@ -147,6 +192,7 @@ def one_f_one_b_grads(
     axis: str = "pipe",
     data_axis: str = "data",
     aux_weight: float | None = None,
+    blocks_specs: Any = None,
 ):
     """Interleaved one-forward-one-backward pipeline schedule with gradients.
 
@@ -179,6 +225,10 @@ def one_f_one_b_grads(
         term); the schedule adds ``aux_weight · mean_{micro,dp}(Σ_stages aux)``
         to the loss and seeds the stage VJP's aux cotangent with
         ``aux_weight`` so router gradients flow in the same backward wave.
+      blocks_specs: optional PartitionSpec tree for ``blocks_params``
+        overriding the default P(axis) layer-dim sharding — used by the
+        tensor-parallel stage (extra dims sharded over 'model'); gradients
+        come back in the same layout.
 
     Returns (loss, blocks_grads [L, ...], head_grads, dx0s [n, B, ...])
     — plus a trailing ``aux`` scalar (the unweighted mean auxiliary loss)
@@ -203,7 +253,8 @@ def one_f_one_b_grads(
         rest = (None,) * (a.ndim - 2)
         return P(None, data_axis if has_data else None, *rest)
 
-    blocks_specs = _specs(blocks_params, lambda a: P(axis, *(None,) * (a.ndim - 1)))
+    if blocks_specs is None:
+        blocks_specs = _specs(blocks_params, lambda a: P(axis, *(None,) * (a.ndim - 1)))
     rep = lambda a: P()  # noqa: E731
 
     @partial(
@@ -344,6 +395,176 @@ def one_f_one_b_grads(
     )
 
 
+# ---------------------------------------------------------------------------
+# Tensor parallelism inside the 1F1B stage (manual Megatron-style collectives)
+# ---------------------------------------------------------------------------
+
+def tp_blocks_layout(blocks: Any, n_heads: int, glu_act: bool, axis: str = "pipe",
+                     tp_axis: str = "model"):
+    """Re-layout stacked TransformerEncoderLayer params for manual TP.
+
+    The flax layout fuses heads/GLU-halves into single columns; tensor
+    parallelism needs shard-aligned dims: QKV columns become [3, H, dk]
+    (heads shard), the out-proj input becomes [H, dk], and the (optionally
+    GLU-doubled) w1 columns become [g, F] so each shard holds MATCHING
+    halves of the gate (a contiguous column shard of [2F] would give one
+    shard all of `a` and another all of `sigmoid(b)`).
+
+    Returns (tp_tree, spec_tree, restore_fn) where restore_fn maps a
+    gradient tree in the tp layout back to the flax layout.
+    """
+    qkv_w = blocks["slf_attn"]["qkv_proj"]["dense"]["kernel"]  # [L, D, 3D]
+    lnum, d_model, _ = qkv_w.shape
+    dk = d_model // n_heads
+    g = 2 if glu_act else 1
+    w1_w = blocks["ffn"]["w1"]["dense"]["kernel"]  # [L, D, g*F]
+    d_ff = w1_w.shape[2] // g
+
+    tp = {
+        "ln1": blocks["norm1"],                      # {scale, bias} [L, D]
+        "ln2": blocks["norm2"],
+        "qkv_w": qkv_w.reshape(lnum, d_model, 3, n_heads, dk),
+        "qkv_b": blocks["slf_attn"]["qkv_proj"]["dense"]["bias"].reshape(
+            lnum, 3, n_heads, dk),
+        "out_w": blocks["slf_attn"]["out_proj"]["dense"]["kernel"].reshape(
+            lnum, n_heads, dk, d_model),
+        "out_b": blocks["slf_attn"]["out_proj"]["dense"]["bias"],
+        "w1_w": w1_w.reshape(lnum, d_model, g, d_ff),
+        "w1_b": blocks["ffn"]["w1"]["dense"]["bias"].reshape(lnum, g, d_ff),
+        "w2_w": blocks["ffn"]["w2"]["dense"]["kernel"],  # [L, F, D]
+        "w2_b": blocks["ffn"]["w2"]["dense"]["bias"],
+    }
+    specs = {
+        "ln1": _specs(tp["ln1"], lambda a: P(axis, None)),
+        "ln2": _specs(tp["ln2"], lambda a: P(axis, None)),
+        "qkv_w": P(axis, None, None, tp_axis, None),
+        "qkv_b": P(axis, None, tp_axis, None),
+        "out_w": P(axis, tp_axis, None, None),
+        "out_b": P(axis, None),
+        "w1_w": P(axis, None, None, tp_axis),
+        "w1_b": P(axis, None, tp_axis),
+        "w2_w": P(axis, tp_axis, None),
+        "w2_b": P(axis, None),
+    }
+
+    def restore(gt):
+        return {
+            "norm1": gt["ln1"],
+            "norm2": gt["ln2"],
+            "slf_attn": {
+                "qkv_proj": {"dense": {
+                    "kernel": gt["qkv_w"].reshape(lnum, d_model, 3 * d_model),
+                    "bias": gt["qkv_b"].reshape(lnum, 3 * d_model),
+                }},
+                "out_proj": {"dense": {
+                    "kernel": gt["out_w"].reshape(lnum, d_model, d_model),
+                    "bias": gt["out_b"],
+                }},
+            },
+            "ffn": {
+                "w1": {"dense": {"kernel": gt["w1_w"].reshape(lnum, d_model, g * d_ff),
+                                 "bias": gt["w1_b"].reshape(lnum, g * d_ff)}},
+                "w2": {"dense": {"kernel": gt["w2_w"], "bias": gt["w2_b"]}},
+            },
+        }
+
+    return tp, specs, restore
+
+
+def _flax_layernorm(x, scale, bias, dtype, eps=1e-6):
+    """nn.LayerNorm semantics: f32 stats (E[x²]−E[x]²), scale+bias, cast."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(dtype)
+
+
+def _dropout(rng, x, rate: float):
+    if rate == 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
+
+
+def make_tp_stage_fwd(enc, per_stage: int, tp_axis: str = "model"):
+    """Build a 1F1B ``stage_fwd`` computing TransformerEncoderLayer forward
+    with tensor parallelism over ``tp_axis``: column-parallel QKV/w1 (heads /
+    matched GLU halves shard), row-parallel out-proj/w2 closed by the "g"
+    operator (psum-fwd/identity-bwd), and the "f" operator (identity-fwd/
+    psum-bwd) at each sharded BRANCH input — the residual bypasses both —
+    so the rematerialized VJP emits exactly the Megatron collectives.
+    Params arrive in the ``tp_blocks_layout`` layout, locally sliced.
+
+    Matches models/encoder.py:TransformerEncoderLayer exactly (including the
+    reference-parity pre-norm residual quirk); dropout uses the folded
+    per-(stage, microbatch, layer) rng, identical across model shards so the
+    residual stream stays replicated.
+    """
+    from ..models.modules import ACTIVATIONS, attention_context, glu
+
+    if enc.concat_after or enc.relative_positional or enc.moe_experts > 0:
+        raise ValueError(
+            "1F1B tensor parallelism supports dense abs-position encoder "
+            "layers (concat_after/relative_positional/moe are GSPMD-"
+            "schedule-only for now)"
+        )
+    dtype = enc.dtype
+    glu_act = enc.activation == "glu"
+    act_fn = glu if glu_act else ACTIVATIONS[enc.activation]
+    pre = enc.normalize_before
+    f_op = _identity_psum(tp_axis)
+    g_op = _psum_identity(tp_axis)
+
+    def layer_fwd(p, x, attn_mask, rng):
+        r_attn, r_res1, r_ffn, r_res2 = jax.random.split(rng, 4)
+        h = _flax_layernorm(x, p["ln1"]["scale"], p["ln1"]["bias"], dtype) if pre else x
+        # reference-parity pre-norm: the residual is the NORMALIZED tensor
+        residual = h if pre else x
+        # "f" wraps ONLY the sharded branch — the residual bypasses it, else
+        # its (replicated) cotangent would be psum-overcounted tp×
+        h = f_op(h)
+        qkv = jnp.einsum("btd,dchj->bchtj", h, p["qkv_w"].astype(dtype))
+        qkv = qkv + p["qkv_b"].astype(dtype)[None, :, :, None, :]
+        q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]  # [B, Hl, T, dk] each
+        ctx, _ = attention_context(q, k, v, attn_mask, dtype)
+        out = jnp.einsum("bhtj,hjd->btd", ctx, p["out_w"].astype(dtype))
+        out = g_op(out) + p["out_b"].astype(dtype)
+        out = _dropout(r_attn, out, enc.slf_attn_dropout)
+        h = residual + _dropout(r_res1, out, enc.residual_dropout)
+        if not pre:
+            h = _flax_layernorm(h, p["ln1"]["scale"], p["ln1"]["bias"], dtype)
+
+        h2 = _flax_layernorm(h, p["ln2"]["scale"], p["ln2"]["bias"], dtype) if pre else h
+        residual = h2 if pre else h
+        h2 = f_op(h2)
+        h1 = jnp.einsum("btd,dgf->btgf", h2, p["w1_w"].astype(dtype))
+        h1 = h1 + p["w1_b"].astype(dtype)[None, None]
+        if glu_act:
+            a, b = h1[:, :, 0], h1[:, :, 1]
+            hact = a * jax.nn.sigmoid(b)
+        else:
+            hact = act_fn(h1[:, :, 0])
+        hact = _dropout(r_ffn, hact, enc.ffn_dropout)
+        out2 = jnp.einsum("btf,fd->btd", hact, p["w2_w"].astype(dtype))
+        out2 = g_op(out2) + p["w2_b"].astype(dtype)
+        h = residual + _dropout(r_res2, out2, enc.residual_dropout)
+        if not pre:
+            h = _flax_layernorm(h, p["ln2"]["scale"], p["ln2"]["bias"], dtype)
+        return h
+
+    def stage_fwd(stage_p, x, sargs, bargs, rng_m):
+        def body(xc, inp):
+            p, i = inp
+            return layer_fwd(p, xc, sargs["attn_mask"],
+                             jax.random.fold_in(rng_m, i)), None
+
+        y, _ = jax.lax.scan(body, x, (stage_p, jnp.arange(per_stage)))
+        return y
+
+    return stage_fwd
+
+
 def speech2text_1f1b_grad_fn(model, mesh, n_micro: int, axis: str = "pipe"):
     """Build ``(trainable_params, args, rng) -> (loss, grads, aux)`` computing
     the SpeechToText training loss/gradients under the 1F1B pipeline schedule.
@@ -353,9 +574,10 @@ def speech2text_1f1b_grad_fn(model, mesh, n_micro: int, axis: str = "pipe"):
     before as ordinary GSPMD compute, and the decoder + loss head runs on the
     last stage inside the schedule. MoE encoders are supported: each stage
     emits its layers' load-balance aux, threaded through the schedule with
-    ``aux_weight=moe_aux_weight`` (reported in ``aux['moe_aux']``). Tensor
-    parallelism does not compose with this path (the shard_map is manual) —
-    use the GSPMD stage-sharded ``--pp`` for tp+pp.
+    ``aux_weight=moe_aux_weight`` (reported in ``aux['moe_aux']``). A
+    ``model`` mesh axis adds tensor parallelism inside each stage via the
+    manual-collective ``make_tp_stage_fwd`` (dense abs-position layers; the
+    frontend and loss head stay replicated over 'model').
     """
     from ..models.encoder import TransformerEncoderLayer
     from ..models.speech2text import SpeechToText, _build_encoder
@@ -387,6 +609,13 @@ def speech2text_1f1b_grad_fn(model, mesh, n_micro: int, axis: str = "pipe"):
     per_stage = enc.n_blocks // s_stages
     has_data = "data" in mesh.shape
     dp = mesh.shape["data"] if has_data else 1
+    tp = mesh.shape.get("model", 1)
+    if tp > 1:
+        if enc.n_heads % tp or enc.d_ff % tp:
+            raise ValueError(
+                f"tp={tp} must divide n_heads={enc.n_heads} and d_ff={enc.d_ff}"
+            )
+        tp_stage_fwd = make_tp_stage_fwd(enc, per_stage)
 
     def split_params(trainable):
         extra = set(trainable) - {"frontend", "encoder", "decoder", "ctc"}
@@ -479,10 +708,17 @@ def speech2text_1f1b_grad_fn(model, mesh, n_micro: int, axis: str = "pipe"):
         }
         bcast = {"pos_emb": pos_emb}
 
+        restore = None
+        if tp > 1:
+            blocks, tp_specs, restore = tp_blocks_layout(
+                blocks, enc.n_heads, enc.activation == "glu", axis=axis
+            )
         out = one_f_one_b_grads(
-            stage_fwd, head_vjp, blocks, head, x0s, stage_args, head_args,
-            bcast, r_blocks, r_head, mesh, axis=axis,
+            tp_stage_fwd if tp > 1 else stage_fwd, head_vjp, blocks, head,
+            x0s, stage_args, head_args, bcast, r_blocks, r_head, mesh,
+            axis=axis,
             aux_weight=float(model.moe_aux_weight) if moe else None,
+            blocks_specs=tp_specs if tp > 1 else None,
         )
         if moe:
             loss, blocks_g, head_g, dx0s, moe_aux = out
@@ -490,6 +726,8 @@ def speech2text_1f1b_grad_fn(model, mesh, n_micro: int, axis: str = "pipe"):
         else:
             loss, blocks_g, head_g, dx0s = out
             aux = {}
+        if restore is not None:
+            blocks_g = restore(blocks_g)
         (front_g,) = pre_vjp(dx0s.reshape(x0.shape))
         return loss, merge_grads(front_g, blocks_g, head_g), aux
 

@@ -112,9 +112,6 @@ class Trainer:
         if self.pp_schedule == "1f1b":
             if mesh is None or "pipe" not in mesh.shape or mesh.shape["pipe"] < 2:
                 raise ValueError("pp_schedule=1f1b needs a mesh with a pipe axis >= 2")
-            if mesh.shape.get("model", 1) > 1:
-                raise ValueError("pp_schedule=1f1b does not compose with tp "
-                                 "(manual shard_map); use the sharded schedule")
             if is_mixspeech:
                 raise ValueError("mixspeech is not supported under pp_schedule=1f1b")
 
