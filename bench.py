@@ -94,16 +94,17 @@ def main() -> None:
         "device": str(jax.devices()[0]),
     }
     try:
-        out.update(train_throughput(model, params))
+        out.update(train_throughput(model))
     except Exception as e:  # decode RTFx stays the headline metric
         out["train_bench_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(out))
 
 
-def train_throughput(model, params, b=16, t=512, u=32, iters=5):
+def train_throughput(model, b=16, t=512, u=32, iters=20):
     """Secondary metric: full training-step throughput (fwd+bwd+adam) on the
     flagship geometry — the surface the reference's Trainer spends its life
-    in (otrans/train/trainer.py hot loop)."""
+    in (otrans/train/trainer.py hot loop). Params are freshly initialized
+    (the decode bench's weights are not reused)."""
     import jax
     import jax.numpy as jnp
 
@@ -141,7 +142,13 @@ def train_throughput(model, params, b=16, t=512, u=32, iters=5):
     t0 = time.perf_counter()
     for i in range(1, iters + 1):
         v, opt, gnorm = one_update(v, opt, feats_iter[i], keys[i])
-        float(gnorm)  # 8-byte fetch forces completion (see module docstring)
+    # single 8-byte fetch at the end forces ALL updates: device programs
+    # execute in order and gnorm is an output of the last update_fn program,
+    # so it materializes only after every prior program (incl. each adam
+    # apply) completes. Not fetching per-iteration lets dispatch RTT overlap
+    # device compute, matching how the Trainer actually runs (it only
+    # fetches at log_interval).
+    float(gnorm)
     dt = time.perf_counter() - t0
     frames_per_sec = iters * b * t / dt
     return {

@@ -116,6 +116,12 @@ class TransformerLanguageModel(nn.Module):
     smoothing: float = 0.1
     share_embedding: bool = True
     activation: str = "glu"  # the reference hardcodes glu (model/lm.py:113)
+    # MoE note: full-prefix scoring (logits/__call__) enforces the per-expert
+    # capacity over the whole sequence (over-capacity tokens pass through on
+    # the residual), while the length-1 decode_step routes every token — the
+    # two paths agree exactly only in the drop-free regime. For an LM used in
+    # both beam fusion AND n-best rescoring, set moe_capacity_factor >=
+    # n_experts / moe_top_k so capacity never binds.
     moe_experts: int = 0       # >0: MoE FFN in every block (beyond-reference)
     moe_top_k: int = 1
     moe_capacity_factor: float = 1.25

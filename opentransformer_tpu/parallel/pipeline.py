@@ -419,6 +419,7 @@ def tp_blocks_layout(blocks: Any, n_heads: int, glu_act: bool, axis: str = "pipe
     g = 2 if glu_act else 1
     w1_w = blocks["ffn"]["w1"]["dense"]["kernel"]  # [L, D, g*F]
     d_ff = w1_w.shape[2] // g
+    relpos = "pos_proj" in blocks["slf_attn"]
 
     tp = {
         "ln1": blocks["norm1"],                      # {scale, bias} [L, D]
@@ -434,6 +435,13 @@ def tp_blocks_layout(blocks: Any, n_heads: int, glu_act: bool, axis: str = "pipe
         "w2_w": blocks["ffn"]["w2"]["dense"]["kernel"],  # [L, F, D]
         "w2_b": blocks["ffn"]["w2"]["dense"]["bias"],
     }
+    if relpos:
+        # rel-pos extras (modules.py:RelPosSelfAttention) — all head-major,
+        # sharded over heads like qkv; pos_proj is bias-free
+        tp["pos_w"] = blocks["slf_attn"]["pos_proj"]["dense"]["kernel"].reshape(
+            lnum, d_model, n_heads, dk)
+        tp["posu"] = blocks["slf_attn"]["posu"]  # [L, 1, H, 1, dk]
+        tp["posv"] = blocks["slf_attn"]["posv"]
     specs = {
         "ln1": _specs(tp["ln1"], lambda a: P(axis, None)),
         "ln2": _specs(tp["ln2"], lambda a: P(axis, None)),
@@ -446,21 +454,31 @@ def tp_blocks_layout(blocks: Any, n_heads: int, glu_act: bool, axis: str = "pipe
         "w2_w": P(axis, tp_axis, None),
         "w2_b": P(axis, None),
     }
+    if relpos:
+        specs["pos_w"] = P(axis, None, tp_axis, None)
+        specs["posu"] = P(axis, None, tp_axis, None, None)
+        specs["posv"] = P(axis, None, tp_axis, None, None)
 
     def restore(gt):
+        attn = {
+            "qkv_proj": {"dense": {
+                "kernel": gt["qkv_w"].reshape(lnum, d_model, 3 * d_model),
+                "bias": gt["qkv_b"].reshape(lnum, 3 * d_model),
+            }},
+            "out_proj": {"dense": {
+                "kernel": gt["out_w"].reshape(lnum, d_model, d_model),
+                "bias": gt["out_b"],
+            }},
+        }
+        if relpos:
+            attn["pos_proj"] = {"dense": {
+                "kernel": gt["pos_w"].reshape(lnum, d_model, d_model)}}
+            attn["posu"] = gt["posu"]
+            attn["posv"] = gt["posv"]
         return {
             "norm1": gt["ln1"],
             "norm2": gt["ln2"],
-            "slf_attn": {
-                "qkv_proj": {"dense": {
-                    "kernel": gt["qkv_w"].reshape(lnum, d_model, 3 * d_model),
-                    "bias": gt["qkv_b"].reshape(lnum, 3 * d_model),
-                }},
-                "out_proj": {"dense": {
-                    "kernel": gt["out_w"].reshape(lnum, d_model, d_model),
-                    "bias": gt["out_b"],
-                }},
-            },
+            "slf_attn": attn,
             "ffn": {
                 "w1": {"dense": {"kernel": gt["w1_w"].reshape(lnum, d_model, g * d_ff),
                                  "bias": gt["w1_b"].reshape(lnum, g * d_ff)}},
@@ -501,14 +519,16 @@ def make_tp_stage_fwd(enc, per_stage: int, tp_axis: str = "model"):
     per-(stage, microbatch, layer) rng, identical across model shards so the
     residual stream stays replicated.
     """
-    from ..models.modules import ACTIVATIONS, attention_context, glu
+    from ..models.modules import (
+        ACTIVATIONS, apply_attn_mask, attention_context, glu, relative_shift,
+    )
 
-    if enc.concat_after or enc.relative_positional or enc.moe_experts > 0:
+    if enc.concat_after or enc.moe_experts > 0:
         raise ValueError(
-            "1F1B tensor parallelism supports dense abs-position encoder "
-            "layers (concat_after/relative_positional/moe are GSPMD-"
-            "schedule-only for now)"
+            "1F1B tensor parallelism supports dense encoder layers "
+            "(concat_after/moe are GSPMD-schedule-only for now)"
         )
+    relpos = enc.relative_positional
     dtype = enc.dtype
     glu_act = enc.activation == "glu"
     act_fn = glu if glu_act else ACTIVATIONS[enc.activation]
@@ -516,8 +536,30 @@ def make_tp_stage_fwd(enc, per_stage: int, tp_axis: str = "model"):
     f_op = _identity_psum(tp_axis)
     g_op = _psum_identity(tp_axis)
 
-    def layer_fwd(p, x, attn_mask, rng):
+    def relpos_context(p, q, k, v, attn_mask, pos_emb):
+        """RelPosSelfAttention.__call__ math on this shard's local heads
+        (modules.py:369-398); posu/posv/pos_proj are head-sharded with qkv."""
+        r = jnp.einsum("xsd,dhj->xhsj", pos_emb, p["pos_w"].astype(dtype))
+        posu = p["posu"].astype(dtype)  # [1, Hl, 1, dk]
+        posv = p["posv"].astype(dtype)
+        ac = jnp.einsum("bhqd,bhkd->bhqk", q + posu, k,
+                        preferred_element_type=jnp.float32)
+        bd = jnp.einsum("bhqd,xhsd->bhqs", q + posv, r,
+                        preferred_element_type=jnp.float32)
+        bd = relative_shift(bd)
+        scores = (ac + bd) / (q.shape[-1] ** 0.5)
+        scores = apply_attn_mask(scores, attn_mask)
+        weights = jax.nn.softmax(scores, axis=-1).astype(dtype)
+        return jnp.einsum("bhqk,bhkd->bhqd", weights, v,
+                          preferred_element_type=jnp.float32).astype(dtype)
+
+    def layer_fwd(p, x, attn_mask, pos_emb, rng):
         r_attn, r_res1, r_ffn, r_res2 = jax.random.split(rng, 4)
+        # dropout on REPLICATED tensors (attn out, residuals) must be
+        # identical across model shards; dropout on the SHARDED ffn
+        # activation must be iid per shard, else features f and f+F/tp
+        # would always drop together
+        r_ffn = jax.random.fold_in(r_ffn, jax.lax.axis_index(tp_axis))
         h = _flax_layernorm(x, p["ln1"]["scale"], p["ln1"]["bias"], dtype) if pre else x
         # reference-parity pre-norm: the residual is the NORMALIZED tensor
         residual = h if pre else x
@@ -527,7 +569,10 @@ def make_tp_stage_fwd(enc, per_stage: int, tp_axis: str = "model"):
         qkv = jnp.einsum("btd,dchj->bchtj", h, p["qkv_w"].astype(dtype))
         qkv = qkv + p["qkv_b"].astype(dtype)[None, :, :, None, :]
         q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]  # [B, Hl, T, dk] each
-        ctx, _ = attention_context(q, k, v, attn_mask, dtype)
+        if relpos:
+            ctx = relpos_context(p, q, k, v, attn_mask, pos_emb)
+        else:
+            ctx, _ = attention_context(q, k, v, attn_mask, dtype)
         out = jnp.einsum("bhtj,hjd->btd", ctx, p["out_w"].astype(dtype))
         out = g_op(out) + p["out_b"].astype(dtype)
         out = _dropout(r_attn, out, enc.slf_attn_dropout)
@@ -556,7 +601,7 @@ def make_tp_stage_fwd(enc, per_stage: int, tp_axis: str = "model"):
     def stage_fwd(stage_p, x, sargs, bargs, rng_m):
         def body(xc, inp):
             p, i = inp
-            return layer_fwd(p, xc, sargs["attn_mask"],
+            return layer_fwd(p, xc, sargs["attn_mask"], bargs.get("pos_emb"),
                              jax.random.fold_in(rng_m, i)), None
 
         y, _ = jax.lax.scan(body, x, (stage_p, jnp.arange(per_stage)))

@@ -236,6 +236,38 @@ def test_1f1b_grad_parity_tp_prenorm_glu():
         )
 
 
+def test_1f1b_grad_parity_tp_relpos():
+    """TP stage with rel-pos attention: pos_proj/posu/posv shard over heads
+    alongside qkv; grads match the sequential flax reference."""
+    from opentransformer_tpu.models.registry import build_model
+    from opentransformer_tpu.parallel.mesh import make_mesh
+    from opentransformer_tpu.parallel.pipeline import speech2text_1f1b_grad_fn
+    from opentransformer_tpu.train.trainer import default_speech_batch
+    from tests.test_train import synth_batch
+
+    cfg = _pp_cfg()
+    cfg["encoder"] = {**cfg["encoder"], "relative_positional": True}
+    mesh = make_mesh(n_data=1, n_model=2, n_pipe=2)
+    model = build_model(cfg)
+    args = default_speech_batch(synth_batch(np.random.default_rng(0), b=4))
+    trainable = model.init(jax.random.PRNGKey(0), *args)["params"]
+    core = speech2text_1f1b_grad_fn(model, mesh, 2)
+    with mesh:
+        loss_pp, grads_pp, _ = jax.jit(core)(trainable, args, jax.random.PRNGKey(1))
+    loss_ref, grads_ref = jax.value_and_grad(
+        lambda p: _reference_pp_loss(model, p, args, 2, 1)
+    )(trainable)
+    np.testing.assert_allclose(float(loss_pp), float(loss_ref), rtol=1e-5)
+    for (k, g), (_, gr) in zip(
+        jax.tree_util.tree_leaves_with_path(grads_pp),
+        jax.tree_util.tree_leaves_with_path(grads_ref),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(gr), rtol=5e-3, atol=1e-5,
+            err_msg=jax.tree_util.keystr(k),
+        )
+
+
 def test_1f1b_grad_parity_moe():
     """MoE encoder under 1F1B: the load-balance aux loss (and its router
     gradients) thread through the schedule — loss/grads match the chunked
