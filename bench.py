@@ -101,10 +101,12 @@ def main() -> None:
 
 
 def train_throughput(model, b=16, t=512, u=32, iters=20):
-    """Secondary metric: full training-step throughput (fwd+bwd+adam) on the
-    flagship geometry — the surface the reference's Trainer spends its life
-    in (otrans/train/trainer.py hot loop). Params are freshly initialized
-    (the decode bench's weights are not reused)."""
+    """Secondary metric: full training-step throughput (fwd+bwd+clip+adam)
+    on the flagship geometry — the surface the reference's Trainer spends
+    its life in (otrans/train/trainer.py hot loop). Uses the Trainer's
+    multi-step path (steps_per_exec): all `iters` updates run as ONE
+    lax.scan program, so the measurement is device throughput, not tunnel
+    dispatch latency. Params are freshly initialized."""
     import jax
     import jax.numpy as jnp
 
@@ -112,7 +114,8 @@ def train_throughput(model, b=16, t=512, u=32, iters=20):
 
     from __graft_entry__ import TRAIN_CFG
 
-    trainer = Trainer(dict(TRAIN_CFG), model, log_interval=10 ** 9)
+    trainer = Trainer({**TRAIN_CFG, "steps_per_exec": iters}, model,
+                      log_interval=10 ** 9)
     rng = np.random.default_rng(2)
     tgt = np.ones((b, u + 2), np.int32)
     tgt[:, 1:-1] = rng.integers(3, 4000, (b, u))
@@ -121,40 +124,41 @@ def train_throughput(model, b=16, t=512, u=32, iters=20):
                     "mask": mk},
              {"targets": jnp.asarray(tgt), "targets_length": jnp.asarray([u + 1] * b)})
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
-    grad_fn = trainer._build_grad_fn()
-    update_fn = trainer._build_update_fn()
+    trainer._grad_fn = trainer._build_grad_fn()
+    trainer._update_fn = trainer._build_update_fn()
+    multi = trainer._build_multi_fn()
     args0 = trainer.batch_fn(batch)
 
-    def one_update(variables, opt_state, feats, key):
-        # fresh accumulator each update: grad_fn donates it
-        zeros = trainer._zeros_like_grads(variables)
-        v, g, loss, _ = grad_fn(variables, zeros, (feats,) + args0[1:], key)
-        v, opt_state, _, gnorm = update_fn(v, opt_state, g, jnp.zeros((), jnp.int32),
-                                           1e-4, key)
-        return v, opt_state, gnorm
+    def stacked_args(seed):
+        # distinct feats per step and per call (identical dispatches dedup
+        # on the tunnel; see module docstring)
+        r = np.random.default_rng(seed)
+        feats = jnp.asarray(r.normal(size=(iters, b, t, 40)), jnp.float32)
+        rest = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a, (iters,) + a.shape), args0[1:]
+        )
+        return (feats,) + rest
 
-    feats_iter = [jnp.asarray(rng.normal(size=(b, t, 40)), jnp.float32)
-                  for _ in range(iters + 1)]
-    keys = jax.random.split(jax.random.PRNGKey(1), iters + 1)
-    v, opt = state.params, state.opt_state
-    v, opt, gnorm = one_update(v, opt, feats_iter[0], keys[0])  # compile
-    float(gnorm)
+    lrs = jnp.full((iters,), 1e-4, jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(1), iters)
+    warm = stacked_args(3)
+    timed = stacked_args(4)
+    float(timed[0][0, 0, 0, 0])  # force the timed batch resident on device
+
+    v, opt, ns = state.params, state.opt_state, state.nan_skips
+    v, opt, ns, losses, _, _ = multi(v, opt, ns, warm, lrs, keys)  # compile
+    float(losses[-1])
+    keys2 = jax.random.split(jax.random.PRNGKey(5), iters)
     t0 = time.perf_counter()
-    for i in range(1, iters + 1):
-        v, opt, gnorm = one_update(v, opt, feats_iter[i], keys[i])
-    # single 8-byte fetch at the end forces ALL updates: device programs
-    # execute in order and gnorm is an output of the last update_fn program,
-    # so it materializes only after every prior program (incl. each adam
-    # apply) completes. Not fetching per-iteration lets dispatch RTT overlap
-    # device compute, matching how the Trainer actually runs (it only
-    # fetches at log_interval).
-    float(gnorm)
+    v, opt, ns, losses, _, gnorms = multi(v, opt, ns, timed, lrs, keys2)
+    # 8-byte fetch: program outputs materialize when the whole scan finishes
+    float(losses[-1])
     dt = time.perf_counter() - t0
     frames_per_sec = iters * b * t / dt
     return {
         "train_updates_per_sec_per_chip": round(iters / dt, 3),
         "train_audio_sec_per_sec_per_chip": round(frames_per_sec * 0.01, 1),
-        "train_config": f"B{b} T{t} U{u} fwd+bwd+clip+adam bf16",
+        "train_config": f"B{b} T{t} U{u} x{iters}-step-scan fwd+bwd+clip+adam bf16",
     }
 
 

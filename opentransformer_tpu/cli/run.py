@@ -52,6 +52,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--pp-micro-batches", type=int, default=None,
                    help="microbatches per step for --pp-schedule 1f1b "
                         "(default: pp degree; more = smaller bubble)")
+    p.add_argument("--steps-per-exec", type=int, default=None,
+                   help="scan N optimizer updates inside one jitted program "
+                        "(amortizes host dispatch; same-shape batches only)")
     p.add_argument("--ep", type=int, default=1,
                    help="expert-parallel degree: MoE expert-stacked params "
                         "shard over an 'expert' mesh axis (requires "
@@ -189,6 +192,8 @@ def main(argv=None) -> int:
         is_debug=args.debug, dev_loader=dev_loader, preprocess_fn=preprocess_fn,
         pp_schedule=args.pp_schedule, pp_micro_batches=args.pp_micro_batches,
     )
+    if args.steps_per_exec:
+        trainer.steps_per_exec = int(args.steps_per_exec)
 
     first = next(iter(loader))
     state = trainer.init_state(rng, first)

@@ -115,7 +115,18 @@ class Trainer:
             if is_mixspeech:
                 raise ValueError("mixspeech is not supported under pp_schedule=1f1b")
 
+        # TPU-native multi-step execution: lax.scan N optimizer updates
+        # inside ONE jitted program, so host<->device round trips amortize
+        # N-fold (the per-dispatch latency, not the math, dominates small-
+        # batch steps). Grouping is by identical batch shapes; ragged
+        # leftovers fall back to the single-step path.
+        self.steps_per_exec = int(params_cfg.get("steps_per_exec", 1))
+        if self.steps_per_exec > 1 and self.pp_schedule == "1f1b":
+            raise ValueError("steps_per_exec > 1 does not support pp_schedule=1f1b")
+
         self.accum_steps = int(params_cfg.get("accum_steps", 1))
+        if self.steps_per_exec > 1 and int(params_cfg.get("accum_steps", 1)) != 1:
+            raise ValueError("steps_per_exec > 1 requires accum_steps == 1")
         self.grad_clip = float(params_cfg.get("clip_grad", 0.0))
         self.grad_noise = float(params_cfg.get("grad_noise", 0.0))
         self.epochs = int(params_cfg.get("epochs", 1))
@@ -133,6 +144,9 @@ class Trainer:
         self._grad_fn = None
         self._update_fn = None
         self._eval_fn = None
+        self._grad_core = None
+        self._update_core = None
+        self._multi_fn = None
 
     # ------------------------------------------------------------------ init
     def init_state(self, rng, sample_batch) -> TrainState:
@@ -211,6 +225,7 @@ class Trainer:
             new_variables = {"params": trainable, **{k: new_cols.get(k, v) for k, v in aux_cols.items()}}
             return new_variables, grad_accum, loss, aux
 
+        self._grad_core = grad_step  # unjitted: reused by the multi-step scan
         return jax.jit(grad_step, donate_argnums=(1,))
 
     def _build_grad_fn_1f1b(self):
@@ -275,7 +290,37 @@ class Trainer:
             new_variables = {**variables, "params": new_params}
             return new_variables, new_opt, nan_skips + (1 - ok.astype(jnp.int32)), gnorm
 
+        self._update_core = update  # unjitted: reused by the multi-step scan
         return jax.jit(update, donate_argnums=(0, 1))
+
+    def _build_multi_fn(self):
+        """N full update steps (grad + clip + NaN-guard + optimizer) under a
+        single ``lax.scan`` in ONE jitted program — one host dispatch per N
+        steps instead of 2N. Semantically identical to N single steps (the
+        scan body IS the single-step cores)."""
+        grad_core = self._grad_core
+        update_core = self._update_core
+
+        def multi(variables, opt_state, nan_skips, stacked_args, lrs, keys):
+            def body(carry, inp):
+                variables, opt_state, nan_skips = carry
+                args, lr, key = inp
+                k1, k2 = jax.random.split(key)
+                zeros = jax.tree_util.tree_map(
+                    lambda p: jnp.zeros(p.shape, jnp.float32), variables["params"]
+                )
+                variables, gacc, loss, aux = grad_core(variables, zeros, args, k1)
+                variables, opt_state, nan_skips, gnorm = update_core(
+                    variables, opt_state, gacc, nan_skips, lr, k2
+                )
+                return (variables, opt_state, nan_skips), (loss, aux, gnorm)
+
+            (variables, opt_state, nan_skips), (losses, auxes, gnorms) = jax.lax.scan(
+                body, (variables, opt_state, nan_skips), (stacked_args, lrs, keys)
+            )
+            return variables, opt_state, nan_skips, losses, auxes, gnorms
+
+        return jax.jit(multi, donate_argnums=(0, 1))
 
     def _zeros_like_grads(self, variables):
         zeros = jax.tree_util.tree_map(
@@ -375,7 +420,126 @@ class Trainer:
             n += 1
         return total / max(n, 1)
 
+    def _flush_pending(self, pending, epoch, span_t0, final=False):
+        """Drain queued (still-on-device) per-step losses into meters/logs.
+        Returns a fresh span start time."""
+        span = time.time() - span_t0
+        last = None
+        for losses, auxes, lr, gstep, progress in pending:
+            vals = [float(x) for x in losses]
+            step_avg = sum(vals) / max(len(vals), 1)
+            self.mean_loss.update(step_avg)
+            if self.visualizer is not None:
+                self.visualizer.add_scalar("train_loss", step_avg, gstep)
+                self.visualizer.add_scalar("lr", lr, gstep)
+            last = (step_avg, auxes, lr, gstep, progress)
+        pending.clear()
+        if last is not None and not final:
+            step_avg, auxes, lr, gstep, progress = last
+            aux_meter = AuxiliaryLossAverageMeter()
+            for aux in auxes:
+                aux_meter.update({k: float(v) for k, v in aux.items()}, 1)
+            logger.info(
+                "-Training-Epoch-%d(%.5f%%), Global Step:%d, lr:%.8f, Loss:%.5f, "
+                "AvgLoss: %.5f, Run Time:%.3f%s",
+                epoch, progress, gstep, lr, step_avg, self.mean_loss.mean(),
+                span, aux_meter.avg_infos,
+            )
+        return time.time()
+
+    def _train_one_epoch_multi(self, epoch: int, state: TrainState, train_loader, rng) -> TrainState:
+        """steps_per_exec > 1: batches of identical shape run as ONE jitted
+        N-step scan (`_build_multi_fn`); shape-change/tail leftovers take the
+        single-step path. Step semantics (loss, meters, global_step, NaN
+        guard) match the single-step loop exactly."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        if self._grad_fn is None:
+            self._grad_fn = self._build_grad_fn()
+            self._update_fn = self._build_update_fn()
+        if self._multi_fn is None:
+            self._multi_fn = self._build_multi_fn()
+        n_exec = self.steps_per_exec
+        mesh = self.mesh
+        n_data = mesh.shape.get("data", 1) if mesh is not None else 1
+        params, opt_state, nan_skips = state.params, state.opt_state, state.nan_skips
+        batches = list(train_loader) if not hasattr(train_loader, "__len__") else train_loader
+        n_batches = len(batches)
+        span_t0 = time.time()
+        pending: list = []
+
+        def stack_group(group):
+            stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *group)
+            if mesh is not None:
+                def put(x):
+                    spec = (PartitionSpec(None, "data", *(None,) * (x.ndim - 2))
+                            if x.shape[1] % n_data == 0 else PartitionSpec())
+                    return jax.device_put(x, NamedSharding(mesh, spec))
+                stacked = jax.tree_util.tree_map(put, stacked)
+            return stacked
+
+        def run_group(group, last_step):
+            nonlocal params, opt_state, nan_skips, rng, span_t0
+            n = len(group)
+            if n == 0:
+                return
+            lrs = [self.schedule(self.global_step + i, self.global_epoch)
+                   for i in range(n)]
+            rng, r = jax.random.split(rng)
+            keys = jax.random.split(r, n)
+            gs0 = self.global_step
+            if n == n_exec:
+                params, opt_state, nan_skips, losses, auxes, _ = self._multi_fn(
+                    params, opt_state, nan_skips, stack_group(group),
+                    jnp.asarray(lrs, jnp.float32), keys,
+                )
+                per_loss = [losses[i] for i in range(n)]
+                per_aux = [{k: v[i] for k, v in auxes.items()} for i in range(n)]
+            else:  # ragged tail / shape change: single-step fallback
+                per_loss, per_aux = [], []
+                for i, args in enumerate(group):
+                    k1, k2 = jax.random.split(keys[i])
+                    gacc = self._zeros_like_grads(params)
+                    args = self._shard_batch(args)
+                    params, gacc, loss, aux = self._grad_fn(params, gacc, args, k1)
+                    params, opt_state, nan_skips, _ = self._update_fn(
+                        params, opt_state, gacc, nan_skips, lrs[i], k2
+                    )
+                    per_loss.append(loss)
+                    per_aux.append(aux)
+            progress = min(last_step + 1, n_batches) / max(n_batches, 1) * 100
+            for i in range(n):
+                self.global_step += 1
+                pending.append(([per_loss[i]], [per_aux[i]], lrs[i],
+                                self.global_step, progress))
+            if gs0 // self.log_interval != self.global_step // self.log_interval:
+                span_t0 = self._flush_pending(pending, epoch, span_t0)
+
+        group: list = []
+        gsig = None
+        for step, batch in enumerate(batches):
+            _, inputs, targets = batch
+            args = self.batch_fn((None, inputs, targets))
+            if mesh is None:
+                args = jax.tree_util.tree_map(jnp.asarray, args)
+            sig = tuple((a.shape, str(a.dtype)) for a in jax.tree_util.tree_leaves(args))
+            if sig != gsig and group:
+                run_group(group, step - 1)
+                group = []
+            gsig = sig
+            group.append(args)
+            if len(group) == n_exec:
+                run_group(group, step)
+                group = []
+            if self.is_debug and step > 30:
+                break
+        run_group(group, n_batches - 1)
+        self._flush_pending(pending, epoch, span_t0, final=True)
+        return TrainState(params=params, opt_state=opt_state, nan_skips=nan_skips)
+
     def train_one_epoch(self, epoch: int, state: TrainState, train_loader, rng) -> TrainState:
+        if self.steps_per_exec > 1 and jax.process_count() == 1:
+            return self._train_one_epoch_multi(epoch, state, train_loader, rng)
         if self._grad_fn is None:
             self._grad_fn = self._build_grad_fn()
             self._update_fn = self._build_update_fn()
@@ -394,29 +558,7 @@ class Trainer:
         pending: list = []  # (losses, auxes, lr, global_step, progress)
 
         def flush(final: bool = False):
-            span = time.time() - span_t0
-            last = None
-            for losses, auxes, lr, gstep, progress in pending:
-                vals = [float(x) for x in losses]
-                step_avg = sum(vals) / max(len(vals), 1)
-                self.mean_loss.update(step_avg)
-                if self.visualizer is not None:
-                    self.visualizer.add_scalar("train_loss", step_avg, gstep)
-                    self.visualizer.add_scalar("lr", lr, gstep)
-                last = (step_avg, auxes, lr, gstep, progress)
-            pending.clear()
-            if last is not None and not final:
-                step_avg, auxes, lr, gstep, progress = last
-                aux_meter = AuxiliaryLossAverageMeter()
-                for aux in auxes:
-                    aux_meter.update({k: float(v) for k, v in aux.items()}, 1)
-                logger.info(
-                    "-Training-Epoch-%d(%.5f%%), Global Step:%d, lr:%.8f, Loss:%.5f, "
-                    "AvgLoss: %.5f, Run Time:%.3f%s",
-                    epoch, progress, gstep, lr, step_avg, self.mean_loss.mean(),
-                    span, aux_meter.avg_infos,
-                )
-            return time.time()
+            return self._flush_pending(pending, epoch, span_t0, final)
 
         for step, batch in enumerate(batches):
             _, inputs, targets = batch

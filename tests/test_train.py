@@ -146,3 +146,57 @@ def test_finetune_flags_cli(tmp_path):
     assert "initialized model weights" in text
     assert "restored optimizer state" in text
     assert os.path.isdir(os.path.join(ft, "model.epoch.1"))
+
+
+def test_steps_per_exec_matches_single_step():
+    """steps_per_exec=2: the scanned multi-step program produces the same
+    params/step count as the single-step loop (dropout 0 so the differing
+    rng consumption is inert); 5 same-shape batches exercise both the
+    full-group scan and the ragged single-step tail."""
+    from tests.test_models import small_model_cfg
+
+    cfg = small_model_cfg()
+    cfg["encoder"] = {**cfg["encoder"], "residual_dropout": 0.0}
+    cfg["frontend"] = {**cfg["frontend"], "dropout": 0.0}
+    cfg["decoder"] = {**cfg["decoder"], "residual_dropout": 0.0}
+    model = build_model(cfg)
+    batches = [synth_batch(np.random.default_rng(i), b=4) for i in range(5)]
+    tcfg = {"optimizer_type": "adam", "optimizer": {}, "scheduler_type": "constant",
+            "scheduler": {"lr": 1e-3}, "epochs": 1, "clip_grad": 5.0}
+
+    results = []
+    for extra in ({}, {"steps_per_exec": 2}):
+        tr = Trainer({**tcfg, **extra}, model, log_interval=10 ** 9)
+        state = tr.init_state(jax.random.PRNGKey(0), batches[0])
+        state = tr.train_one_epoch(0, state, batches, jax.random.PRNGKey(1))
+        results.append((tr.global_step, state))
+
+    (gs1, s1), (gs2, s2) = results
+    assert gs1 == gs2 == 6  # 5 updates from global_step=1
+    for (k, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(s1.params),
+        jax.tree_util.tree_leaves_with_path(s2.params),
+    ):
+        # scan vs unrolled compile differ in fusion order — allow f32 drift
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-4,
+            err_msg=jax.tree_util.keystr(k),
+        )
+
+
+def test_steps_per_exec_shape_change_regroups():
+    """A mid-epoch bucket-shape change flushes the group; losses stay finite
+    and every batch still contributes an update."""
+    from tests.test_models import small_model_cfg
+
+    model = build_model(small_model_cfg())
+    batches = ([synth_batch(np.random.default_rng(i), b=4, t=33) for i in range(2)]
+               + [synth_batch(np.random.default_rng(9), b=4, t=41)])
+    tcfg = {"optimizer_type": "adam", "optimizer": {}, "scheduler_type": "constant",
+            "scheduler": {"lr": 1e-3}, "epochs": 1, "steps_per_exec": 2}
+    tr = Trainer(tcfg, model, log_interval=10 ** 9)
+    state = tr.init_state(jax.random.PRNGKey(0), batches[0])
+    state = tr.train_one_epoch(0, state, batches, jax.random.PRNGKey(1))
+    assert tr.global_step == 4  # 3 updates
+    loss, _ = model.apply(state.params, *tr.batch_fn(batches[0]))
+    assert np.isfinite(float(loss))
