@@ -200,3 +200,21 @@ def test_steps_per_exec_shape_change_regroups():
     assert tr.global_step == 4  # 3 updates
     loss, _ = model.apply(state.params, *tr.batch_fn(batches[0]))
     assert np.isfinite(float(loss))
+
+
+def test_steps_per_exec_on_mesh():
+    """Multi-step scan under a (data x model) mesh: stacked batches reshard
+    [N, B, ...] with the batch dim over 'data'; params stay mesh-sharded."""
+    from tests.test_models import small_model_cfg
+
+    mesh = make_mesh(n_data=2, n_model=2)
+    model = build_model(small_model_cfg())
+    batches = [synth_batch(np.random.default_rng(i), b=4) for i in range(4)]
+    tcfg = {"optimizer_type": "adam", "optimizer": {}, "scheduler_type": "constant",
+            "scheduler": {"lr": 1e-3}, "epochs": 1, "steps_per_exec": 2}
+    tr = Trainer(tcfg, model, mesh=mesh, log_interval=10 ** 9)
+    state = tr.init_state(jax.random.PRNGKey(0), batches[0])
+    state = tr.train_one_epoch(0, state, batches, jax.random.PRNGKey(1))
+    assert tr.global_step == 5
+    loss, _ = model.apply(state.params, *tr.batch_fn(batches[0]))
+    assert np.isfinite(float(loss))
