@@ -1,0 +1,385 @@
+"""Serving CLI — latency-bounded dynamic batching over a trained checkpoint.
+
+Beyond-reference capability: the reference ships only offline decode scripts
+(``eval.py``/``test.py``, reference ``eval.py:20-202``); production serving
+needs a daemon that accepts requests as they arrive and trades a small
+batching delay for TPU batch efficiency. This CLI:
+
+  * accepts `utt_id wav_path` lines (wav.scp format) from a file, stdin
+    (``-i -``), or a line-based TCP socket (``--port``),
+  * extracts fbank features with the checkpoint's own data config (mel
+    bins, extractor flavor, CMVN — same path as training),
+  * groups pending requests into batches of up to ``--max-batch`` within a
+    ``--batch-timeout-ms`` window,
+  * pads every batch to a FIXED batch size and a small set of frame
+    buckets, so each (batch, frames) shape compiles once and every later
+    request hits a warm XLA executable (static shapes; no recompiles),
+  * answers `utt_id<TAB>text` per request and reports latency percentiles
+    and realtime factor on shutdown.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import queue
+import sys
+import threading
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, load_config
+from ..data import load_idx2unit_map
+from ..models.registry import build_model
+from ..ops.fbank import fbank_numpy, logfbank_psf
+from ..ops.masks import length_to_mask
+from ..recognize.base import build_recognizer
+
+logger = logging.getLogger(__name__)
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Serve a trained model with dynamic batching")
+    p.add_argument("-m", "--load_model", type=str, required=True,
+                   help="checkpoint dir (model.epoch.N / model.average.*) or expdir")
+    p.add_argument("-c", "--config", type=str, default=None)
+    p.add_argument("-i", "--input", type=str, default=None,
+                   help="wav.scp-format request source ('-' = stdin); omit with --port")
+    p.add_argument("-o", "--output", type=str, default="-",
+                   help="where to write 'utt_id<TAB>text' lines ('-' = stdout)")
+    p.add_argument("--port", type=int, default=None,
+                   help="serve line-based TCP on this port instead of -i")
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--max-batch", type=int, default=8,
+                   help="requests per device batch (every batch pads to this)")
+    p.add_argument("--batch-timeout-ms", type=float, default=30.0,
+                   help="max wait to fill a batch before running it")
+    p.add_argument("--bucket-frames", type=str, default="200,400,800,1600",
+                   help="frame buckets; each request pads to the next bucket")
+    p.add_argument("--warmup", action="store_true",
+                   help="compile every bucket shape before accepting requests")
+    p.add_argument("-bw", "--beam_width", type=int, default=5)
+    p.add_argument("-nb", "--nbest", type=int, default=1)
+    p.add_argument("-pn", "--penalty", type=float, default=0.6)
+    p.add_argument("-ld", "--lamda", type=float, default=5.0)
+    p.add_argument("-ml", "--max_len", type=int, default=100)
+    p.add_argument("-lm", "--load_language_model", type=str, default=None)
+    p.add_argument("-lmw", "--lm_weight", type=float, default=0.1)
+    p.add_argument("-p2w", "--piece2word", action="store_true")
+    return p
+
+
+class FeatureExtractor:
+    """wav path → normalized fbank, mirroring AudioDataset's eval path
+    (data/datasets.py:128-161; reference ``otrans/data/audio.py:97-142``)."""
+
+    def __init__(self, data_cfg):
+        self.num_mel_bins = int(data_cfg.get("num_mel_bins", 40))
+        self.flavor = data_cfg.get("feature_extractor", "torchaudio")
+        self.normalization = bool(data_cfg.get("normalization", False))
+        self.global_mean = self.global_std = None
+        if self.normalization and "global_cmvn" in data_cfg:
+            base = data_cfg["global_cmvn"]
+            self.global_mean = np.load(base + ".mean.npy")
+            self.global_std = np.load(base + ".std.npy")
+
+    def __call__(self, wav_path: str) -> np.ndarray:
+        from ..data.datasets import _read_wav
+        from ..ops.fbank import normalize_per_utterance
+
+        sr, wav = _read_wav(wav_path)
+        if self.flavor in ("psf", "python_speech_feature"):
+            feat = logfbank_psf(wav, sample_freq=sr, num_mel_bins=self.num_mel_bins)
+        else:
+            feat = fbank_numpy(wav, sample_freq=sr, num_mel_bins=self.num_mel_bins)
+        if self.normalization:
+            if self.global_mean is not None:
+                feat = (feat - self.global_mean) / self.global_std
+            else:
+                feat = normalize_per_utterance(feat)
+        return feat.astype(np.float32)
+
+
+class _Request:
+    __slots__ = ("utt_id", "feats", "reply", "t_in", "t_out")
+
+    def __init__(self, utt_id: str, feats: np.ndarray, reply):
+        self.utt_id = utt_id
+        self.feats = feats
+        self.reply = reply  # callable(utt_id, text)
+        self.t_in = time.perf_counter()
+        self.t_out = None
+
+
+class DynamicBatcher:
+    """Background thread: drain the request queue into fixed-shape batches.
+
+    Every executed batch has shape [max_batch, bucket, F] — absent requests
+    are padding rows (masked out and dropped from the results) — so the
+    total number of XLA compilations is bounded by len(buckets).
+    """
+
+    def __init__(self, recognizer, buckets, max_batch=8, timeout_ms=30.0,
+                 piece2word=False):
+        self.recognizer = recognizer
+        self.buckets = sorted(int(b) for b in buckets)
+        self.max_batch = int(max_batch)
+        self.timeout = float(timeout_ms) / 1000.0
+        self.piece2word = piece2word
+        self.q: "queue.Queue[_Request]" = queue.Queue()
+        self.latencies: list[float] = []
+        self.audio_seconds = 0.0
+        self.busy_seconds = 0.0
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+
+    def start(self):
+        self._thread.start()
+
+    def submit(self, req: _Request):
+        self.q.put(req)
+
+    def drain_and_stop(self):
+        self.q.join()
+        self._stop.set()
+        self.q.put(None)  # wake the loop
+        self._thread.join()
+
+    def warmup(self):
+        """Compile every bucket shape with a dummy batch."""
+        for bucket in self.buckets:
+            feats = np.zeros((self.max_batch, bucket, self._nf), np.float32)
+            mask = length_to_mask(jnp.asarray([bucket] * self.max_batch), bucket)
+            t0 = time.perf_counter()
+            self.recognizer.recognize(jnp.asarray(feats), mask)
+            logger.info("warmup bucket %d: %.1fs", bucket, time.perf_counter() - t0)
+
+    def set_n_feat(self, nf: int):
+        self._nf = int(nf)
+
+    # ------------------------------------------------------------------ loop
+    def _loop(self):
+        while not self._stop.is_set():
+            req = self.q.get()
+            if req is None:
+                self.q.task_done()
+                break
+            group = [req]
+            deadline = time.perf_counter() + self.timeout
+            while len(group) < self.max_batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self.q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self.q.task_done()
+                    self._stop.set()
+                    break
+                group.append(nxt)
+            try:
+                self._run(group)
+            except Exception:
+                logger.exception("batch failed; failing %d requests", len(group))
+                for r in group:
+                    r.reply(r.utt_id, "")
+            finally:
+                for _ in group:
+                    self.q.task_done()
+
+    def _run(self, group):
+        from .eval import postprocess
+
+        tmax = max(r.feats.shape[0] for r in group)
+        bucket = next((b for b in self.buckets if b >= tmax), self.buckets[-1])
+        nf = group[0].feats.shape[1]
+        self.set_n_feat(nf)
+        feats = np.zeros((self.max_batch, bucket, nf), np.float32)
+        lengths = np.zeros((self.max_batch,), np.int32)
+        for i, r in enumerate(group):
+            t = min(r.feats.shape[0], bucket)  # over-bucket tails truncate
+            feats[i, :t] = r.feats[:t]
+            lengths[i] = t
+        lengths[len(group):] = 1  # padding rows: one valid frame, discarded
+        mask = length_to_mask(jnp.asarray(lengths), bucket)
+        t0 = time.perf_counter()
+        texts, _ = self.recognizer.recognize(jnp.asarray(feats), mask)
+        self.busy_seconds += time.perf_counter() - t0
+        now = time.perf_counter()
+        for i, r in enumerate(group):
+            r.t_out = now
+            self.latencies.append(now - r.t_in)
+            self.audio_seconds += r.feats.shape[0] * 0.01
+            r.reply(r.utt_id, postprocess(texts[i][0], self.piece2word))
+
+    # ----------------------------------------------------------------- stats
+    def stats(self) -> dict:
+        lat = sorted(self.latencies)
+        if not lat:
+            return {"requests": 0}
+        pct = lambda p: lat[min(int(len(lat) * p), len(lat) - 1)]  # noqa: E731
+        return {
+            "requests": len(lat),
+            "latency_ms_p50": round(pct(0.50) * 1000, 1),
+            "latency_ms_p90": round(pct(0.90) * 1000, 1),
+            "latency_ms_p99": round(pct(0.99) * 1000, 1),
+            "audio_seconds": round(self.audio_seconds, 2),
+            "device_busy_seconds": round(self.busy_seconds, 2),
+            "rtfx_served": round(self.audio_seconds / max(self.busy_seconds, 1e-9), 1),
+        }
+
+
+def _build(args):
+    """Load checkpoint + config, build recognizer/extractor/batcher."""
+    from .eval import load_checkpoint
+
+    params_np, cfg_dict = load_checkpoint(args.load_model)
+    if args.config:
+        cfg = load_config(args.config)
+    elif cfg_dict is not None:
+        cfg = Config(cfg_dict)
+    else:
+        raise SystemExit("no config embedded in checkpoint; pass -c")
+    import jax
+
+    model = build_model(cfg["model"])
+    params = jax.tree_util.tree_map(jnp.asarray, params_np)
+
+    lm = lm_params = None
+    if args.load_language_model:
+        lm_params_np, lm_cfg = load_checkpoint(args.load_language_model)
+        if lm_cfg is None:
+            raise SystemExit("LM checkpoint has no embedded config")
+        lm = build_model(Config(lm_cfg)["model"])
+        lm_params = jax.tree_util.tree_map(jnp.asarray, lm_params_np)
+
+    idx2unit = load_idx2unit_map(cfg["data"]["vocab"])
+    recog_args = {
+        "beam_width": args.beam_width, "nbest": args.nbest,
+        "penalty": args.penalty, "lamda": args.lamda, "max_len": args.max_len,
+        "lm_weight": args.lm_weight,
+    }
+    recognizer = build_recognizer(
+        cfg["model"]["type"], model, params, lm=lm, lm_params=lm_params,
+        args=recog_args, idx2unit=idx2unit,
+    )
+    extractor = FeatureExtractor(cfg["data"])
+    buckets = [int(b) for b in str(args.bucket_frames).split(",") if b]
+    batcher = DynamicBatcher(
+        recognizer, buckets, max_batch=args.max_batch,
+        timeout_ms=args.batch_timeout_ms, piece2word=args.piece2word,
+    )
+    batcher.set_n_feat(extractor.num_mel_bins)
+    return batcher, extractor
+
+
+def _serve_stream(args, batcher: DynamicBatcher, extractor: FeatureExtractor) -> int:
+    src = sys.stdin if args.input == "-" else open(args.input, "r", encoding="utf-8")
+    out = sys.stdout if args.output == "-" else open(args.output, "w", encoding="utf-8")
+    out_lock = threading.Lock()
+
+    def reply(utt_id, text):
+        with out_lock:
+            out.write(f"{utt_id}\t{text}\n")
+            out.flush()
+
+    n = 0
+    for line in src:
+        parts = line.strip().split(maxsplit=1)
+        if len(parts) != 2:
+            continue
+        utt_id, path = parts
+        try:
+            feats = extractor(path)
+        except Exception as e:
+            logger.error("feature extraction failed for %s: %s", utt_id, e)
+            reply(utt_id, "")
+            continue
+        batcher.submit(_Request(utt_id, feats, reply))
+        n += 1
+    batcher.drain_and_stop()
+    if src is not sys.stdin:
+        src.close()
+    if out is not sys.stdout:
+        out.close()
+    logger.info("served %d requests: %s", n, batcher.stats())
+    return 0
+
+
+def _serve_tcp(args, batcher: DynamicBatcher, extractor: FeatureExtractor) -> int:
+    import socketserver
+
+    class Handler(socketserver.StreamRequestHandler):
+        def handle(self):
+            wlock = threading.Lock()
+
+            def reply(utt_id, text):
+                with wlock:
+                    try:
+                        self.wfile.write(f"{utt_id}\t{text}\n".encode())
+                        self.wfile.flush()
+                    except (BrokenPipeError, OSError):
+                        pass
+
+            pending = 0
+            done = threading.Semaphore(0)
+
+            def counted_reply(utt_id, text):
+                reply(utt_id, text)
+                done.release()
+
+            for raw in self.rfile:
+                parts = raw.decode().strip().split(maxsplit=1)
+                if len(parts) != 2:
+                    continue
+                utt_id, path = parts
+                try:
+                    feats = extractor(path)
+                except Exception as e:
+                    logger.error("feature extraction failed for %s: %s", utt_id, e)
+                    reply(utt_id, "")
+                    continue
+                batcher.submit(_Request(utt_id, feats, counted_reply))
+                pending += 1
+            for _ in range(pending):  # hold the connection until all answered
+                done.acquire()
+
+    class Server(socketserver.ThreadingTCPServer):
+        allow_reuse_address = True
+        daemon_threads = True
+
+    with Server((args.host, args.port), Handler) as srv:
+        logger.info("serving on %s:%d (max_batch=%d, timeout=%.0fms)",
+                    args.host, args.port, batcher.max_batch, batcher.timeout * 1000)
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            pass
+    batcher.drain_and_stop()
+    logger.info("shutdown: %s", batcher.stats())
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s - %(levelname)s - %(message)s",
+                        force=True)
+    if args.port is None and args.input is None:
+        raise SystemExit("pass -i <wav.scp|-> or --port N")
+    batcher, extractor = _build(args)
+    if args.warmup:
+        batcher.warmup()
+    batcher.start()
+    if args.port is not None:
+        return _serve_tcp(args, batcher, extractor)
+    return _serve_stream(args, batcher, extractor)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
