@@ -100,13 +100,69 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="write a jax.profiler trace to this directory")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() and shard batches by host")
+    p.add_argument("--supervise", type=int, default=0, metavar="N",
+                   help="failure recovery: run training as a child process "
+                        "and auto-restart up to N times on crash, resuming "
+                        "(-ct) from the newest checkpoint (the reference has "
+                        "only manual crash-resume, SURVEY §5)")
     p.add_argument("--async-save", action="store_true",
                    help="overlap checkpoint device-fetch + write with training "
                         "(also config key train.async_save)")
     return p
 
 
+def _supervise(args, argv) -> int:
+    """Failure-recovery supervisor: run training in a child process; on a
+    non-zero exit, restart it with ``-ct`` (resume from the newest epoch
+    checkpoint — or fresh if none was written yet), up to ``--supervise N``
+    times. Process isolation is deliberate: a wedged accelerator client
+    cannot be recovered in-process."""
+    import subprocess
+    import sys
+    import time
+
+    src = list(argv) if argv is not None else sys.argv[1:]
+    child = []
+    skip = False
+    for a in src:
+        if skip:
+            skip = False
+            continue
+        if a == "--supervise":
+            skip = True
+            continue
+        if a.startswith("--supervise="):
+            continue
+        child.append(a)
+    has_ct = bool({"-ct", "--continue_training"} & set(child))
+
+    attempt = 0
+    while True:
+        cmd = [sys.executable, "-m", "opentransformer_tpu.cli.run", *child]
+        if attempt > 0 and not has_ct:
+            cmd.append("-ct")
+        t0 = time.time()
+        rc = subprocess.call(cmd)
+        if rc == 0:
+            if attempt:
+                logger.info("supervised training completed after %d restart(s)", attempt)
+            return 0
+        attempt += 1
+        if attempt > args.supervise:
+            logger.error("training failed (rc=%s); restart budget %d exhausted",
+                         rc, args.supervise)
+            return rc
+        logger.warning("training crashed (rc=%s) after %.0fs; restart %d/%d "
+                       "will resume from the newest checkpoint",
+                       rc, time.time() - t0, attempt, args.supervise)
+
+
 def main(argv=None) -> int:
+    # test/CI escape hatch: this image's sitecustomize pins the TPU backend
+    # and ignores JAX_PLATFORMS; supervised child processes (and CI) force a
+    # platform through the config instead
+    if os.environ.get("OT_FORCE_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["OT_FORCE_PLATFORM"])
     args = build_argparser().parse_args(argv)
     logging.basicConfig(
         level=getattr(logging, args.logging_level.upper(), logging.INFO),
@@ -117,6 +173,9 @@ def main(argv=None) -> int:
         fh = logging.FileHandler(args.log_file)
         fh.setFormatter(logging.Formatter("%(asctime)s - %(levelname)s - %(message)s"))
         logging.getLogger().addHandler(fh)
+    if args.supervise:
+        # must run BEFORE any jax/TPU initialization: the child owns the chip
+        return _supervise(args, argv)
     cfg = load_config(args.config)
     expdir = args.expdir or os.path.join("egs_exp", cfg["train"].get("save_name", "exp"))
     os.makedirs(expdir, exist_ok=True)

@@ -27,6 +27,7 @@ TPU-native execution model (replaces DataParallel/DDP + NCCL):
 from __future__ import annotations
 
 import logging
+import os
 import time
 from functools import partial
 from typing import Any, Iterable, Optional
@@ -138,6 +139,12 @@ class Trainer:
 
         self.global_step = 1  # optimizer updates, matches reference counting
         self.global_epoch = 0
+        # chaos-testing hook (the reference has no fault injection, SURVEY
+        # §5): crash once at/after a given optimizer step; a marker file
+        # disarms it so a supervised restart (run.py --supervise) can prove
+        # crash-resume end-to-end
+        self._fault_step = int(os.environ.get("OT_FAULT_INJECT_STEP", 0))
+        self._fault_marker = os.environ.get("OT_FAULT_INJECT_MARKER")
         self.mean_loss = MeanLoss()
         self.visualizer = Visualizer(f"{expdir}/tb") if is_visual else None
 
@@ -420,6 +427,19 @@ class Trainer:
             n += 1
         return total / max(n, 1)
 
+    def _maybe_fault_inject(self):
+        if not self._fault_step or self.global_step < self._fault_step:
+            return
+        if self._fault_marker:
+            if os.path.exists(self._fault_marker):
+                return  # already fired once — disarmed
+            with open(self._fault_marker, "w") as f:
+                f.write(str(self.global_step))
+        raise RuntimeError(
+            f"fault injection: crashing at global step {self.global_step} "
+            "(OT_FAULT_INJECT_STEP)"
+        )
+
     def _flush_pending(self, pending, epoch, span_t0, final=False):
         """Drain queued (still-on-device) per-step losses into meters/logs.
         Returns a fresh span start time."""
@@ -514,6 +534,7 @@ class Trainer:
                                 self.global_step, progress))
             if gs0 // self.log_interval != self.global_step // self.log_interval:
                 span_t0 = self._flush_pending(pending, epoch, span_t0)
+            self._maybe_fault_inject()
 
         group: list = []
         gsig = None
@@ -597,6 +618,7 @@ class Trainer:
 
                 if self.global_step % self.log_interval == 0:
                     span_t0 = flush()
+                self._maybe_fault_inject()
 
             if self.is_debug and step > 30:
                 break
