@@ -61,6 +61,15 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="frame buckets; each request pads to the next bucket")
     p.add_argument("--warmup", action="store_true",
                    help="compile every bucket shape before accepting requests")
+    p.add_argument("--streaming", action="store_true",
+                   help="frame-synchronous session mode (ctc/transducer): "
+                        "each request decodes incrementally, emitting "
+                        "PARTIAL hypotheses per chunk and a FINAL result")
+    p.add_argument("--streams", type=int, default=2,
+                   help="streaming session pool size (compiled chunk steps "
+                        "are shared; one session serves one stream at a time)")
+    p.add_argument("-mt", "--max_tokens_per_chunk", type=int, default=8,
+                   help="transducer streaming: max emissions per frame")
     p.add_argument("-bw", "--beam_width", type=int, default=5)
     p.add_argument("-nb", "--nbest", type=int, default=1)
     p.add_argument("-pn", "--penalty", type=float, default=0.6)
@@ -234,6 +243,62 @@ class DynamicBatcher:
         }
 
 
+class StreamingSessionPool:
+    """A bounded pool of frame-synchronous recognizer sessions
+    (recognize/online.py). Sessions are built once — their jitted chunk
+    steps compile once and are reused by every stream — and borrowed per
+    request; ``run_stream`` simulates real-time arrival by feeding the
+    utterance raw_chunk frames at a time, invoking ``on_partial`` whenever
+    the running hypothesis changes.
+    """
+
+    def __init__(self, model_type: str, model, params, n_sessions: int = 2,
+                 idx2unit=None, max_per_frame: int = 8):
+        from ..recognize.online import (
+            StreamingCTCRecognizer,
+            StreamingTransducerRecognizer,
+        )
+
+        if model_type == "ctc":
+            make = lambda: StreamingCTCRecognizer(  # noqa: E731
+                model, params, batch=1, idx2unit=idx2unit)
+        elif model_type == "transducer":
+            make = lambda: StreamingTransducerRecognizer(  # noqa: E731
+                model, params, batch=1, idx2unit=idx2unit,
+                max_per_frame=max_per_frame)
+        else:
+            raise SystemExit(
+                "--streaming supports ctc and transducer models (attention "
+                "decoders need the full utterance; serve without --streaming)")
+        self._pool: "queue.Queue" = queue.Queue()
+        for _ in range(max(1, int(n_sessions))):
+            self._pool.put(make())
+        self._ids = {}
+
+    def _text(self, rec, ids) -> str:
+        if rec.idx2unit is None:
+            return " ".join(map(str, ids))
+        return " ".join(rec.idx2unit.get(i, "<UNK>") for i in ids)
+
+    def run_stream(self, feats: np.ndarray, on_partial) -> str:
+        """feats [T, F] → final text; calls on_partial(text) per new hypothesis."""
+        rec = self._pool.get()  # blocks while all sessions busy
+        try:
+            rec.reset()
+            rc = rec.session.raw_chunk
+            x = feats[None]  # batch 1
+            last: list[int] = []
+            n_full = x.shape[1] // rc
+            for s in range(n_full):
+                ids = rec.feed(x[:, s * rc:(s + 1) * rc])[0]
+                if ids != last:
+                    last = list(ids)
+                    on_partial(self._text(rec, ids))
+            return rec.finish(x[:, n_full * rc:])[0]
+        finally:
+            self._pool.put(rec)
+
+
 def _build(args):
     """Load checkpoint + config, build recognizer/extractor/batcher."""
     from .eval import load_checkpoint
@@ -259,6 +324,12 @@ def _build(args):
         lm_params = jax.tree_util.tree_map(jnp.asarray, lm_params_np)
 
     idx2unit = load_idx2unit_map(cfg["data"]["vocab"])
+    if getattr(args, "streaming", False):
+        pool = StreamingSessionPool(
+            cfg["model"]["type"], model, params, n_sessions=args.streams,
+            idx2unit=idx2unit, max_per_frame=args.max_tokens_per_chunk,
+        )
+        return pool, FeatureExtractor(cfg["data"])
     recog_args = {
         "beam_width": args.beam_width, "nbest": args.nbest,
         "penalty": args.penalty, "lamda": args.lamda, "max_len": args.max_len,
@@ -365,6 +436,95 @@ def _serve_tcp(args, batcher: DynamicBatcher, extractor: FeatureExtractor) -> in
     return 0
 
 
+def _serve_stream_streaming(args, pool: StreamingSessionPool,
+                            extractor: FeatureExtractor) -> int:
+    """Sequential streaming over a wav.scp source: per utterance, emit
+    `utt<TAB>PARTIAL<TAB>text` lines as hypotheses evolve chunk by chunk,
+    then `utt<TAB>FINAL<TAB>text`."""
+    src = sys.stdin if args.input == "-" else open(args.input, "r", encoding="utf-8")
+    out = sys.stdout if args.output == "-" else open(args.output, "w", encoding="utf-8")
+    n = 0
+    t0 = time.perf_counter()
+    audio_s = 0.0
+    for line in src:
+        parts = line.strip().split(maxsplit=1)
+        if len(parts) != 2:
+            continue
+        utt_id, path = parts
+        try:
+            feats = extractor(path)
+        except Exception as e:
+            logger.error("feature extraction failed for %s: %s", utt_id, e)
+            out.write(f"{utt_id}\tFINAL\t\n")
+            continue
+        audio_s += feats.shape[0] * 0.01
+
+        def on_partial(text, _u=utt_id):
+            out.write(f"{_u}\tPARTIAL\t{text}\n")
+            out.flush()
+
+        final = pool.run_stream(feats, on_partial)
+        out.write(f"{utt_id}\tFINAL\t{final}\n")
+        out.flush()
+        n += 1
+    if src is not sys.stdin:
+        src.close()
+    if out is not sys.stdout:
+        out.close()
+    dt = time.perf_counter() - t0
+    logger.info("streamed %d utterances (%.1fs audio) in %.1fs (%.1fx realtime)",
+                n, audio_s, dt, audio_s / max(dt, 1e-9))
+    return 0
+
+
+def _serve_tcp_streaming(args, pool: StreamingSessionPool,
+                         extractor: FeatureExtractor) -> int:
+    """TCP streaming: each `utt_id wav_path` line on a connection decodes
+    incrementally; the client receives PARTIAL lines then a FINAL line."""
+    import socketserver
+
+    class Handler(socketserver.StreamRequestHandler):
+        def handle(self):
+            for raw in self.rfile:
+                parts = raw.decode().strip().split(maxsplit=1)
+                if len(parts) != 2:
+                    continue
+                utt_id, path = parts
+                try:
+                    feats = extractor(path)
+                except Exception as e:
+                    logger.error("feature extraction failed for %s: %s", utt_id, e)
+                    self.wfile.write(f"{utt_id}\tFINAL\t\n".encode())
+                    continue
+
+                def on_partial(text, _u=utt_id):
+                    try:
+                        self.wfile.write(f"{_u}\tPARTIAL\t{text}\n".encode())
+                        self.wfile.flush()
+                    except (BrokenPipeError, OSError):
+                        pass
+
+                final = pool.run_stream(feats, on_partial)
+                try:
+                    self.wfile.write(f"{utt_id}\tFINAL\t{final}\n".encode())
+                    self.wfile.flush()
+                except (BrokenPipeError, OSError):
+                    return
+
+    class Server(socketserver.ThreadingTCPServer):
+        allow_reuse_address = True
+        daemon_threads = True
+
+    with Server((args.host, args.port), Handler) as srv:
+        logger.info("streaming on %s:%d (%d sessions)", args.host, args.port,
+                    args.streams)
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            pass
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
     logging.basicConfig(level=logging.INFO,
@@ -372,13 +532,17 @@ def main(argv=None) -> int:
                         force=True)
     if args.port is None and args.input is None:
         raise SystemExit("pass -i <wav.scp|-> or --port N")
-    batcher, extractor = _build(args)
+    front, extractor = _build(args)
+    if args.streaming:
+        if args.port is not None:
+            return _serve_tcp_streaming(args, front, extractor)
+        return _serve_stream_streaming(args, front, extractor)
     if args.warmup:
-        batcher.warmup()
-    batcher.start()
+        front.warmup()
+    front.start()
     if args.port is not None:
-        return _serve_tcp(args, batcher, extractor)
-    return _serve_stream(args, batcher, extractor)
+        return _serve_tcp(args, front, extractor)
+    return _serve_stream(args, front, extractor)
 
 
 if __name__ == "__main__":

@@ -156,3 +156,127 @@ def test_serve_tcp_mode(trained_exp, tmp_path):
             buf += chunk
     got = sorted(l.split("\t")[0] for l in buf.decode().splitlines())
     assert got == sorted(l.split()[0] for l in lines)
+
+
+@pytest.fixture(scope="module")
+def streaming_exp(tmp_path_factory):
+    """A briefly-trained chunked-attention CTC checkpoint + request wavs
+    (streaming-serving mechanics are under test, not CER)."""
+    import scipy.io.wavfile as siw
+
+    from opentransformer_tpu.cli.run import main as run_main
+    from tests.test_ctc_e2e import make_ctc_corpus
+    from tests.test_e2e import N_UNITS
+
+    root = str(tmp_path_factory.mktemp("serve_stream"))
+    make_ctc_corpus(root, n_utts=24)
+    cfg = {
+        "data": {
+            "dataset_type": "kaldi",
+            "vocab": os.path.join(root, "vocab"),
+            "batch_size": 8,
+            "num_mel_bins": FEAT_DIM,
+            "train": {"feat": [os.path.join(root, "feats.scp")],
+                      "text": [os.path.join(root, "text")]},
+            "test": {"feat": [os.path.join(root, "feats.scp")],
+                     "text": [os.path.join(root, "text")]},
+        },
+        "model": {
+            "type": "ctc",
+            "frontend_type": "conv",
+            "frontend": {"input_size": FEAT_DIM, "output_size": 32,
+                         "mid_channel": 8, "out_channel": 16,
+                         "kernel_size": [[3, 3], [3, 3]], "stride": [2, 2]},
+            "encoder_type": "transformer",
+            # chunked attention makes the model frame-synchronously servable
+            "encoder": {"d_model": 32, "n_heads": 2, "d_ff": 64, "n_blocks": 2,
+                        "residual_dropout": 0.0, "chunk_size": 4,
+                        "left_chunks": 2},
+            "vocab_size": 3 + N_UNITS,
+            "lookahead_steps": 0,
+        },
+        "train": {"optimizer_type": "adam", "optimizer": {"lr": 3e-3},
+                  "scheduler_type": "constant", "scheduler": {"lr": 3e-3},
+                  "clip_grad": 5, "epochs": 2, "save_name": "ctc"},
+    }
+    conf = os.path.join(root, "conf.yaml")
+    yaml.safe_dump(cfg, open(conf, "w"))
+    expdir = os.path.join(root, "exp")
+    assert run_main(["-c", conf, "-n", "1", "--expdir", expdir,
+                     "--log_interval", "100"]) == 0
+
+    rng = np.random.default_rng(11)
+    scp = []
+    for i in range(3):
+        p = os.path.join(root, f"req{i}.wav")
+        siw.write(p, 16000, (rng.normal(size=12000) * 3000).astype(np.int16))
+        scp.append(f"req{i} {p}")
+    reqs = os.path.join(root, "req.scp")
+    with open(reqs, "w") as f:
+        f.write("\n".join(scp) + "\n")
+    return reqs, expdir
+
+
+def test_serve_streaming_mode(streaming_exp, tmp_path):
+    """--streaming: every utterance gets exactly one FINAL line (partials
+    optional — they appear only when the hypothesis changes mid-stream)."""
+    from opentransformer_tpu.cli.serve import main as serve_main
+
+    reqs, expdir = streaming_exp
+    out = tmp_path / "out.tsv"
+    assert serve_main([
+        "-m", expdir, "-i", reqs, "-o", str(out), "--streaming",
+        "--streams", "1",
+    ]) == 0
+    lines = [l.split("\t") for l in out.read_text().splitlines()]
+    finals = [l for l in lines if l[1] == "FINAL"]
+    assert sorted(l[0] for l in finals) == ["req0", "req1", "req2"]
+    for l in lines:
+        assert l[1] in ("PARTIAL", "FINAL")
+    # partials for an utterance precede its FINAL
+    order = [(l[0], l[1]) for l in lines]
+    for utt in ("req0", "req1", "req2"):
+        evts = [k for u, k in order if u == utt]
+        assert evts[-1] == "FINAL" and all(e == "PARTIAL" for e in evts[:-1])
+
+
+def test_serve_streaming_tcp(streaming_exp):
+    """TCP streaming session: a client sends wav lines, receives PARTIAL*
+    then FINAL per utterance on the same connection."""
+    import time
+
+    from opentransformer_tpu.cli.serve import main as serve_main
+
+    reqs, expdir = streaming_exp
+    with socket.socket() as probe:
+        probe.bind(("127.0.0.1", 0))
+        port = probe.getsockname()[1]
+    t = threading.Thread(
+        target=serve_main,
+        args=(["-m", expdir, "--port", str(port), "--streaming",
+               "--streams", "2"],),
+        daemon=True,
+    )
+    t.start()
+    lines = open(reqs).read().splitlines()[:2]
+    t0 = time.time()
+    while time.time() - t0 < 120:
+        try:
+            conn = socket.create_connection(("127.0.0.1", port), timeout=2)
+            break
+        except OSError:
+            time.sleep(0.5)
+    else:
+        pytest.fail("server never came up")
+    with conn:
+        conn.sendall(("\n".join(lines) + "\n").encode())
+        conn.shutdown(socket.SHUT_WR)
+        conn.settimeout(120)
+        buf = b""
+        while buf.count(b"FINAL") < 2:
+            chunk = conn.recv(4096)
+            if not chunk:
+                break
+            buf += chunk
+    finals = [l for l in buf.decode().splitlines() if "\tFINAL\t" in l]
+    assert sorted(l.split("\t")[0] for l in finals) == ["req0", "req1"]
