@@ -128,33 +128,43 @@ def load_checkpoint(path: str):
     return payload["params"], ck.load_config()
 
 
+def load_model_and_lm(load_model: str, config: str | None = None,
+                      load_language_model: str | None = None):
+    """Shared CLI loading path (eval/serve): → (model, params, cfg, lm,
+    lm_params). Accepts expdirs, checkpoint dirs, or reference ``.pt``."""
+    params_np, cfg_dict = load_checkpoint(load_model)
+    if config:
+        cfg = load_config(config)
+    elif cfg_dict is not None:
+        cfg = Config(cfg_dict)
+    else:
+        raise SystemExit("error: no config embedded in checkpoint; pass -c")
+
+    model = build_model(cfg["model"])
+    params = jax.tree_util.tree_map(jax.numpy.asarray, params_np)
+
+    lm = lm_params = None
+    if load_language_model:
+        lm_params_np, lm_cfg = load_checkpoint(load_language_model)
+        if lm_cfg is None:
+            raise SystemExit(
+                f"error: no config.json embedded under {load_language_model}; "
+                "re-save the LM checkpoint with its config"
+            )
+        lm = build_model(Config(lm_cfg)["model"])
+        lm_params = jax.tree_util.tree_map(jax.numpy.asarray, lm_params_np)
+    return model, params, cfg, lm, lm_params
+
+
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(asctime)s - %(levelname)s - %(message)s", force=True)
     if args.mode == "greedy":
         args.beam_width = 1
 
-    params_np, cfg_dict = load_checkpoint(args.load_model)
-    if args.config:
-        cfg = load_config(args.config)
-    elif cfg_dict is not None:
-        cfg = Config(cfg_dict)
-    else:
-        raise ValueError("no config embedded in checkpoint; pass -c")
-
-    model = build_model(cfg["model"])
-    params = jax.tree_util.tree_map(jax.numpy.asarray, params_np)
-
-    lm = lm_params = None
-    if args.load_language_model:
-        lm_params_np, lm_cfg = load_checkpoint(args.load_language_model)
-        if lm_cfg is None:
-            raise SystemExit(
-                f"error: no config.json embedded under {args.load_language_model}; "
-                "re-save the LM checkpoint with its config"
-            )
-        lm = build_model(Config(lm_cfg)["model"])
-        lm_params = jax.tree_util.tree_map(jax.numpy.asarray, lm_params_np)
+    model, params, cfg, lm, lm_params = load_model_and_lm(
+        args.load_model, args.config, args.load_language_model
+    )
 
     idx2unit = load_idx2unit_map(cfg["data"]["vocab"])
     if args.online:

@@ -244,15 +244,18 @@ def main(argv=None) -> int:
 
     ck = Checkpointer(expdir, config=cfg.raw,
                       async_save=args.async_save or bool(cfg["train"].get("async_save", False)))
+    train_cfg = cfg["train"]
+    if args.steps_per_exec:
+        # merged into the config BEFORE construction so the Trainer's
+        # steps_per_exec guards (accum_steps == 1, no 1f1b) apply
+        train_cfg = {**dict(train_cfg), "steps_per_exec": int(args.steps_per_exec)}
     trainer = Trainer(
-        cfg["train"], model, mesh=mesh, expdir=expdir, checkpointer=ck,
+        train_cfg, model, mesh=mesh, expdir=expdir, checkpointer=ck,
         is_mixspeech=args.mixspeech, is_visual=args.visual, log_interval=args.log_interval,
         keep_last_n=args.keep_last_n_checkpoints, batch_fn=batch_fn,
         is_debug=args.debug, dev_loader=dev_loader, preprocess_fn=preprocess_fn,
         pp_schedule=args.pp_schedule, pp_micro_batches=args.pp_micro_batches,
     )
-    if args.steps_per_exec:
-        trainer.steps_per_exec = int(args.steps_per_exec)
 
     first = next(iter(loader))
     state = trainer.init_state(rng, first)

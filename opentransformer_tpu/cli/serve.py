@@ -31,7 +31,6 @@ import time
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import Config, load_config
 from ..data import load_idx2unit_map
 from ..models.registry import build_model
 from ..ops.fbank import fbank_numpy, logfbank_psf
@@ -139,6 +138,7 @@ class DynamicBatcher:
         self.timeout = float(timeout_ms) / 1000.0
         self.piece2word = piece2word
         self.q: "queue.Queue[_Request]" = queue.Queue()
+        self._warned_big: set[int] = set()
         self.latencies: list[float] = []
         self.audio_seconds = 0.0
         self.busy_seconds = 0.0
@@ -205,14 +205,24 @@ class DynamicBatcher:
         from .eval import postprocess
 
         tmax = max(r.feats.shape[0] for r in group)
-        bucket = next((b for b in self.buckets if b >= tmax), self.buckets[-1])
+        bucket = next((b for b in self.buckets if b >= tmax), None)
+        if bucket is None:
+            # beyond the largest bucket: pad up to a bounded fresh shape
+            # instead of silently dropping audio (a compile, not data loss)
+            step = self.buckets[0]
+            bucket = ((tmax + step - 1) // step) * step
+            if bucket not in self._warned_big:
+                self._warned_big.add(bucket)
+                logger.warning(
+                    "request of %d frames exceeds the largest bucket %d; "
+                    "padding to %d (compiles a new shape — consider adding "
+                    "it to --bucket-frames)", tmax, self.buckets[-1], bucket)
         nf = group[0].feats.shape[1]
-        self.set_n_feat(nf)
         feats = np.zeros((self.max_batch, bucket, nf), np.float32)
         lengths = np.zeros((self.max_batch,), np.int32)
         for i, r in enumerate(group):
-            t = min(r.feats.shape[0], bucket)  # over-bucket tails truncate
-            feats[i, :t] = r.feats[:t]
+            t = r.feats.shape[0]
+            feats[i, :t] = r.feats
             lengths[i] = t
         lengths[len(group):] = 1  # padding rows: one valid frame, discarded
         mask = length_to_mask(jnp.asarray(lengths), bucket)
@@ -253,7 +263,7 @@ class StreamingSessionPool:
     """
 
     def __init__(self, model_type: str, model, params, n_sessions: int = 2,
-                 idx2unit=None, max_per_frame: int = 8):
+                 idx2unit=None, max_per_frame: int = 8, piece2word: bool = False):
         from ..recognize.online import (
             StreamingCTCRecognizer,
             StreamingTransducerRecognizer,
@@ -273,12 +283,20 @@ class StreamingSessionPool:
         self._pool: "queue.Queue" = queue.Queue()
         for _ in range(max(1, int(n_sessions))):
             self._pool.put(make())
-        self._ids = {}
+        self.n_sessions = max(1, int(n_sessions))
+        self.piece2word = piece2word
 
-    def _text(self, rec, ids) -> str:
-        if rec.idx2unit is None:
-            return " ".join(map(str, ids))
-        return " ".join(rec.idx2unit.get(i, "<UNK>") for i in ids)
+    def _post(self, text: str) -> str:
+        from .eval import postprocess
+
+        return postprocess(text, self.piece2word)
+
+    def warmup(self, n_feat: int):
+        """Compile every session's chunk steps with a short dummy stream."""
+        for _ in range(self.n_sessions):
+            t0 = time.perf_counter()
+            self.run_stream(np.zeros((64, n_feat), np.float32), lambda _: None)
+            logger.info("streaming warmup: %.1fs", time.perf_counter() - t0)
 
     def run_stream(self, feats: np.ndarray, on_partial) -> str:
         """feats [T, F] → final text; calls on_partial(text) per new hypothesis."""
@@ -293,41 +311,25 @@ class StreamingSessionPool:
                 ids = rec.feed(x[:, s * rc:(s + 1) * rc])[0]
                 if ids != last:
                     last = list(ids)
-                    on_partial(self._text(rec, ids))
-            return rec.finish(x[:, n_full * rc:])[0]
+                    on_partial(self._post(rec.text_of(ids)))
+            return self._post(rec.finish(x[:, n_full * rc:])[0])
         finally:
             self._pool.put(rec)
 
 
 def _build(args):
     """Load checkpoint + config, build recognizer/extractor/batcher."""
-    from .eval import load_checkpoint
+    from .eval import load_model_and_lm
 
-    params_np, cfg_dict = load_checkpoint(args.load_model)
-    if args.config:
-        cfg = load_config(args.config)
-    elif cfg_dict is not None:
-        cfg = Config(cfg_dict)
-    else:
-        raise SystemExit("no config embedded in checkpoint; pass -c")
-    import jax
-
-    model = build_model(cfg["model"])
-    params = jax.tree_util.tree_map(jnp.asarray, params_np)
-
-    lm = lm_params = None
-    if args.load_language_model:
-        lm_params_np, lm_cfg = load_checkpoint(args.load_language_model)
-        if lm_cfg is None:
-            raise SystemExit("LM checkpoint has no embedded config")
-        lm = build_model(Config(lm_cfg)["model"])
-        lm_params = jax.tree_util.tree_map(jnp.asarray, lm_params_np)
-
+    model, params, cfg, lm, lm_params = load_model_and_lm(
+        args.load_model, args.config, args.load_language_model
+    )
     idx2unit = load_idx2unit_map(cfg["data"]["vocab"])
     if getattr(args, "streaming", False):
         pool = StreamingSessionPool(
             cfg["model"]["type"], model, params, n_sessions=args.streams,
             idx2unit=idx2unit, max_per_frame=args.max_tokens_per_chunk,
+            piece2word=args.piece2word,
         )
         return pool, FeatureExtractor(cfg["data"])
     recog_args = {
@@ -534,6 +536,8 @@ def main(argv=None) -> int:
         raise SystemExit("pass -i <wav.scp|-> or --port N")
     front, extractor = _build(args)
     if args.streaming:
+        if args.warmup:
+            front.warmup(extractor.num_mel_bins)
         if args.port is not None:
             return _serve_tcp_streaming(args, front, extractor)
         return _serve_stream_streaming(args, front, extractor)

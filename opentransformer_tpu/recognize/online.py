@@ -194,12 +194,16 @@ class _StreamingRecognizer:
         self._consume(self.session.feed(raw))
         return [list(t) for t in self.tokens]
 
+    def text_of(self, ids) -> str:
+        """Token ids → text through idx2unit (str ids when no map given)."""
+        if self.idx2unit is None:
+            return " ".join(map(str, ids))
+        return " ".join(self.idx2unit.get(i, "<UNK>") for i in ids)
+
     def finish(self, tail: Optional[np.ndarray] = None) -> list[str]:
         """Flush; returns final transcripts (ids joined via idx2unit if given)."""
         self._consume(self.session.flush(tail))
-        if self.idx2unit is None:
-            return [" ".join(map(str, t)) for t in self.tokens]
-        return [" ".join(self.idx2unit.get(i, "<UNK>") for i in t) for t in self.tokens]
+        return [self.text_of(t) for t in self.tokens]
 
 
 class StreamingCTCRecognizer(_StreamingRecognizer):

@@ -126,8 +126,11 @@ class Trainer:
             raise ValueError("steps_per_exec > 1 does not support pp_schedule=1f1b")
 
         self.accum_steps = int(params_cfg.get("accum_steps", 1))
-        if self.steps_per_exec > 1 and int(params_cfg.get("accum_steps", 1)) != 1:
-            raise ValueError("steps_per_exec > 1 requires accum_steps == 1")
+        if self.steps_per_exec > 1 and self.accum_steps != 1:
+            raise ValueError(
+                "steps_per_exec > 1 requires accum_steps == 1 — for the same "
+                "global batch, raise batch_size instead of accumulating"
+            )
         self.grad_clip = float(params_cfg.get("clip_grad", 0.0))
         self.grad_noise = float(params_cfg.get("grad_noise", 0.0))
         self.epochs = int(params_cfg.get("epochs", 1))
@@ -559,8 +562,15 @@ class Trainer:
         return TrainState(params=params, opt_state=opt_state, nan_skips=nan_skips)
 
     def train_one_epoch(self, epoch: int, state: TrainState, train_loader, rng) -> TrainState:
-        if self.steps_per_exec > 1 and jax.process_count() == 1:
-            return self._train_one_epoch_multi(epoch, state, train_loader, rng)
+        if self.steps_per_exec > 1:
+            if jax.process_count() == 1:
+                return self._train_one_epoch_multi(epoch, state, train_loader, rng)
+            if not getattr(self, "_warned_multi_multihost", False):
+                self._warned_multi_multihost = True
+                logger.warning(
+                    "steps_per_exec=%d is ignored under multihost (process-"
+                    "local batch stacking is not wired); using the single-"
+                    "step loop", self.steps_per_exec)
         if self._grad_fn is None:
             self._grad_fn = self._build_grad_fn()
             self._update_fn = self._build_update_fn()
