@@ -57,7 +57,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("-mt", "--max_tokens_per_chunk", type=int, default=8,
                    help="transducer: max emissions per encoder frame")
     p.add_argument("-n", "--ngpu", type=int, default=1,
-                   help="accepted for reference-CLI parity; decode uses one chip")
+                   help="data-parallel decode over N chips: batch rows shard "
+                        "over a 'data' mesh axis (the reference's -n only "
+                        "selected GPUs for torch DataParallel)")
     p.add_argument("-pf", "--path_fusion", action="store_true",
                    help="accepted for reference-CLI parity (transducer path "
                         "fusion was vestigial upstream); ignored")
@@ -190,6 +192,34 @@ def main(argv=None) -> int:
             args=vars(args), idx2unit=idx2unit,
         )
 
+    # multi-chip decode: replicate params, shard batch rows over 'data' —
+    # the jitted beam/greedy loops run SPMD and XLA inserts the collectives
+    mesh = None
+    if args.ngpu and args.ngpu > 1 and not (args.online or args.long_form):
+        if len(jax.devices()) < args.ngpu:
+            logger.warning("-n %d requested but only %d devices; using one",
+                           args.ngpu, len(jax.devices()))
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh(n_data=args.ngpu)
+            rep = NamedSharding(mesh, PartitionSpec())
+            recognizer.params = jax.device_put(recognizer.params, rep)
+            if getattr(recognizer, "lm_params", None) is not None:
+                recognizer.lm_params = jax.device_put(recognizer.lm_params, rep)
+            logger.info("decoding with batch rows sharded over %d chips", args.ngpu)
+
+    def to_device(x):
+        a = jax.numpy.asarray(x)
+        if mesh is None or a.shape[0] % args.ngpu != 0:
+            return a  # ragged tail batches decode replicated
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        spec = PartitionSpec("data", *(None,) * (a.ndim - 1))
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
     loader = FeatureLoader(cfg, args.decode_set, is_eval=True, batch_size=args.batch_size)
     targets_dict = getattr(loader.dataset, "targets_dict", {})
 
@@ -225,14 +255,14 @@ def main(argv=None) -> int:
                 from ..recognize.base import lm_rescore
 
                 hyp = recognizer.recognize_arrays(
-                    jax.numpy.asarray(inputs["inputs"]), jax.numpy.asarray(inputs["mask"])
+                    to_device(inputs["inputs"]), to_device(inputs["mask"])
                 )
                 hyp = lm_rescore(recognizer, lm, lm_params, hyp, args.lm_rescore_weight)
                 texts = recognizer.nbest_translate(np.asarray(hyp.tokens)[:, :, 1:])
                 scores = np.asarray(hyp.scores)
             else:
                 texts, scores = recognizer.recognize(
-                    jax.numpy.asarray(inputs["inputs"]), jax.numpy.asarray(inputs["mask"]),
+                    to_device(inputs["inputs"]), to_device(inputs["mask"]),
                 )
             accu_time += time.time() - t0
             total_frames += int(np.sum(inputs["inputs_length"]))

@@ -280,3 +280,23 @@ def test_serve_streaming_tcp(streaming_exp):
             buf += chunk
     finals = [l for l in buf.decode().splitlines() if "\tFINAL\t" in l]
     assert sorted(l.split("\t")[0] for l in finals) == ["req0", "req1"]
+
+
+def test_eval_multichip_decode_matches_single(trained_exp, tmp_path):
+    """eval.py -n 2: batch rows shard over a 2-device 'data' mesh; the SPMD
+    beam search must produce the same transcripts as single-device decode."""
+    from opentransformer_tpu.cli.eval import main as eval_main
+
+    _, expdir = trained_exp
+    assert eval_main(["-m", expdir, "-bw", "2", "-ml", "12", "-d", "test",
+                      "-s", "one"]) == 0
+    assert eval_main(["-m", expdir, "-bw", "2", "-ml", "12", "-d", "test",
+                      "-n", "2", "-s", "two"]) == 0
+    outs = {}
+    for d in os.listdir(expdir):
+        if "_one_" in d or d.endswith("_one"):
+            outs["one"] = open(os.path.join(expdir, d, "predict.txt")).read()
+        if "_two_" in d or d.endswith("_two"):
+            outs["two"] = open(os.path.join(expdir, d, "predict.txt")).read()
+    assert set(outs) == {"one", "two"}, os.listdir(expdir)
+    assert outs["one"] == outs["two"]
