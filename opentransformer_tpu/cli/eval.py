@@ -169,15 +169,39 @@ def main(argv=None) -> int:
     )
 
     idx2unit = load_idx2unit_map(cfg["data"]["vocab"])
+    long_form = args.long_form and cfg["model"]["type"] == "speech2text"
+    if args.long_form and not long_form:
+        logger.warning("--long_form only applies to speech2text models; "
+                       "falling back to offline decode")
+
+    # multi-chip decode: replicate params BEFORE the recognizer captures
+    # them in its jitted closures; batch rows then shard over 'data' and
+    # the beam/greedy loops run SPMD with XLA-inserted collectives
+    mesh = None
+    if args.ngpu and args.ngpu > 1:
+        if args.online or long_form:
+            logger.warning("-n %d is ignored with --online/--long_form "
+                           "(sequential session decode); using one chip",
+                           args.ngpu)
+        elif len(jax.devices()) < args.ngpu:
+            logger.warning("-n %d requested but only %d devices; using one",
+                           args.ngpu, len(jax.devices()))
+        else:
+            from ..parallel.mesh import make_mesh, replicated
+
+            mesh = make_mesh(n_data=args.ngpu)
+            params = jax.device_put(params, replicated(mesh))
+            if lm_params is not None:
+                lm_params = jax.device_put(lm_params, replicated(mesh))
+            logger.info("decoding with batch rows sharded over %d chips", args.ngpu)
+
     if args.online:
         from ..recognize.online import OnlineRecognizerAdapter
 
         recognizer = OnlineRecognizerAdapter(
             cfg["model"]["type"], model, params, idx2unit=idx2unit,
             max_per_frame=args.max_tokens_per_chunk)
-    elif args.long_form and cfg["model"]["type"] != "speech2text":
-        logger.warning("--long_form only applies to speech2text models; ignored")
-    elif args.long_form and cfg["model"]["type"] == "speech2text":
+    elif long_form:
         from ..recognize.streaming import LongFormRecognizer
 
         recognizer = LongFormRecognizer(
@@ -192,33 +216,13 @@ def main(argv=None) -> int:
             args=vars(args), idx2unit=idx2unit,
         )
 
-    # multi-chip decode: replicate params, shard batch rows over 'data' —
-    # the jitted beam/greedy loops run SPMD and XLA inserts the collectives
-    mesh = None
-    if args.ngpu and args.ngpu > 1 and not (args.online or args.long_form):
-        if len(jax.devices()) < args.ngpu:
-            logger.warning("-n %d requested but only %d devices; using one",
-                           args.ngpu, len(jax.devices()))
-        else:
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            from ..parallel.mesh import make_mesh
-
-            mesh = make_mesh(n_data=args.ngpu)
-            rep = NamedSharding(mesh, PartitionSpec())
-            recognizer.params = jax.device_put(recognizer.params, rep)
-            if getattr(recognizer, "lm_params", None) is not None:
-                recognizer.lm_params = jax.device_put(recognizer.lm_params, rep)
-            logger.info("decoding with batch rows sharded over %d chips", args.ngpu)
-
     def to_device(x):
         a = jax.numpy.asarray(x)
         if mesh is None or a.shape[0] % args.ngpu != 0:
             return a  # ragged tail batches decode replicated
-        from jax.sharding import NamedSharding, PartitionSpec
+        from ..parallel.mesh import batch_sharding
 
-        spec = PartitionSpec("data", *(None,) * (a.ndim - 1))
-        return jax.device_put(a, NamedSharding(mesh, spec))
+        return jax.device_put(a, batch_sharding(mesh))
 
     loader = FeatureLoader(cfg, args.decode_set, is_eval=True, batch_size=args.batch_size)
     targets_dict = getattr(loader.dataset, "targets_dict", {})

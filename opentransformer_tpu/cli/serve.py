@@ -208,8 +208,10 @@ class DynamicBatcher:
         bucket = next((b for b in self.buckets if b >= tmax), None)
         if bucket is None:
             # beyond the largest bucket: pad up to a bounded fresh shape
-            # instead of silently dropping audio (a compile, not data loss)
-            step = self.buckets[0]
+            # instead of silently dropping audio (a compile, not data loss);
+            # round to a multiple of the LARGEST bucket so pathological
+            # inputs can't mint one new compile per distinct length
+            step = self.buckets[-1]
             bucket = ((tmax + step - 1) // step) * step
             if bucket not in self._warned_big:
                 self._warned_big.add(bucket)

@@ -300,3 +300,13 @@ def test_eval_multichip_decode_matches_single(trained_exp, tmp_path):
             outs["two"] = open(os.path.join(expdir, d, "predict.txt")).read()
     assert set(outs) == {"one", "two"}, os.listdir(expdir)
     assert outs["one"] == outs["two"]
+
+
+def test_eval_long_form_non_s2t_falls_back(streaming_exp):
+    """--long_form on a ctc model must fall back to offline decode (it
+    previously crashed with NameError after the 'ignored' warning)."""
+    from opentransformer_tpu.cli.eval import main as eval_main
+
+    _, expdir = streaming_exp
+    assert eval_main(["-m", expdir, "--long_form", "-d", "test",
+                      "-s", "lffb"]) == 0
