@@ -310,3 +310,44 @@ def test_eval_long_form_non_s2t_falls_back(streaming_exp):
     _, expdir = streaming_exp
     assert eval_main(["-m", expdir, "--long_form", "-d", "test",
                       "-s", "lffb"]) == 0
+
+
+def test_serve_warmup_and_lm_fusion(trained_exp, tmp_path):
+    """--warmup precompiles the bucket shapes, and -lm routes shallow fusion
+    through the batched recognizer (same loader path as eval.py)."""
+    import yaml as _yaml
+
+    from opentransformer_tpu.cli.run import main as run_main
+    from opentransformer_tpu.cli.serve import main as serve_main
+
+    root, expdir = trained_exp
+    conf = os.path.join(root, "conf.yaml")
+    cfg = _yaml.safe_load(open(conf))
+    lm_cfg = {
+        "data": {
+            "dataset_type": "text", "batch_size": 8,
+            "src_vocab": cfg["data"]["vocab"], "tgt_vocab": cfg["data"]["vocab"],
+            "train": {"src": cfg["data"]["train"]["text"],
+                      "tgt": cfg["data"]["train"]["text"]},
+        },
+        "model": {"type": "transformer_lm",
+                  "vocab_size": cfg["model"]["decoder"]["vocab_size"],
+                  "num_blocks": 1, "d_model": 16, "n_heads": 2, "d_ff": 32},
+        "train": {"optimizer_type": "adam", "optimizer": {},
+                  "scheduler_type": "constant", "scheduler": {"lr": 1e-3},
+                  "epochs": 1, "save_name": "lm"},
+    }
+    lm_conf = os.path.join(root, "lm.yaml")
+    _yaml.safe_dump(lm_cfg, open(lm_conf, "w"))
+    lm_expdir = os.path.join(root, "lm_exp")
+    assert run_main(["-c", lm_conf, "-n", "1", "--expdir", lm_expdir,
+                     "--log_interval", "100"]) == 0
+
+    out = tmp_path / "out.tsv"
+    reqs = os.path.join(root, "req.scp")
+    assert serve_main([
+        "-m", expdir, "-i", reqs, "-o", str(out), "--warmup",
+        "--max-batch", "2", "--bucket-frames", "600",
+        "-bw", "2", "-ml", "12", "-lm", lm_expdir, "-lmw", "0.2",
+    ]) == 0
+    assert len(out.read_text().splitlines()) == 6
