@@ -17,8 +17,9 @@ torchaudio compliance): snip-edges framing (25ms window / 10ms shift),
 DC-offset removal, preemphasis 0.97 (first sample preemphasized against
 itself), povey window ((0.5-0.5cos)^0.85), zero-pad to next pow2, power
 spectrum, kaldi-style mel banks (mel = 1127·ln(1+f/700), low 20Hz, high
-nyquist), log with eps floor. Golden-tested against torchaudio in
-``tests/test_fbank.py``.
+nyquist), log with eps floor. Verified in ``tests/test_fbank.py`` against an
+independent naive oracle (literal kaldi formulas, explicit cos/sin DFT) that
+runs in this image, plus golden tests vs torchaudio that run where installed.
 """
 
 from __future__ import annotations

@@ -40,6 +40,104 @@ def test_fbank_matches_torchaudio(n_samples, num_mel_bins):
     np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
 
 
+def oracle_kaldi_fbank(wav, sr=16000, num_mel_bins=40):
+    """Deliberately-naive kaldi log-fbank oracle, written from the published
+    kaldi formulas (feat/feature-window.cc, feat/mel-computations.cc) with no
+    reference to ops/fbank.py internals: snip-edges framing, per-frame DC
+    removal, preemphasis 0.97 with the first sample preemphasized against
+    itself, povey window (0.5-0.5cos)^0.85, zero-pad to the next power of
+    two, an explicit cos/sin DFT (no np.fft), and per-bin triangular mel
+    weights on the 1127*ln(1+f/700) scale (low 20 Hz, high nyquist).
+
+    All constants are literal here on purpose — a wrong exponent or mel
+    break frequency in the production kernel cannot silently agree.
+    """
+    import math
+
+    wav = np.asarray(wav, np.float64)
+    ws = int(sr * 25.0 / 1000.0)  # 25 ms window
+    shift = int(sr * 10.0 / 1000.0)  # 10 ms shift
+    if len(wav) < ws:
+        return np.zeros((0, num_mel_bins))
+    nfrm = 1 + (len(wav) - ws) // shift
+    nfft = 1
+    while nfft < ws:
+        nfft *= 2
+
+    win = np.array(
+        [(0.5 - 0.5 * math.cos(2.0 * math.pi * i / (ws - 1))) ** 0.85
+         for i in range(ws)]
+    )
+    # explicit DFT matrices over the ws real samples (zero-padding past ws
+    # contributes nothing); nyquist bin excluded — its mel weight is zero
+    k = np.arange(nfft // 2)[:, None]
+    n = np.arange(ws)[None, :]
+    cos_mat = np.cos(-2.0 * math.pi * k * n / nfft)
+    sin_mat = np.sin(-2.0 * math.pi * k * n / nfft)
+
+    def mel(f):
+        return 1127.0 * math.log(1.0 + f / 700.0)
+
+    mlo, mhi = mel(20.0), mel(sr / 2.0)
+    d = (mhi - mlo) / (num_mel_bins + 1)
+    bin_mel = np.array([mel(kk * sr / nfft) for kk in range(nfft // 2)])
+
+    out = np.zeros((nfrm, num_mel_bins))
+    for m in range(nfrm):
+        frm = wav[m * shift : m * shift + ws].copy()
+        frm = frm - frm.mean()
+        pre = np.empty_like(frm)
+        pre[0] = frm[0] - 0.97 * frm[0]
+        pre[1:] = frm[1:] - 0.97 * frm[:-1]
+        frm = pre * win
+        power = (cos_mat @ frm) ** 2 + (sin_mat @ frm) ** 2
+        for j in range(num_mel_bins):
+            left, center, right = mlo + j * d, mlo + (j + 1) * d, mlo + (j + 2) * d
+            acc = 0.0
+            for kk in range(nfft // 2):
+                mk = bin_mel[kk]
+                if left < mk < right:
+                    w = ((mk - left) / (center - left) if mk <= center
+                         else (right - mk) / (right - center))
+                    acc += w * power[kk]
+            out[m, j] = math.log(max(acc, 1.1920928955078125e-07))
+    return out
+
+
+@pytest.mark.parametrize("n_samples", [400, 560, 1600, 16123])
+@pytest.mark.parametrize("num_mel_bins", [40, 80])
+def test_fbank_matches_independent_oracle(n_samples, num_mel_bins):
+    rng = np.random.default_rng(0)
+    wav = (rng.normal(size=n_samples) * 0.1).astype(np.float32)
+    ref = oracle_kaldi_fbank(wav, num_mel_bins=num_mel_bins)
+    got = fbank_numpy(wav, num_mel_bins=num_mel_bins)
+    assert got.shape == ref.shape == (num_frames(n_samples), num_mel_bins)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_fbank_jax_matches_independent_oracle():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(2)
+    n = 2080  # 11 frames
+    wav = (rng.normal(size=n) * 0.1).astype(np.float32)
+    ref = oracle_kaldi_fbank(wav, num_mel_bins=40)
+    feats, lens = fbank_jax(jnp.asarray(wav[None, :]), jnp.asarray([n]))
+    got = np.asarray(feats)[0, : int(lens[0])]
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_fbank_oracle_on_structured_signal():
+    """Sine sweep: parity must hold on structured audio, not just noise."""
+    sr = 16000
+    t = np.arange(3200) / sr
+    wav = (0.5 * np.sin(2 * np.pi * (200 + 1000 * t) * t)).astype(np.float32)
+    ref = oracle_kaldi_fbank(wav, num_mel_bins=80)
+    got = fbank_numpy(wav, num_mel_bins=80)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
 def test_frame_counts_snip_edges():
     # kaldi snip-edges: 1 + (N - 400) // 160 for 16k/25ms/10ms
     assert num_frames(400) == 1
