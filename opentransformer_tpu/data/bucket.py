@@ -8,10 +8,11 @@ of utterances longer than the last boundary.
 
 TPU-critical difference (SURVEY §7.2): every batch is tagged with its bucket
 boundary, and the collate pads the time axis to exactly that boundary — so
-the number of distinct compiled shapes is bounded by the number of buckets,
-instead of the reference's fully dynamic per-batch max length
-(``otrans/data/loader.py:71-72``) which would retrigger XLA compilation
-per batch.
+the number of distinct compiled shapes is bounded by the number of buckets
+(plus, for utterances beyond the last boundary, a few quantized pseudo-
+boundaries at ``overlong_pad_multiple`` steps), instead of the reference's
+fully dynamic per-batch max length (``otrans/data/loader.py:71-72``) which
+would retrigger XLA compilation per batch.
 """
 
 from __future__ import annotations
@@ -43,6 +44,7 @@ class BySequenceLengthSampler:
         rm_the_long_sents: bool = False,
         drop_last: bool = False,
         seed: int = 0,
+        overlong_pad_multiple: int = 256,
     ):
         self.boundaries = sorted(int(b) for b in bucket_boundaries)
         self.batch_size = int(batch_size)
@@ -51,20 +53,35 @@ class BySequenceLengthSampler:
         self.drop_last = bool(drop_last)
         self.seed = int(seed)
         self.epoch = 0
+        self.overlong_pad_multiple = max(int(overlong_pad_multiple or 256), 1)
 
         max_b = self.boundaries[-1]
         self.buckets: dict[int, list[int]] = {b: [] for b in self.boundaries}
         dropped = 0
+        overlong = 0
         for idx, length in index_length_pairs:
             b = self._bucket_of(length)
             if b is None:
                 if rm_the_long_sents:
                     dropped += 1
                     continue
-                b = max_b  # clamp into the last bucket (padded there)
+                # Over-long utterances get QUANTIZED pseudo-boundaries
+                # (ceil to a multiple) rather than clamping into the last
+                # bucket: collate pads to the boundary, so the compiled
+                # shape count stays bounded by the quantum instead of one
+                # fresh XLA shape per distinct over-long batch length.
+                m = self.overlong_pad_multiple
+                b = ((int(length) + m - 1) // m) * m
+                overlong += 1
+                self.buckets.setdefault(b, [])
             self.buckets[b].append(idx)
         if dropped:
             logger.info("dropped %d utterances longer than %d frames", dropped, max_b)
+        if overlong:
+            logger.info(
+                "%d utterances longer than %d frames bucketed to %d-frame quanta",
+                overlong, max_b, self.overlong_pad_multiple,
+            )
         self._regenerate()
 
     def _bucket_of(self, length: int) -> Optional[int]:
@@ -77,7 +94,10 @@ class BySequenceLengthSampler:
         if self.max_frames_one_batch > 0:
             return max(self.max_frames_one_batch // boundary, 1)
         if self.bucket_batch_sizes:
-            i = self.boundaries.index(boundary)
+            # over-long pseudo-boundaries (> last configured boundary) take
+            # the last configured batch size
+            i = next((k for k, b in enumerate(self.boundaries) if b >= boundary),
+                     len(self.boundaries) - 1)
             return int(self.bucket_batch_sizes[min(i, len(self.bucket_batch_sizes) - 1)])
         return self.batch_size
 

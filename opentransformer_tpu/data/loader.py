@@ -53,7 +53,11 @@ def collate_speech(samples, pad_to_frames: Optional[int] = None, target_pad_mult
     b = len(samples)
     f = feats[0].shape[1]
     t_max = pad_to_frames or max(tlens)
-    t_max = max(t_max, max(tlens))
+    # The sampler guarantees max(tlens) <= pad_to_frames (over-long
+    # utterances get quantized pseudo-boundaries, bucket.py); truncate
+    # defensively rather than exceed the bucket shape and mint a fresh
+    # XLA compile per odd batch.
+    tlens = [min(t, t_max) for t in tlens]
     u_max = quantize(max(ulens) + 2, target_pad_multiple)  # BOS + y + EOS
 
     x = np.zeros((b, t_max, f), np.float32)
@@ -61,7 +65,7 @@ def collate_speech(samples, pad_to_frames: Optional[int] = None, target_pad_mult
     y = np.full((b, u_max), PAD, np.int32)
     y_mask = np.zeros((b, u_max), bool)
     for i in range(b):
-        x[i, : tlens[i]] = feats[i]
+        x[i, : tlens[i]] = feats[i][: tlens[i]]
         x_mask[i, : tlens[i]] = True
         y[i, 0] = BOS
         y[i, 1 : 1 + ulens[i]] = tgts[i]
@@ -220,6 +224,7 @@ class FeatureLoader:
                 rm_the_long_sents=bucket_cfg.get("rm_the_long_sents", False),
                 drop_last=bucket_cfg.get("drop_last", False),
                 seed=seed,
+                overlong_pad_multiple=bucket_cfg.get("overlong_pad_multiple", 256),
             )
         else:
             # simple length-sorted static batching: sort by length so batch

@@ -116,6 +116,42 @@ def test_bucket_sampler_static_shapes():
     assert first != second  # epoch reshuffle
 
 
+def test_overlong_utterances_bounded_compile_shapes():
+    """Utterances beyond the last boundary must land in QUANTIZED
+    pseudo-boundaries so the collated (T, U) shape count stays bounded —
+    the reference's dynamic pad (otrans/data/loader.py:71-72) would mint a
+    fresh XLA compile per distinct over-long batch length."""
+    rng = np.random.default_rng(7)
+    # 2000+-frame outliers with many DISTINCT lengths
+    lengths = [int(rng.integers(50, 990)) for _ in range(60)] + [
+        2001, 2050, 2111, 2222, 2345, 2399, 2500, 2750, 3000, 3333
+    ]
+    pairs = list(enumerate(lengths))
+    boundaries = [250, 500, 750, 1000]
+    s = BySequenceLengthSampler(pairs, bucket_boundaries=boundaries,
+                                batch_size=4, seed=1, overlong_pad_multiple=256)
+
+    f = 8
+    feats = {i: np.ones((l, f), np.float32) for i, l in pairs}
+    shapes = set()
+    seen = set()
+    for boundary, idxs in s:
+        samples = [(f"u{i}", feats[i], lengths[i], [3, 4, 5], 3) for i in idxs]
+        _, inputs, targets = collate_speech(samples, pad_to_frames=boundary)
+        shapes.add((inputs["inputs"].shape[1], targets["targets"].shape[1]))
+        assert inputs["inputs"].shape[1] == boundary  # never exceeds bucket
+        seen.update(idxs)
+    assert seen == set(range(len(pairs)))  # nothing dropped
+    # T shapes: 4 buckets + ceil-quantized overlong pseudo-boundaries only
+    t_shapes = {t for t, _ in shapes}
+    quantized = {((l + 255) // 256) * 256 for l in lengths if l > 1000}
+    assert t_shapes <= set(boundaries) | quantized
+    assert len(t_shapes) <= len(boundaries) + len(quantized)
+    # every over-long utterance fits its pseudo-boundary
+    for boundary, idxs in s:
+        assert all(lengths[i] <= boundary for i in idxs)
+
+
 def test_bucket_auto_batch_size():
     pairs = [(i, 500) for i in range(40)]
     s = BySequenceLengthSampler(pairs, bucket_boundaries=[500, 1000],
