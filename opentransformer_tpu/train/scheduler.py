@@ -84,16 +84,13 @@ def build_scheduler(sched_cfg: Any, sched_type: str = "transformer") -> Schedule
 
     if sched_type == "step-exp":
         # reference semantics: lr <- max(lr ** decay_factor, min_lr), a
-        # self-referential power decay; reproduce with captured state.
-        state = {"lr": float(cfg["init_lr"])}
+        # self-referential power decay (otrans/train/scheduler.py:116-126).
+        # Pure closed form of the recurrence so `-ct` resume reproduces the
+        # exact lr trajectory (k decay applications by global step k+1).
+        init_lr = float(cfg["init_lr"])
         decay = float(cfg["decay_factor"])
         min_lr = float(cfg.get("min_lr", 1e-6))
-
-        def step_exp(step, epoch):
-            state["lr"] = max(state["lr"] ** decay, min_lr)
-            return state["lr"]
-
-        return step_exp
+        return lambda step, epoch: _power_decay_lr(init_lr, decay, min_lr, max(int(step), 0) + 1)
 
     if sched_type == "transformer":
         # Noam: factor * d^-0.5 * min(step^-0.5, step * warmup^-1.5)
@@ -108,27 +105,51 @@ def build_scheduler(sched_cfg: Any, sched_type: str = "transformer") -> Schedule
         return noam
 
     if sched_type == "linear-warmup-exp-decay":
+        # reference (otrans/train/scheduler.py:141-166): linear 0→peak over
+        # warmup, hold to decay_start, then the same self-referential power
+        # recurrence from peak. Pure in (step, epoch): k = step - decay_start
+        # decay applications, resume-safe.
         warmup = float(cfg["warmup_steps"])
         decay_start = float(cfg["decay_start"])
         peak_lr = float(cfg["peak_lr"])
         final_lr = float(cfg["final_lr"])
         decay = float(cfg["decay_factor"])
         assert decay_start > warmup and decay < 1.0
-        state = {"lr": peak_lr}
 
         def sched(step, epoch):
             if step < warmup:
-                lr = _linear(step, 0, warmup, 0.0, peak_lr)
-            elif step > decay_start:
-                lr = max(state["lr"] ** decay, final_lr)
-            else:
-                lr = peak_lr
-            state["lr"] = lr
-            return lr
+                return _linear(step, 0, warmup, 0.0, peak_lr)
+            if step > decay_start:
+                return _power_decay_lr(peak_lr, decay, final_lr, int(step - decay_start))
+            return peak_lr
 
         return sched
 
     raise KeyError(f"unknown scheduler type: {sched_type!r}")
+
+
+def _power_decay_lr(x0: float, d: float, m: float, k: int) -> float:
+    """Closed form of k applications of ``x <- max(x ** d, m)`` from x0.
+
+    The naive candidate after k unclamped applications is ``x0 ** (d**k)``,
+    monotone in k (toward 1 for d < 1, away from 1 for d > 1). The clamp
+    at m is a threshold event on that monotone sequence:
+
+      * first application already clamped (x0**d < m): for a decreasing
+        map (m**d <= m) the floor is absorbing; otherwise the sequence
+        restarts purely from m.
+      * clamp never reached by step k: pure powers.
+      * decreasing sequence crossed below m at some j <= k: clamped to m
+        there, and m is absorbing for a decreasing map.
+    """
+    if k <= 0:
+        return x0
+    if x0 ** d < m:
+        if m ** d <= m:
+            return m
+        return m ** (d ** (k - 1))
+    c = x0 ** (d ** k)
+    return c if c >= m else m
 
 
 SCHEDULER_TYPES = (

@@ -34,6 +34,36 @@ def test_linear_and_exp_schedules():
     assert v2 < v1 < 0.5
 
 
+def test_stateful_schedules_are_pure_and_resume_safe():
+    """step-exp and linear-warmup-exp-decay were recurrences on captured
+    state; as pure functions of (step, epoch) a resume at step 50 must
+    reproduce the exact lr sequence of an uninterrupted run."""
+    configs = [
+        ("step-exp", {"init_lr": 0.5, "decay_factor": 1.1, "min_lr": 1e-2}),
+        ("step-exp", {"init_lr": 1e-8, "decay_factor": 1.1, "min_lr": 1e-6}),  # clamp binds
+        ("linear-warmup-exp-decay",
+         {"warmup_steps": 10, "decay_start": 20, "peak_lr": 0.4,
+          "final_lr": 1e-4, "decay_factor": 0.9}),
+    ]
+    for sched_type, cfg in configs:
+        full = build_scheduler(cfg, sched_type)
+        seq = [full(step, 0) for step in range(100)]
+        resumed = build_scheduler(cfg, sched_type)  # fresh instance at step 50
+        for step in range(50, 100):
+            assert math.isclose(resumed(step, 0), seq[step]), (sched_type, step)
+        # calling out of order / repeatedly must not change results
+        assert math.isclose(full(3, 0), seq[3]) and math.isclose(full(3, 0), seq[3])
+
+    # closed form matches the literal reference recurrence lr<-max(lr^d, m)
+    for init, d, m in [(0.5, 1.1, 1e-2), (0.5, 1.1, 0.3), (1e-8, 1.1, 1e-6),
+                       (1e-8, 0.5, 1e-6), (0.3, 0.9, 1e-4)]:
+        s = build_scheduler({"init_lr": init, "decay_factor": d, "min_lr": m}, "step-exp")
+        lr = init
+        for step in range(40):
+            lr = max(lr ** d, m)
+            assert math.isclose(s(step, 0), lr, rel_tol=1e-12), (init, d, m, step)
+
+
 def synth_batch(rng, b=8, t=33, f=20, u=6):
     feats = jnp.asarray(rng.normal(size=(b, t, f)), jnp.float32)
     mask = length_to_mask(jnp.asarray([t] * b), t)
