@@ -6,9 +6,13 @@
 // the label-synchronous prefix search that doesn't map to the MXU.
 //
 // Exposed as a C ABI for ctypes (no pybind11 in the image):
-//   lm_load(path, vocab, vocab_size)          -> LM handle (ARPA text or the
-//                                                "OTLM" binary cache, detected
-//                                                by magic; see SaveBinary)
+//   lm_load(path, vocab, vocab_size)          -> LM handle; the format is
+//                                                detected by magic: ARPA text,
+//                                                the first-party "OTLM" binary
+//                                                cache (see SaveBinary), or a
+//                                                KenLM PROBING binary (the
+//                                                format ctcdecode feeds to
+//                                                kenlm; see KenlmProbingLM)
 //   lm_save_binary(handle, path)              -> write the binary cache
 //   lm_free(handle)
 //   ctc_beam_decode(...)                      -> n-best token sequences
@@ -23,12 +27,14 @@
 #include <atomic>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <fstream>
 #include <memory>
 #include <sstream>
 #include <string>
 #include <thread>
+#include <unistd.h>
 #include <unordered_map>
 #include <vector>
 
@@ -43,10 +49,18 @@ inline float LogSumExp(float a, float b) {
   return m + std::log(std::exp(a - m) + std::exp(b - m));
 }
 
+// Common interface: decoder-side token-id scoring with ARPA back-off.
+struct LmBase {
+  virtual ~LmBase() = default;
+  virtual int Order() const = 0;
+  // natural-log P(token | context) with standard back-off accumulation
+  virtual float Score(const std::vector<int32_t>& context, int32_t token) const = 0;
+};
+
 // ---------------------------------------------------------------------------
 // ARPA n-gram LM over token ids.
 // ---------------------------------------------------------------------------
-struct NgramLM {
+struct NgramLM : LmBase {
   int order = 0;
   // key: token-id sequence packed as string of int32; value: (logp, backoff)
   std::unordered_map<std::string, std::pair<float, float>> table;
@@ -58,8 +72,10 @@ struct NgramLM {
     return std::string(reinterpret_cast<const char*>(ids), n * sizeof(int32_t));
   }
 
+  int Order() const override { return order; }
+
   // log10 probabilities in ARPA are converted to natural log here.
-  float Score(const std::vector<int32_t>& context, int32_t token) const {
+  float Score(const std::vector<int32_t>& context, int32_t token) const override {
     // try longest n-gram first: (context suffix + token)
     std::vector<int32_t> ids;
     int max_ctx = std::min<int>(order - 1, context.size());
@@ -110,24 +126,38 @@ constexpr uint32_t kOtlmMagic = 0x4d4c544f;  // "OTLM" little-endian
 constexpr uint32_t kOtlmVersion = 1;
 
 bool SaveBinary(const NgramLM& lm, const char* path) {
-  std::ofstream out(path, std::ios::binary | std::ios::trunc);
-  if (!out.good()) return false;
-  auto put = [&](const void* p, size_t n) { out.write((const char*)p, n); };
-  uint64_t n = lm.table.size();
-  put(&kOtlmMagic, 4);
-  put(&kOtlmVersion, 4);
-  put(&lm.order, 4);
-  put(&lm.oov_logp, 4);
-  put(&lm.vocab_hash, 8);
-  put(&n, 8);
-  for (const auto& kv : lm.table) {
-    uint32_t kb = kv.first.size();
-    put(&kb, 4);
-    put(kv.first.data(), kb);
-    put(&kv.second.first, 4);
-    put(&kv.second.second, 4);
+  // write-to-temp + rename so two concurrent decode processes caching the
+  // same ARPA can never interleave writes into a corrupt-but-plausible file
+  std::string tmp = std::string(path) + ".tmp." + std::to_string(::getpid());
+  {
+    std::ofstream out(tmp, std::ios::binary | std::ios::trunc);
+    if (!out.good()) return false;
+    auto put = [&](const void* p, size_t n) { out.write((const char*)p, n); };
+    uint64_t n = lm.table.size();
+    put(&kOtlmMagic, 4);
+    put(&kOtlmVersion, 4);
+    put(&lm.order, 4);
+    put(&lm.oov_logp, 4);
+    put(&lm.vocab_hash, 8);
+    put(&n, 8);
+    for (const auto& kv : lm.table) {
+      uint32_t kb = kv.first.size();
+      put(&kb, 4);
+      put(kv.first.data(), kb);
+      put(&kv.second.first, 4);
+      put(&kv.second.second, 4);
+    }
+    if (!out.good()) {
+      out.close();
+      std::remove(tmp.c_str());
+      return false;
+    }
   }
-  return out.good();
+  if (std::rename(tmp.c_str(), path) != 0) {
+    std::remove(tmp.c_str());
+    return false;
+  }
+  return true;
 }
 
 NgramLM* LoadBinary(std::ifstream& in, uint64_t expected_hash) {
@@ -158,6 +188,233 @@ NgramLM* LoadBinary(std::ifstream& in, uint64_t expected_hash) {
     if (!in.good()) return nullptr;
     lm->table.emplace(key, std::make_pair(logp, backoff));
   }
+  return lm.release();
+}
+
+// ---------------------------------------------------------------------------
+// KenLM PROBING binary reader.
+//
+// The reference decodes CTC with KenLM binaries through ctcdecode
+// (otrans/recognize/ctc.py:19-25); users arrive with `build_binary probing`
+// files, so `-ngram lm.klm` accepts them directly. Layout per the KenLM
+// sources (lm/binary_format.cc, lm/vocab.cc, lm/search_hashed.hh,
+// util/probing_hash_table.hh), version-5 magic:
+//
+//   Sanity        : magic[52] "mmap lm http://kheafield.com/code format
+//                   version 5\n\0", zero_f, one_f, minus_half_f (f32),
+//                   one_word_index=1, max_word_index=2^32-1 (u32),
+//                   one_uint64=1 (u64); 80 bytes.
+//   FixedWidth    : order u8 (+3 pad), probing_multiplier f32,
+//                   model_type i32 (0 = PROBING), has_vocabulary u8 (+3
+//                   pad), search_version u32; 20 bytes.
+//   counts        : u64[order]; header then padded to 8.
+//   vocab         : ProbingVocabularyHeader {version u32, bound u32}, then a
+//                   probing hash table of packed {u64 murmur(word), u32 id}
+//                   entries (12 B), buckets = max(n+1, multiplier*n).
+//   search        : unigram ProbBackoff[counts[0] + 1] (f32 prob, f32
+//                   backoff, log10); per middle order 2..n-1 a probing table
+//                   of packed {u64 key, f32 prob, f32 backoff} (16 B); the
+//                   longest order a probing table of packed {u64 key, f32
+//                   prob} (12 B). Key = chained hash starting from the
+//                   predicted word: h = word_n; h = h*8978948897894561157 ^
+//                   (1+word_i)*17894857484156487943 for i = n-1..1.
+//   vocab strings : iff has_vocabulary — NUL-terminated words in id order
+//                   ("<unk>" first); used here to map this vocab's units to
+//                   KenLM word ids (the hash table stores hashes only).
+//
+// Scoring walks the same back-off recursion as the ARPA path, so a .klm and
+// its source .arpa decode identically (tests/test_native_ctc.py fixture).
+// ---------------------------------------------------------------------------
+const char kKenlmMagic[] = "mmap lm http://kheafield.com/code format version 5\n";
+
+struct KenlmProbingLM : LmBase {
+  int order = 0;
+  std::vector<uint64_t> counts;
+  std::vector<std::pair<float, float>> unigram;  // [word] -> (log10 p, log10 bo)
+  struct Table {
+    std::vector<char> bytes;
+    uint64_t buckets = 0;
+    size_t entry_size = 0;
+  };
+  std::vector<Table> middles;  // orders 2..n-1
+  Table longest;               // order n (prob only)
+  std::vector<uint32_t> our_to_ken;  // our token id -> kenlm word id (0 = <unk>)
+  uint32_t bos_id = 0, eos_id = 0;
+
+  int Order() const override { return order; }
+
+  static uint64_t Buckets(uint64_t entries, float multiplier) {
+    // util/probing_hash_table.hh Size(): max(entries + 1, multiplier * entries)
+    uint64_t scaled = (uint64_t)(multiplier * (float)entries);
+    return std::max(entries + 1, scaled);
+  }
+
+  static uint64_t ChainHash(const uint32_t* words, int n) {
+    // lm/model.cc lookup order: start from the predicted (last) word and
+    // fold in history from most recent to oldest
+    uint64_t h = (uint64_t)words[n - 1];
+    for (int i = n - 2; i >= 0; --i) {
+      h = (h * 8978948897894561157ull) ^ ((uint64_t)(1u + words[i]) * 17894857484156487943ull);
+    }
+    return h;
+  }
+
+  // probe `table` for `key`; entry layout = u64 key then payload
+  static const char* Find(const Table& t, uint64_t key) {
+    if (t.buckets == 0) return nullptr;
+    uint64_t i = key % t.buckets;
+    for (uint64_t probes = 0; probes < t.buckets; ++probes) {
+      const char* e = t.bytes.data() + i * t.entry_size;
+      uint64_t k;
+      std::memcpy(&k, e, 8);
+      if (k == key) return e;
+      if (k == 0) return nullptr;  // empty slot: miss
+      if (++i == t.buckets) i = 0;
+    }
+    return nullptr;
+  }
+
+  // (log10 prob, log10 backoff) of the kenlm-id n-gram, if present
+  bool Lookup(const uint32_t* words, int n, float* logp, float* backoff) const {
+    if (n == 1) {
+      if (words[0] >= unigram.size()) return false;
+      *logp = unigram[words[0]].first;
+      *backoff = unigram[words[0]].second;
+      return true;
+    }
+    uint64_t key = ChainHash(words, n);
+    if (n == order) {
+      const char* e = Find(longest, key);
+      if (!e) return false;
+      std::memcpy(logp, e + 8, 4);
+      *backoff = 0.0f;
+      return true;
+    }
+    const Table& t = middles[n - 2];
+    const char* e = Find(t, key);
+    if (!e) return false;
+    std::memcpy(logp, e + 8, 4);
+    std::memcpy(backoff, e + 12, 4);
+    return true;
+  }
+
+  uint32_t MapToken(int32_t tok) const {
+    if (tok == -1) return bos_id;
+    if (tok == -2) return eos_id;
+    if (tok < 0 || (size_t)tok >= our_to_ken.size()) return 0;
+    return our_to_ken[tok];
+  }
+
+  float Score(const std::vector<int32_t>& context, int32_t token) const override {
+    const float ln10 = std::log(10.0f);
+    int max_ctx = std::min<int>(order - 1, context.size());
+    std::vector<uint32_t> ids(max_ctx + 1);
+    for (int i = 0; i < max_ctx; ++i) ids[i] = MapToken(context[context.size() - max_ctx + i]);
+    ids[max_ctx] = MapToken(token);
+    for (int use = max_ctx; use >= 0; --use) {
+      float logp, backoff;
+      if (Lookup(ids.data() + (max_ctx - use), use + 1, &logp, &backoff)) {
+        float backoff_sum = 0.0f;
+        for (int longer = use + 1; longer <= max_ctx; ++longer) {
+          float bp, bb;
+          if (Lookup(ids.data() + (max_ctx - longer), longer, &bp, &bb)) backoff_sum += bb;
+        }
+        return (logp + backoff_sum) * ln10;
+      }
+    }
+    return -10.0f;  // unigram miss: out-of-range word id
+  }
+};
+
+KenlmProbingLM* LoadKenlmProbing(const char* path, const char* const* vocab_units,
+                                 int vocab_size) {
+  std::ifstream in(path, std::ios::binary);
+  if (!in.good()) return nullptr;
+  auto get = [&](void* p, size_t n) { in.read((char*)p, n); return in.good(); };
+
+  // Sanity (80 bytes)
+  char magic[52];
+  if (!get(magic, 52) || std::memcmp(magic, kKenlmMagic, 51) != 0) return nullptr;
+  float zero_f, one_f, minus_half_f;
+  uint32_t one_word, max_word;
+  uint64_t one_u64;
+  if (!get(&zero_f, 4) || !get(&one_f, 4) || !get(&minus_half_f, 4) ||
+      !get(&one_word, 4) || !get(&max_word, 4) || !get(&one_u64, 8))
+    return nullptr;
+  if (zero_f != 0.0f || one_f != 1.0f || minus_half_f != -0.5f ||
+      one_word != 1 || one_u64 != 1)
+    return nullptr;  // endianness / layout mismatch
+
+  // FixedWidthParameters (20 bytes)
+  uint8_t order_u8, pad3[3], has_vocab, pad3b[3];
+  float multiplier;
+  int32_t model_type;
+  uint32_t search_version;
+  if (!get(&order_u8, 1) || !get(pad3, 3) || !get(&multiplier, 4) ||
+      !get(&model_type, 4) || !get(&has_vocab, 1) || !get(pad3b, 3) ||
+      !get(&search_version, 4))
+    return nullptr;
+  if (model_type != 0) return nullptr;    // only PROBING supported
+  if (!has_vocab) return nullptr;         // need trailing words to map units
+  if (order_u8 < 1 || multiplier < 1.0f) return nullptr;
+
+  auto lm = std::make_unique<KenlmProbingLM>();
+  lm->order = order_u8;
+  lm->counts.resize(lm->order);
+  if (!get(lm->counts.data(), 8 * lm->order)) return nullptr;
+  // header region is padded to a multiple of 8
+  uint64_t header = 80 + 20 + 8ull * lm->order;
+  uint64_t aligned = (header + 7) & ~7ull;
+  if (aligned > header) in.ignore(aligned - header);
+
+  // vocabulary: header + hash table of packed {u64, u32} entries
+  uint32_t vocab_version, bound;
+  if (!get(&vocab_version, 4) || !get(&bound, 4)) return nullptr;
+  uint64_t vocab_buckets = KenlmProbingLM::Buckets(lm->counts[0], multiplier);
+  in.ignore(vocab_buckets * 12);  // hashes are unused: words come from the tail
+
+  // unigrams
+  lm->unigram.resize(lm->counts[0] + 1);
+  if (!get(lm->unigram.data(), lm->unigram.size() * 8)) return nullptr;
+
+  // middle + longest probing tables
+  auto read_table = [&](KenlmProbingLM::Table& t, uint64_t entries, size_t esz) {
+    t.buckets = KenlmProbingLM::Buckets(entries, multiplier);
+    t.entry_size = esz;
+    t.bytes.resize(t.buckets * esz);
+    return get(t.bytes.data(), t.bytes.size());
+  };
+  lm->middles.resize(std::max(lm->order - 2, 0));
+  for (int o = 2; o < lm->order; ++o) {
+    if (!read_table(lm->middles[o - 2], lm->counts[o - 1], 16)) return nullptr;
+  }
+  if (lm->order >= 2) {
+    if (!read_table(lm->longest, lm->counts[lm->order - 1], 12)) return nullptr;
+  }
+
+  // trailing vocabulary strings, one per word id, "<unk>" first
+  std::unordered_map<std::string, uint32_t> word_to_id;
+  {
+    std::string rest((std::istreambuf_iterator<char>(in)),
+                     std::istreambuf_iterator<char>());
+    size_t pos = 0;
+    uint32_t id = 0;
+    while (pos < rest.size() && id < bound) {
+      size_t nul = rest.find('\0', pos);
+      if (nul == std::string::npos) break;
+      word_to_id.emplace(rest.substr(pos, nul - pos), id++);
+      pos = nul + 1;
+    }
+    if (id != bound) return nullptr;  // truncated file
+  }
+  auto find_id = [&](const char* w) -> uint32_t {
+    auto it = word_to_id.find(w);
+    return it == word_to_id.end() ? 0 : it->second;
+  };
+  lm->bos_id = find_id("<s>");
+  lm->eos_id = find_id("</s>");
+  lm->our_to_ken.resize(vocab_size, 0);
+  for (int i = 0; i < vocab_size; ++i) lm->our_to_ken[i] = find_id(vocab_units[i]);
   return lm.release();
 }
 
@@ -232,7 +489,7 @@ struct Beam {
 
 void DecodeOne(const float* log_probs, int frames, int vocab, int blank,
                int beam_width, int prune_k, float alpha, float beta,
-               const NgramLM* lm, int max_out,
+               const LmBase* lm, int max_out,
                int32_t* out_tokens, int32_t* out_len, float* out_score,
                int nbest) {
   std::vector<Beam> beams(1);
@@ -323,19 +580,30 @@ void DecodeOne(const float* log_probs, int frames, int vocab, int blank,
 extern "C" {
 
 void* lm_load(const char* path, const char* const* vocab_units, int vocab_size) {
-  return LoadArpa(path, vocab_units, vocab_size);
+  {
+    std::ifstream in(path, std::ios::binary);
+    char head[52] = {0};
+    in.read(head, 52);
+    if (in.gcount() >= 51 && std::memcmp(head, kKenlmMagic, 51) == 0) {
+      return static_cast<LmBase*>(LoadKenlmProbing(path, vocab_units, vocab_size));
+    }
+  }
+  return static_cast<LmBase*>(LoadArpa(path, vocab_units, vocab_size));
 }
 
-void lm_free(void* handle) { delete static_cast<NgramLM*>(handle); }
+void lm_free(void* handle) { delete static_cast<LmBase*>(handle); }
 
 int lm_order(void* handle) {
-  return handle ? static_cast<NgramLM*>(handle)->order : 0;
+  return handle ? static_cast<LmBase*>(handle)->Order() : 0;
 }
 
-// Serialize a loaded LM to the binary cache format; returns 0 on success.
+// Serialize a loaded ARPA-backed LM to the OTLM cache; returns 0 on success.
+// KenLM-backed handles are already binary: report failure so callers skip.
 int lm_save_binary(void* handle, const char* path) {
   if (!handle) return 1;
-  return SaveBinary(*static_cast<NgramLM*>(handle), path) ? 0 : 1;
+  auto* arpa = dynamic_cast<NgramLM*>(static_cast<LmBase*>(handle));
+  if (!arpa) return 1;
+  return SaveBinary(*arpa, path) ? 0 : 1;
 }
 
 // log_probs: [batch, frames, vocab] f32; frame_counts: [batch] i32.
@@ -346,7 +614,7 @@ void ctc_beam_decode(const float* log_probs, const int32_t* frame_counts,
                      int beam_width, int prune_k, float alpha, float beta,
                      void* lm_handle, int max_out, int nbest, int num_threads,
                      int32_t* out_tokens, int32_t* out_lens, float* out_scores) {
-  const NgramLM* lm = static_cast<const NgramLM*>(lm_handle);
+  const LmBase* lm = static_cast<const LmBase*>(lm_handle);
   if (num_threads < 1) num_threads = std::thread::hardware_concurrency();
   std::vector<std::thread> pool;
   std::atomic<int> counter{0};  // local: concurrent decode calls stay independent

@@ -43,7 +43,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("-lm", "--load_language_model", type=str, default=None)
     p.add_argument("-lmw", "--lm_weight", type=float, default=0.1)
     p.add_argument("-ngram", "--ngram_lm", type=str, default=None,
-                   help="ARPA n-gram LM for the native CTC prefix beam decoder")
+                   help="n-gram LM for the native CTC prefix beam decoder "
+                        "(ARPA text, .otbin cache, or KenLM probing binary)")
     p.add_argument("-alpha", "--alpha", type=float, default=0.1,
                    help="n-gram LM weight (CTC prefix beam)")
     p.add_argument("-beta", "--beta", type=float, default=0.0,

@@ -57,7 +57,9 @@ def _load_lib():
 
 
 class NgramLM:
-    """n-gram LM handle for decoder fusion (ARPA text or "OTLM" binary).
+    """n-gram LM handle for decoder fusion. Accepts ARPA text, the "OTLM"
+    binary cache, or a KenLM PROBING binary (`build_binary` output — the
+    format the reference fed to kenlm via ctcdecode); detected by magic.
 
     With ``binary_cache=True`` (default), loading an ARPA file writes a
     binary cache next to it (``<path>.otbin``) and later loads prefer the

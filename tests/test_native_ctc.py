@@ -100,6 +100,183 @@ def test_arpa_lm_fusion(tmp_path):
     assert lm_tokens[0, 0, : lm_lens[0, 0]].tolist() == [3, 5]
 
 
+# ---------------------------------------------------------------------------
+# KenLM PROBING binary fixture: hand-assembled per the documented layout
+# (lm/binary_format.cc, lm/vocab.cc, lm/search_hashed.hh) since kenlm itself
+# is not installable here. The same trigram LM is written as ARPA text and as
+# a .klm; decoding must be identical through both.
+# ---------------------------------------------------------------------------
+
+_MASK64 = (1 << 64) - 1
+
+
+def _murmur64a(data: bytes, seed: int = 0) -> int:
+    """MurmurHash64A (util/murmur_hash.cc) — vocab word hashing."""
+    m, r = 0xC6A4A7935BD1E995, 47
+    h = (seed ^ (len(data) * m)) & _MASK64
+    n8 = len(data) // 8 * 8
+    for i in range(0, n8, 8):
+        k = int.from_bytes(data[i : i + 8], "little")
+        k = (k * m) & _MASK64
+        k ^= k >> r
+        k = (k * m) & _MASK64
+        h = ((h ^ k) * m) & _MASK64
+    rest = data[n8:]
+    if rest:
+        h = ((h ^ int.from_bytes(rest, "little")) * m) & _MASK64
+    h ^= h >> r
+    h = (h * m) & _MASK64
+    h ^= h >> r
+    return h
+
+
+def _chain_hash(word_ids):
+    """lm/search_hashed n-gram key: fold history onto the predicted word."""
+    K1, K2 = 8978948897894561157, 17894857484156487943
+    h = word_ids[-1]
+    for w in reversed(word_ids[:-1]):
+        h = ((h * K1) ^ ((1 + w) * K2)) & _MASK64
+    return h
+
+
+def _buckets(entries: int, multiplier: float = 1.5) -> int:
+    return max(entries + 1, int(np.float32(multiplier) * np.float32(entries)))
+
+
+def _probing_table(entries, entry_size: int, buckets: int) -> bytes:
+    """Linear-probing hash table: u64 key then payload, empty key = 0."""
+    buf = bytearray(entry_size * buckets)
+    for key, payload in entries:
+        i = key % buckets
+        while int.from_bytes(buf[i * entry_size : i * entry_size + 8], "little") != 0:
+            i = (i + 1) % buckets
+        buf[i * entry_size : i * entry_size + 8] = key.to_bytes(8, "little")
+        buf[i * entry_size + 8 : i * entry_size + 8 + len(payload)] = payload
+    return bytes(buf)
+
+
+# the shared trigram LM: (log10 prob, words..., log10 backoff)
+_UNIGRAMS = [  # ARPA order; <unk> becomes kenlm word id 0
+    (-2.0, "<unk>", 0.0),
+    (-0.5, "<s>", -0.3),
+    (-0.5, "a", -0.3),
+    (-1.5, "b", -0.3),
+    (-0.6, "c", -0.3),
+]
+_BIGRAMS = [(-2.0, ("a", "b"), -0.2), (-0.1, ("a", "c"), -0.1), (-0.4, ("c", "b"), 0.0)]
+_TRIGRAMS = [(-0.2, ("a", "c", "b")), (-0.3, ("a", "b", "c"))]
+
+
+def _write_fixture_arpa(path: str) -> None:
+    with open(path, "w") as f:
+        f.write("\\data\\\nngram 1=5\nngram 2=3\nngram 3=2\n\n\\1-grams:\n")
+        for p, w, bo in _UNIGRAMS:
+            f.write(f"{p}\t{w}\t{bo}\n")
+        f.write("\n\\2-grams:\n")
+        for p, ws, bo in _BIGRAMS:
+            f.write(f"{p}\t{' '.join(ws)}\t{bo}\n")
+        f.write("\n\\3-grams:\n")
+        for p, ws in _TRIGRAMS:
+            f.write(f"{p}\t{' '.join(ws)}\n")
+        f.write("\n\\end\\\n")
+
+
+def _write_fixture_klm(path: str) -> None:
+    import struct
+
+    order = 3
+    counts = [5, 3, 2]
+    # kenlm word ids: <unk> = 0 (never in the hash table), others in ARPA order
+    ken_id = {"<unk>": 0}
+    for _, w, _ in _UNIGRAMS:
+        if w != "<unk>":
+            ken_id[w] = len(ken_id)
+    bound = len(ken_id)
+
+    out = bytearray()
+    magic = b"mmap lm http://kheafield.com/code format version 5\n\x00"
+    assert len(magic) == 52
+    out += magic
+    out += struct.pack("<fffIIQ", 0.0, 1.0, -0.5, 1, 0xFFFFFFFF, 1)  # Sanity refs
+    out += struct.pack("<B3xfiB3xI", order, 1.5, 0, 1, 0)  # FixedWidthParameters
+    out += struct.pack(f"<{order}Q", *counts)
+    while len(out) % 8:
+        out += b"\x00"
+
+    out += struct.pack("<II", 1, bound)  # ProbingVocabularyHeader
+    vocab_entries = [
+        (_murmur64a(w.encode()), struct.pack("<I", i))
+        for w, i in ken_id.items() if w != "<unk>"
+    ]
+    out += _probing_table(vocab_entries, 12, _buckets(counts[0]))
+
+    uni = [(0.0, 0.0)] * (counts[0] + 1)
+    for p, w, bo in _UNIGRAMS:
+        uni[ken_id[w]] = (p, bo)
+    for p, bo in uni:
+        out += struct.pack("<ff", p, bo)
+
+    bi_entries = [
+        (_chain_hash([ken_id[w] for w in ws]), struct.pack("<ff", p, bo))
+        for p, ws, bo in _BIGRAMS
+    ]
+    out += _probing_table(bi_entries, 16, _buckets(counts[1]))
+    tri_entries = [
+        (_chain_hash([ken_id[w] for w in ws]), struct.pack("<f", p))
+        for p, ws in _TRIGRAMS
+    ]
+    out += _probing_table(tri_entries, 12, _buckets(counts[2]))
+
+    for w in ken_id:  # insertion-ordered: id order, "<unk>" first
+        out += w.encode() + b"\x00"
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+def test_kenlm_binary_decodes_identically_to_arpa(tmp_path):
+    """-ngram lm.klm (KenLM probing binary) must decode exactly like the
+    same LM's ARPA text — unigram, middle (bigram), longest (trigram), and
+    backoff paths all exercised via fuzzed acoustics."""
+    arpa_path = str(tmp_path / "lm.arpa")
+    klm_path = str(tmp_path / "lm.klm")
+    _write_fixture_arpa(arpa_path)
+    _write_fixture_klm(klm_path)
+
+    vocab = ["<blank>", "<s/e>", "<unk>", "a", "b", "c"]
+    lm_arpa = native.NgramLM(arpa_path, vocab, binary_cache=False)
+    lm_klm = native.NgramLM(klm_path, vocab, binary_cache=False)
+    assert lm_arpa.order == lm_klm.order == 3
+
+    rng = np.random.default_rng(5)
+    for trial in range(6):
+        t = int(rng.integers(3, 12))
+        lp = random_logprobs(rng, t, len(vocab))
+        outs = []
+        for lm in (lm_arpa, lm_klm):
+            tokens, lens, scores = native.ctc_beam_decode(
+                lp[None], np.asarray([t], np.int32), beam_width=8,
+                prune_k=len(vocab), nbest=3, alpha=1.0, beta=0.5, lm=lm,
+            )
+            outs.append((tokens.tolist(), lens.tolist(), scores))
+        assert outs[0][0] == outs[1][0], trial
+        assert outs[0][1] == outs[1][1], trial
+        np.testing.assert_allclose(outs[0][2], outs[1][2], rtol=1e-5, atol=1e-5)
+
+
+def test_kenlm_binary_rejects_malformed(tmp_path):
+    """Truncated or wrong-magic files must fail loudly, not load garbage."""
+    klm_path = str(tmp_path / "lm.klm")
+    _write_fixture_klm(klm_path)
+    data = open(klm_path, "rb").read()
+
+    trunc = str(tmp_path / "trunc.klm")
+    with open(trunc, "wb") as f:
+        f.write(data[: len(data) - 6])  # drop part of the vocab strings
+    vocab = ["<blank>", "<s/e>", "<unk>", "a", "b", "c"]
+    with pytest.raises(FileNotFoundError):
+        native.NgramLM(trunc, vocab, binary_cache=False)
+
+
 def test_native_edit_distance_matches_python():
     """native/levenshtein.cc vs the Python DP on fuzzed token sequences
     (the reference's editdistance pip dep was C++ too)."""
