@@ -126,11 +126,6 @@ class Trainer:
             raise ValueError("steps_per_exec > 1 does not support pp_schedule=1f1b")
 
         self.accum_steps = int(params_cfg.get("accum_steps", 1))
-        if self.steps_per_exec > 1 and self.accum_steps != 1:
-            raise ValueError(
-                "steps_per_exec > 1 requires accum_steps == 1 — for the same "
-                "global batch, raise batch_size instead of accumulating"
-            )
         self.grad_clip = float(params_cfg.get("clip_grad", 0.0))
         self.grad_noise = float(params_cfg.get("grad_noise", 0.0))
         self.epochs = int(params_cfg.get("epochs", 1))
@@ -166,7 +161,7 @@ class Trainer:
         params = self.model.init(rng, *args)
         if self.mesh is not None:
             shardings = param_shardings(params, self.mesh)
-            params = jax.device_put(params, shardings)
+            params = _put_global(params, shardings)
         opt_state = self.tx.init(params["params"])
         return TrainState(params=params, opt_state=opt_state, nan_skips=jnp.zeros((), jnp.int32))
 
@@ -306,24 +301,39 @@ class Trainer:
     def _build_multi_fn(self):
         """N full update steps (grad + clip + NaN-guard + optimizer) under a
         single ``lax.scan`` in ONE jitted program — one host dispatch per N
-        steps instead of 2N. Semantically identical to N single steps (the
-        scan body IS the single-step cores)."""
+        steps instead of 2N. Each update consumes ``accum_steps`` micro-
+        batches via an inner accumulation scan (stacked_args leaves are
+        [N, A, B, ...]), so gradient accumulation composes with multi-step
+        execution. Semantically identical to the single-step loop (the scan
+        bodies ARE the single-step cores); per-micro losses come back as
+        [N, A]."""
         grad_core = self._grad_core
         update_core = self._update_core
+        accum = self.accum_steps
 
         def multi(variables, opt_state, nan_skips, stacked_args, lrs, keys):
             def body(carry, inp):
                 variables, opt_state, nan_skips = carry
-                args, lr, key = inp
-                k1, k2 = jax.random.split(key)
+                args, lr, key = inp  # args leaves: [A, B, ...]
+                k_micro, k_upd = jax.random.split(key)
                 zeros = jax.tree_util.tree_map(
                     lambda p: jnp.zeros(p.shape, jnp.float32), variables["params"]
                 )
-                variables, gacc, loss, aux = grad_core(variables, zeros, args, k1)
-                variables, opt_state, nan_skips, gnorm = update_core(
-                    variables, opt_state, gacc, nan_skips, lr, k2
+
+                def micro_body(mcarry, minp):
+                    variables, gacc = mcarry
+                    margs, mkey = minp
+                    variables, gacc, loss, aux = grad_core(variables, gacc, margs, mkey)
+                    return (variables, gacc), (loss, aux)
+
+                (variables, gacc), (losses, auxes) = jax.lax.scan(
+                    micro_body, (variables, zeros),
+                    (args, jax.random.split(k_micro, accum)),
                 )
-                return (variables, opt_state, nan_skips), (loss, aux, gnorm)
+                variables, opt_state, nan_skips, gnorm = update_core(
+                    variables, opt_state, gacc, nan_skips, lr, k_upd
+                )
+                return (variables, opt_state, nan_skips), (losses, auxes, gnorm)
 
             (variables, opt_state, nan_skips), (losses, auxes, gnorms) = jax.lax.scan(
                 body, (variables, opt_state, nan_skips), (stacked_args, lrs, keys)
@@ -337,7 +347,7 @@ class Trainer:
             lambda p: jnp.zeros(p.shape, jnp.float32), variables["params"]
         )
         if self.mesh is not None:
-            zeros = jax.device_put(zeros, param_shardings(zeros, self.mesh))
+            zeros = _put_global(zeros, param_shardings(zeros, self.mesh))
         return zeros
 
     def _shard_batch(self, tree):
@@ -483,8 +493,11 @@ class Trainer:
         if self._multi_fn is None:
             self._multi_fn = self._build_multi_fn()
         n_exec = self.steps_per_exec
+        accum = self.accum_steps
+        group_size = n_exec * accum  # micro-batches per jitted program
         mesh = self.mesh
         n_data = mesh.shape.get("data", 1) if mesh is not None else 1
+        multihost = jax.process_count() > 1
         params, opt_state, nan_skips = state.params, state.opt_state, state.nan_skips
         batches = list(train_loader) if not hasattr(train_loader, "__len__") else train_loader
         n_batches = len(batches)
@@ -492,12 +505,26 @@ class Trainer:
         pending: list = []
 
         def stack_group(group):
+            # group_size identical-shape micro-batches -> leaves [N, A, B, ...]
             stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *group)
+            stacked = jax.tree_util.tree_map(
+                lambda x: x.reshape((n_exec, accum) + x.shape[1:]), stacked
+            )
             if mesh is not None:
-                def put(x):
-                    spec = (PartitionSpec(None, "data", *(None,) * (x.ndim - 2))
-                            if x.shape[1] % n_data == 0 else PartitionSpec())
-                    return jax.device_put(x, NamedSharding(mesh, spec))
+                if multihost:
+                    # each host stacked its row-slices (FeatureLoader
+                    # num_shards); assemble the global [N, A, B_global, ...]
+                    def put(x):
+                        spec = PartitionSpec(None, None, "data", *(None,) * (x.ndim - 3))
+                        gshape = x.shape[:2] + (x.shape[2] * jax.process_count(),) + x.shape[3:]
+                        return jax.make_array_from_process_local_data(
+                            NamedSharding(mesh, spec), np.asarray(x), gshape
+                        )
+                else:
+                    def put(x):
+                        spec = (PartitionSpec(None, None, "data", *(None,) * (x.ndim - 3))
+                                if x.shape[2] % n_data == 0 else PartitionSpec())
+                        return jax.device_put(x, NamedSharding(mesh, spec))
                 stacked = jax.tree_util.tree_map(put, stacked)
             return stacked
 
@@ -506,34 +533,53 @@ class Trainer:
             n = len(group)
             if n == 0:
                 return
+            n_upd = (n + accum - 1) // accum
             lrs = [self.schedule(self.global_step + i, self.global_epoch)
-                   for i in range(n)]
+                   for i in range(n_upd)]
             rng, r = jax.random.split(rng)
-            keys = jax.random.split(r, n)
+            keys = jax.random.split(r, n_upd)
             gs0 = self.global_step
-            if n == n_exec:
+            if n == group_size:
                 params, opt_state, nan_skips, losses, auxes, _ = self._multi_fn(
                     params, opt_state, nan_skips, stack_group(group),
                     jnp.asarray(lrs, jnp.float32), keys,
                 )
-                per_loss = [losses[i] for i in range(n)]
-                per_aux = [{k: v[i] for k, v in auxes.items()} for i in range(n)]
-            else:  # ragged tail / shape change: single-step fallback
+                # losses [N, A]; aux leaves [N, A]: one pending entry per
+                # update carrying its window's micro losses (same contract
+                # as the single-step loop's accumulation flush)
+                per_loss = [[losses[i, j] for j in range(accum)] for i in range(n_upd)]
+                per_aux = [[{k: v[i, j] for k, v in auxes.items()} for j in range(accum)]
+                           for i in range(n_upd)]
+            else:  # ragged tail / shape change: single-step cores, updating
+                   # every `accum` micro-batches (short final window flushes)
                 per_loss, per_aux = [], []
+                micro_losses, micro_aux = [], []
+                gacc = self._zeros_like_grads(params)
+                micro = 0
+                upd = 0
                 for i, args in enumerate(group):
-                    k1, k2 = jax.random.split(keys[i])
-                    gacc = self._zeros_like_grads(params)
+                    rng, k1 = jax.random.split(rng)
                     args = self._shard_batch(args)
                     params, gacc, loss, aux = self._grad_fn(params, gacc, args, k1)
-                    params, opt_state, nan_skips, _ = self._update_fn(
-                        params, opt_state, gacc, nan_skips, lrs[i], k2
-                    )
-                    per_loss.append(loss)
-                    per_aux.append(aux)
+                    micro_losses.append(loss)
+                    micro_aux.append(aux)
+                    micro += 1
+                    if micro == accum or i == n - 1:
+                        rng, k2 = jax.random.split(rng)
+                        params, opt_state, nan_skips, _ = self._update_fn(
+                            params, opt_state, gacc, nan_skips, lrs[upd], k2
+                        )
+                        upd += 1
+                        per_loss.append(micro_losses)
+                        per_aux.append(micro_aux)
+                        micro_losses, micro_aux = [], []
+                        gacc = self._zeros_like_grads(params)
+                        micro = 0
+                n_upd = upd
             progress = min(last_step + 1, n_batches) / max(n_batches, 1) * 100
-            for i in range(n):
+            for i in range(n_upd):
                 self.global_step += 1
-                pending.append(([per_loss[i]], [per_aux[i]], lrs[i],
+                pending.append((per_loss[i], per_aux[i], lrs[i],
                                 self.global_step, progress))
             if gs0 // self.log_interval != self.global_step // self.log_interval:
                 span_t0 = self._flush_pending(pending, epoch, span_t0)
@@ -552,7 +598,7 @@ class Trainer:
                 group = []
             gsig = sig
             group.append(args)
-            if len(group) == n_exec:
+            if len(group) == group_size:
                 run_group(group, step)
                 group = []
             if self.is_debug and step > 30:
@@ -563,14 +609,7 @@ class Trainer:
 
     def train_one_epoch(self, epoch: int, state: TrainState, train_loader, rng) -> TrainState:
         if self.steps_per_exec > 1:
-            if jax.process_count() == 1:
-                return self._train_one_epoch_multi(epoch, state, train_loader, rng)
-            if not getattr(self, "_warned_multi_multihost", False):
-                self._warned_multi_multihost = True
-                logger.warning(
-                    "steps_per_exec=%d is ignored under multihost (process-"
-                    "local batch stacking is not wired); using the single-"
-                    "step loop", self.steps_per_exec)
+            return self._train_one_epoch_multi(epoch, state, train_loader, rng)
         if self._grad_fn is None:
             self._grad_fn = self._build_grad_fn()
             self._update_fn = self._build_update_fn()
@@ -635,6 +674,24 @@ class Trainer:
 
         flush(final=True)
         return TrainState(params=params, opt_state=opt_state, nan_skips=nan_skips)
+
+
+def _put_global(tree, shardings):
+    """Place a host-replicated pytree onto mesh shardings.
+
+    Single-process: plain device_put. Multihost: device_put cannot target
+    shardings spanning other processes, so each process materializes its
+    addressable shards from its (identical, same-PRNG) host copy via
+    ``make_array_from_callback`` — the standard global-array construction.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(tree, shardings)
+
+    def put(x, s):
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(arr.shape, s, lambda idx: arr[idx])
+
+    return jax.tree_util.tree_map(put, tree, shardings)
 
 
 def default_speech_batch(batch):

@@ -214,6 +214,45 @@ def test_steps_per_exec_matches_single_step():
         )
 
 
+def test_steps_per_exec_with_accum_matches_single_step():
+    """steps_per_exec=2 x accum_steps=2: the inner accumulation scan must
+    reproduce the single-step loop's accumulation windows exactly (dropout 0
+    so rng-consumption differences are inert). 10 batches = 2 full scanned
+    groups (4 micro-batches each) + a ragged 2-batch tail window."""
+    from tests.test_models import small_model_cfg
+
+    cfg = small_model_cfg()
+    cfg["encoder"] = {**cfg["encoder"], "residual_dropout": 0.0}
+    cfg["frontend"] = {**cfg["frontend"], "dropout": 0.0}
+    cfg["decoder"] = {**cfg["decoder"], "residual_dropout": 0.0}
+    model = build_model(cfg)
+    batches = [synth_batch(np.random.default_rng(i), b=4) for i in range(10)]
+    tcfg = {"optimizer_type": "adam", "optimizer": {}, "scheduler_type": "constant",
+            "scheduler": {"lr": 1e-3}, "epochs": 1, "clip_grad": 5.0,
+            "accum_steps": 2}
+
+    results = []
+    for extra in ({}, {"steps_per_exec": 2}):
+        tr = Trainer({**tcfg, **extra}, model, log_interval=10 ** 9)
+        state = tr.init_state(jax.random.PRNGKey(0), batches[0])
+        state = tr.train_one_epoch(0, state, batches, jax.random.PRNGKey(1))
+        results.append((tr.global_step, state))
+
+    (gs1, s1), (gs2, s2) = results
+    assert gs1 == gs2 == 6  # 10 micro-batches / accum 2 = 5 updates
+    for (k, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(s1.params),
+        jax.tree_util.tree_leaves_with_path(s2.params),
+    ):
+        # scan vs unrolled CPU compiles fuse differently and Adam amplifies
+        # the f32 drift over 5 updates (on TPU both paths agree bit-exactly);
+        # ~1e-3 is an order below a single lr-sized update
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-3,
+            err_msg=jax.tree_util.keystr(k),
+        )
+
+
 def test_steps_per_exec_shape_change_regroups():
     """A mid-epoch bucket-shape change flushes the group; losses stay finite
     and every batch still contributes an update."""
