@@ -35,6 +35,7 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -417,8 +418,7 @@ def tp_blocks_layout(blocks: Any, n_heads: int, glu_act: bool, axis: str = "pipe
     lnum, d_model, _ = qkv_w.shape
     dk = d_model // n_heads
     g = 2 if glu_act else 1
-    w1_w = blocks["ffn"]["w1"]["dense"]["kernel"]  # [L, D, g*F]
-    d_ff = w1_w.shape[2] // g
+    moe = "moe" in blocks
     relpos = "pos_proj" in blocks["slf_attn"]
 
     tp = {
@@ -430,11 +430,27 @@ def tp_blocks_layout(blocks: Any, n_heads: int, glu_act: bool, axis: str = "pipe
         "out_w": blocks["slf_attn"]["out_proj"]["dense"]["kernel"].reshape(
             lnum, n_heads, dk, d_model),
         "out_b": blocks["slf_attn"]["out_proj"]["dense"]["bias"],
-        "w1_w": w1_w.reshape(lnum, d_model, g, d_ff),
-        "w1_b": blocks["ffn"]["w1"]["dense"]["bias"].reshape(lnum, g, d_ff),
-        "w2_w": blocks["ffn"]["w2"]["dense"]["kernel"],  # [L, F, D]
-        "w2_b": blocks["ffn"]["w2"]["dense"]["bias"],
     }
+    if moe:
+        # MoE FFN: experts shard over the tp axis (router replicated);
+        # expert-stacked weights are already shard-aligned on dim 1
+        tp["router_w"] = blocks["moe"]["router"]["dense"]["kernel"]  # [L, D, E]
+        tp["router_b"] = blocks["moe"]["router"]["dense"]["bias"]    # [L, E]
+        tp["moe_w1"] = blocks["moe"]["w1"]  # [L, E, D, F']
+        tp["moe_b1"] = blocks["moe"]["b1"]  # [L, E, F']
+        tp["moe_w2"] = blocks["moe"]["w2"]  # [L, E, F, D]
+        tp["moe_b2"] = blocks["moe"]["b2"]  # [L, E, D]
+    else:
+        w1_w = blocks["ffn"]["w1"]["dense"]["kernel"]  # [L, D, g*F]
+        d_ff = w1_w.shape[2] // g
+        tp["w1_w"] = w1_w.reshape(lnum, d_model, g, d_ff)
+        tp["w1_b"] = blocks["ffn"]["w1"]["dense"]["bias"].reshape(lnum, g, d_ff)
+        tp["w2_w"] = blocks["ffn"]["w2"]["dense"]["kernel"]  # [L, F, D]
+        tp["w2_b"] = blocks["ffn"]["w2"]["dense"]["bias"]
+    if "concat_linear" in blocks:
+        # concat_after linear consumes replicated tensors: keep it replicated
+        tp["cat_w"] = blocks["concat_linear"]["dense"]["kernel"]  # [L, 2D, D]
+        tp["cat_b"] = blocks["concat_linear"]["dense"]["bias"]
     if relpos:
         # rel-pos extras (modules.py:RelPosSelfAttention) — all head-major,
         # sharded over heads like qkv; pos_proj is bias-free
@@ -449,11 +465,22 @@ def tp_blocks_layout(blocks: Any, n_heads: int, glu_act: bool, axis: str = "pipe
         "qkv_b": P(axis, None, tp_axis, None),
         "out_w": P(axis, tp_axis, None, None),
         "out_b": P(axis, None),
-        "w1_w": P(axis, None, None, tp_axis),
-        "w1_b": P(axis, None, tp_axis),
-        "w2_w": P(axis, tp_axis, None),
-        "w2_b": P(axis, None),
     }
+    if moe:
+        specs["router_w"] = P(axis, None, None)
+        specs["router_b"] = P(axis, None)
+        specs["moe_w1"] = P(axis, tp_axis, None, None)
+        specs["moe_b1"] = P(axis, tp_axis, None)
+        specs["moe_w2"] = P(axis, tp_axis, None, None)
+        specs["moe_b2"] = P(axis, tp_axis, None)
+    else:
+        specs["w1_w"] = P(axis, None, None, tp_axis)
+        specs["w1_b"] = P(axis, None, tp_axis)
+        specs["w2_w"] = P(axis, tp_axis, None)
+        specs["w2_b"] = P(axis, None)
+    if "cat_w" in tp:
+        specs["cat_w"] = P(axis, None, None)
+        specs["cat_b"] = P(axis, None)
     if relpos:
         specs["pos_w"] = P(axis, None, tp_axis, None)
         specs["posu"] = P(axis, None, tp_axis, None, None)
@@ -475,16 +502,26 @@ def tp_blocks_layout(blocks: Any, n_heads: int, glu_act: bool, axis: str = "pipe
                 "kernel": gt["pos_w"].reshape(lnum, d_model, d_model)}}
             attn["posu"] = gt["posu"]
             attn["posv"] = gt["posv"]
-        return {
+        out = {
             "norm1": gt["ln1"],
             "norm2": gt["ln2"],
             "slf_attn": attn,
-            "ffn": {
+        }
+        if moe:
+            out["moe"] = {
+                "router": {"dense": {"kernel": gt["router_w"], "bias": gt["router_b"]}},
+                "w1": gt["moe_w1"], "b1": gt["moe_b1"],
+                "w2": gt["moe_w2"], "b2": gt["moe_b2"],
+            }
+        else:
+            out["ffn"] = {
                 "w1": {"dense": {"kernel": gt["w1_w"].reshape(lnum, d_model, g * d_ff),
                                  "bias": gt["w1_b"].reshape(lnum, g * d_ff)}},
                 "w2": {"dense": {"kernel": gt["w2_w"], "bias": gt["w2_b"]}},
-            },
-        }
+            }
+        if "cat_w" in gt:
+            out["concat_linear"] = {"dense": {"kernel": gt["cat_w"], "bias": gt["cat_b"]}}
+        return out
 
     return tp, specs, restore
 
@@ -523,16 +560,13 @@ def make_tp_stage_fwd(enc, per_stage: int, tp_axis: str = "model"):
         ACTIVATIONS, apply_attn_mask, attention_context, glu, relative_shift,
     )
 
-    if enc.concat_after or enc.moe_experts > 0:
-        raise ValueError(
-            "1F1B tensor parallelism supports dense encoder layers "
-            "(concat_after/moe are GSPMD-schedule-only for now)"
-        )
     relpos = enc.relative_positional
     dtype = enc.dtype
     glu_act = enc.activation == "glu"
     act_fn = glu if glu_act else ACTIVATIONS[enc.activation]
     pre = enc.normalize_before
+    concat_after = enc.concat_after
+    moe = enc.moe_experts > 0
     f_op = _identity_psum(tp_axis)
     g_op = _psum_identity(tp_axis)
 
@@ -553,8 +587,83 @@ def make_tp_stage_fwd(enc, per_stage: int, tp_axis: str = "model"):
         return jnp.einsum("bhqk,bhkd->bhqd", weights, v,
                           preferred_element_type=jnp.float32).astype(dtype)
 
-    def layer_fwd(p, x, attn_mask, pos_emb, rng):
+    def moe_ffn(p, x, r_ffn, r_jit, pad_mask):
+        """MoEFeedForward.__call__ math with EXPERTS sharded over tp_axis:
+        the router runs replicated; each shard computes its local experts'
+        dispatch/FFN/combine and the partial outputs psum ("g"). The router
+        gradient needs care: the dispatch/combine path contributes PARTIAL
+        router cotangents (local experts only) — routed through an "f" on
+        the logits so they psum to the full gradient — while the aux-loss
+        path contributes IDENTICAL cotangents on every shard and reads the
+        un-wrapped logits."""
+        b, t, d = x.shape
+        e = enc.moe_experts
+        top_k = enc.moe_top_k
+        cap = int(np.ceil(t * enc.moe_capacity_factor * top_k / e))
+        cap = max(min(cap, t), 1)
+
+        r_in = x
+        if enc.moe_router_jitter > 0.0:
+            noise = jax.random.uniform(
+                r_jit, x.shape, x.dtype,
+                1.0 - enc.moe_router_jitter, 1.0 + enc.moe_router_jitter)
+            r_in = x * noise
+        logits = (r_in.astype(jnp.float32) @ p["router_w"].astype(jnp.float32)
+                  + p["router_b"].astype(jnp.float32))
+        probs_aux = jax.nn.softmax(logits, axis=-1)         # aux path
+        probs = jax.nn.softmax(f_op(logits), axis=-1)       # dispatch path
+        valid = None if pad_mask is None else pad_mask.astype(jnp.float32)
+
+        dispatch = jnp.zeros((b, t, e, cap), jnp.float32)
+        combine = jnp.zeros((b, t, e, cap), jnp.float32)
+        counts = jnp.zeros((b, e), jnp.float32)
+        remaining = probs
+        gate_sum = jnp.zeros((b, t), jnp.float32)
+        slots = []
+        for _ in range(top_k):
+            idx = jnp.argmax(remaining, axis=-1)
+            oh = jax.nn.one_hot(idx, e, dtype=jnp.float32)
+            if valid is not None:
+                oh = oh * valid[:, :, None]
+            gate = jnp.sum(remaining * oh, axis=-1)
+            slots.append((oh, gate))
+            gate_sum = gate_sum + gate
+            remaining = remaining * (1.0 - oh)
+        for oh, gate in slots:
+            pos = jnp.cumsum(oh, axis=1) - oh + counts[:, None, :]
+            keep = (pos < cap).astype(jnp.float32) * oh
+            counts = counts + jnp.sum(keep, axis=1)
+            pos_oh = jax.nn.one_hot(
+                jnp.sum(pos * oh, axis=-1).astype(jnp.int32), cap, dtype=jnp.float32)
+            sel = keep[:, :, :, None] * pos_oh[:, :, None, :]
+            dispatch = dispatch + sel
+            gk = gate / jnp.maximum(gate_sum, 1e-9) if top_k > 1 else gate
+            combine = combine + sel * gk[:, :, None, None]
+
+        denom = jnp.maximum(jnp.sum(valid), 1.0) if valid is not None else float(b * t)
+        f_frac = jnp.sum(slots[0][0], axis=(0, 1)) / denom
+        masked = probs_aux if valid is None else probs_aux * valid[:, :, None]
+        p_mean = jnp.sum(masked, axis=(0, 1)) / denom
+        aux = e * jnp.sum(f_frac * p_mean)
+
+        el = p["moe_w1"].shape[0]  # local experts on this shard
+        e0 = jax.lax.axis_index(tp_axis) * el
+        disp_l = jax.lax.dynamic_slice_in_dim(dispatch, e0, el, axis=2)
+        comb_l = jax.lax.dynamic_slice_in_dim(combine, e0, el, axis=2)
+        hs = f_op(x)
+        xe = jnp.einsum("btec,btd->becd", disp_l.astype(dtype), hs)
+        hm = jnp.einsum("becd,edf->becf", xe, p["moe_w1"].astype(dtype))
+        hm = hm + p["moe_b1"].astype(dtype)[None, :, None, :]
+        hm = glu(hm) if glu_act else ACTIVATIONS[enc.activation](hm)
+        hm = _dropout(r_ffn, hm, enc.ffn_dropout)
+        ye = jnp.einsum("becf,efd->becd", hm, p["moe_w2"].astype(dtype))
+        ye = ye + p["moe_b2"].astype(dtype)[None, :, None, :]
+        y = jnp.einsum("btec,becd->btd", comb_l.astype(dtype), ye)
+        return g_op(y), aux.astype(jnp.float32)
+
+    def layer_fwd(p, x, attn_mask, pos_emb, rng, pad_mask=None):
         r_attn, r_res1, r_ffn, r_res2 = jax.random.split(rng, 4)
+        r_jit = r_ffn  # replicated jitter rng (pre-fold), matches all shards
         # dropout on REPLICATED tensors (attn out, residuals) must be
         # identical across model shards; dropout on the SHARDED ffn
         # activation must be iid per shard, else features f and f+F/tp
@@ -563,6 +672,7 @@ def make_tp_stage_fwd(enc, per_stage: int, tp_axis: str = "model"):
         h = _flax_layernorm(x, p["ln1"]["scale"], p["ln1"]["bias"], dtype) if pre else x
         # reference-parity pre-norm: the residual is the NORMALIZED tensor
         residual = h if pre else x
+        h_in = h  # pre-attention tensor: replicated consumer (concat_after)
         # "f" wraps ONLY the sharded branch — the residual bypasses it, else
         # its (replicated) cotangent would be psum-overcounted tp×
         h = f_op(h)
@@ -576,35 +686,50 @@ def make_tp_stage_fwd(enc, per_stage: int, tp_axis: str = "model"):
         out = jnp.einsum("bhtj,hjd->btd", ctx, p["out_w"].astype(dtype))
         out = g_op(out) + p["out_b"].astype(dtype)
         out = _dropout(r_attn, out, enc.slf_attn_dropout)
-        h = residual + _dropout(r_res1, out, enc.residual_dropout)
+        if concat_after:
+            # reference parity: concat(h, attn_out) -> linear, NO residual
+            # dropout (encoder.py:107-110); all tensors replicated here
+            cat = jnp.concatenate([h_in, out], axis=-1)
+            cc = jnp.einsum("btc,cd->btd", cat, p["cat_w"].astype(dtype))
+            h = residual + cc + p["cat_b"].astype(dtype)
+        else:
+            h = residual + _dropout(r_res1, out, enc.residual_dropout)
         if not pre:
             h = _flax_layernorm(h, p["ln1"]["scale"], p["ln1"]["bias"], dtype)
 
         h2 = _flax_layernorm(h, p["ln2"]["scale"], p["ln2"]["bias"], dtype) if pre else h
         residual = h2 if pre else h
-        h2 = f_op(h2)
-        h1 = jnp.einsum("btd,dgf->btgf", h2, p["w1_w"].astype(dtype))
-        h1 = h1 + p["w1_b"].astype(dtype)[None, None]
-        if glu_act:
-            a, b = h1[:, :, 0], h1[:, :, 1]
-            hact = a * jax.nn.sigmoid(b)
+        aux = None
+        if moe:
+            out2, aux = moe_ffn(p, h2, r_ffn, r_jit, pad_mask)
         else:
-            hact = act_fn(h1[:, :, 0])
-        hact = _dropout(r_ffn, hact, enc.ffn_dropout)
-        out2 = jnp.einsum("btf,fd->btd", hact, p["w2_w"].astype(dtype))
-        out2 = g_op(out2) + p["w2_b"].astype(dtype)
+            h2 = f_op(h2)
+            h1 = jnp.einsum("btd,dgf->btgf", h2, p["w1_w"].astype(dtype))
+            h1 = h1 + p["w1_b"].astype(dtype)[None, None]
+            if glu_act:
+                a, b = h1[:, :, 0], h1[:, :, 1]
+                hact = a * jax.nn.sigmoid(b)
+            else:
+                hact = act_fn(h1[:, :, 0])
+            hact = _dropout(r_ffn, hact, enc.ffn_dropout)
+            out2 = jnp.einsum("btf,fd->btd", hact, p["w2_w"].astype(dtype))
+            out2 = g_op(out2) + p["w2_b"].astype(dtype)
         h = residual + _dropout(r_res2, out2, enc.residual_dropout)
         if not pre:
             h = _flax_layernorm(h, p["ln2"]["scale"], p["ln2"]["bias"], dtype)
-        return h
+        return h, aux
 
     def stage_fwd(stage_p, x, sargs, bargs, rng_m):
         def body(xc, inp):
             p, i = inp
-            return layer_fwd(p, xc, sargs["attn_mask"], bargs.get("pos_emb"),
-                             jax.random.fold_in(rng_m, i)), None
+            y, aux = layer_fwd(p, xc, sargs["attn_mask"], bargs.get("pos_emb"),
+                               jax.random.fold_in(rng_m, i),
+                               pad_mask=sargs.get("pad_mask"))
+            return y, aux
 
-        y, _ = jax.lax.scan(body, x, (stage_p, jnp.arange(per_stage)))
+        y, auxs = jax.lax.scan(body, x, (stage_p, jnp.arange(per_stage)))
+        if moe:
+            return y, jnp.sum(auxs)
         return y
 
     return stage_fwd
@@ -621,8 +746,9 @@ def speech2text_1f1b_grad_fn(model, mesh, n_micro: int, axis: str = "pipe"):
     emits its layers' load-balance aux, threaded through the schedule with
     ``aux_weight=moe_aux_weight`` (reported in ``aux['moe_aux']``). A
     ``model`` mesh axis adds tensor parallelism inside each stage via the
-    manual-collective ``make_tp_stage_fwd`` (dense abs-position layers; the
-    frontend and loss head stay replicated over 'model').
+    manual-collective ``make_tp_stage_fwd`` (dense, concat_after, and MoE
+    layers, abs- or rel-positional; the frontend and loss head stay
+    replicated over 'model').
     """
     from ..models.encoder import TransformerEncoderLayer
     from ..models.speech2text import SpeechToText, _build_encoder
@@ -656,10 +782,14 @@ def speech2text_1f1b_grad_fn(model, mesh, n_micro: int, axis: str = "pipe"):
     dp = mesh.shape["data"] if has_data else 1
     tp = mesh.shape.get("model", 1)
     if tp > 1:
-        if enc.n_heads % tp or enc.d_ff % tp:
-            raise ValueError(
-                f"tp={tp} must divide n_heads={enc.n_heads} and d_ff={enc.d_ff}"
-            )
+        if enc.n_heads % tp:
+            raise ValueError(f"tp={tp} must divide n_heads={enc.n_heads}")
+        if moe:
+            if enc.moe_experts % tp:
+                raise ValueError(
+                    f"tp={tp} must divide moe_experts={enc.moe_experts}")
+        elif enc.d_ff % tp:
+            raise ValueError(f"tp={tp} must divide d_ff={enc.d_ff}")
         tp_stage_fwd = make_tp_stage_fwd(enc, per_stage)
 
     def split_params(trainable):

@@ -123,13 +123,15 @@ def _reference_pp_loss(model, trainable, args, n_micro, dp):
     return total / (n_micro * dp)
 
 
-def _pp_cfg(ctc_weight=0.0, normalize_before=False, moe_experts=0):
+def _pp_cfg(ctc_weight=0.0, normalize_before=False, moe_experts=0,
+            concat_after=False):
     from tests.test_models import small_model_cfg
 
     cfg = small_model_cfg(ctc_weight=ctc_weight)
     cfg["encoder"] = {
         **cfg["encoder"], "n_blocks": 4, "scan_layers": True,
         "residual_dropout": 0.0, "normalize_before": normalize_before,
+        "concat_after": concat_after,
     }
     if moe_experts:
         cfg["encoder"].update(moe_experts=moe_experts, moe_top_k=2,
@@ -140,13 +142,14 @@ def _pp_cfg(ctc_weight=0.0, normalize_before=False, moe_experts=0):
 
 
 def _pp_grad_parity(mesh, n_micro, ctc_weight=0.0, normalize_before=False, b=8,
-                    moe_experts=0):
+                    moe_experts=0, concat_after=False):
     from opentransformer_tpu.models.registry import build_model
     from opentransformer_tpu.parallel.pipeline import speech2text_1f1b_grad_fn
     from tests.test_train import synth_batch
     from opentransformer_tpu.train.trainer import default_speech_batch
 
-    model = build_model(_pp_cfg(ctc_weight, normalize_before, moe_experts))
+    model = build_model(_pp_cfg(ctc_weight, normalize_before, moe_experts,
+                                concat_after))
     args = default_speech_batch(synth_batch(np.random.default_rng(0), b=b))
     trainable = model.init(jax.random.PRNGKey(0), *args)["params"]
 
@@ -266,6 +269,35 @@ def test_1f1b_grad_parity_tp_relpos():
             np.asarray(g), np.asarray(gr), rtol=5e-3, atol=1e-5,
             err_msg=jax.tree_util.keystr(k),
         )
+
+
+def test_1f1b_grad_parity_tp_concat_after():
+    """concat_after layers under 1F1B + TP: the concat linear consumes the
+    replicated pre-attention tensor and the psum'd attention output, staying
+    replicated over 'model' — grads match the sequential flax reference."""
+    from opentransformer_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_data=1, n_model=2, n_pipe=2)
+    _pp_grad_parity(mesh, n_micro=2, b=4, concat_after=True)
+
+
+def test_1f1b_grad_parity_tp_moe():
+    """MoE layers under 1F1B + TP: experts shard over 'model' (1 expert per
+    shard here), the router stays replicated with its gradient psum'd over
+    the dispatch path, and the aux loss threads through the schedule."""
+    from opentransformer_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_data=1, n_model=2, n_pipe=2)
+    _pp_grad_parity(mesh, n_micro=2, b=4, moe_experts=2)
+
+
+def test_1f1b_grad_parity_tp_dp_moe_concat():
+    """Full composition on 8 virtual devices: dp=2 x tp=2 x pipe=2 with both
+    concat_after and a 4-expert top-2 MoE (2 experts per tp shard)."""
+    from opentransformer_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_data=2, n_model=2, n_pipe=2)
+    _pp_grad_parity(mesh, n_micro=2, b=8, moe_experts=4, concat_after=True)
 
 
 def test_1f1b_grad_parity_moe():
