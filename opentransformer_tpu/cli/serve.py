@@ -111,6 +111,63 @@ class FeatureExtractor:
         return feat.astype(np.float32)
 
 
+class StreamingFbank:
+    """Incremental kaldi-fbank over arriving PCM samples (snip-edges framing:
+    frame t covers samples [t·160, t·160+400) at 16 kHz — new frames become
+    final as soon as their window fills, so extraction is exact, not an
+    approximation). Per-utterance CMVN is impossible online; global CMVN
+    applies when configured, otherwise features pass through unnormalized
+    (warned once)."""
+
+    _warned = False
+
+    def __init__(self, extractor: "FeatureExtractor", sample_rate: float):
+        from ..ops.fbank import frame_params
+
+        self.ex = extractor
+        self.sr = float(sample_rate)
+        self.ws, self.shift, _ = frame_params(self.sr, 25.0, 10.0)
+        self.buf = np.zeros((0,), np.float32)
+        self.frames_done = 0
+        if (extractor.normalization and extractor.global_mean is None
+                and not StreamingFbank._warned):
+            StreamingFbank._warned = True
+            logger.warning(
+                "config asks for per-utterance CMVN, which cannot be computed "
+                "online; PCM streams are served unnormalized (set global_cmvn "
+                "for normalized streaming)")
+
+    def _extract(self, final: bool = False) -> np.ndarray:
+        n = len(self.buf)
+        avail = 0 if n < self.ws else 1 + (n - self.ws) // self.shift
+        if avail <= 0:
+            return np.zeros((0, self.ex.num_mel_bins), np.float32)
+        if self.ex.flavor in ("psf", "python_speech_feature"):
+            if not final:
+                return np.zeros((0, self.ex.num_mel_bins), np.float32)
+            feat = logfbank_psf(self.buf, sample_freq=self.sr,
+                                num_mel_bins=self.ex.num_mel_bins)
+        else:
+            # feed exactly the samples the new frames cover: snip-edges on
+            # the slice reproduces frames [frames_done, frames_done+avail)
+            need = (avail - 1) * self.shift + self.ws
+            feat = fbank_numpy(self.buf[:need], sample_freq=self.sr,
+                               num_mel_bins=self.ex.num_mel_bins)
+            self.buf = self.buf[avail * self.shift:]
+            self.frames_done += avail
+        if self.ex.normalization and self.ex.global_mean is not None:
+            feat = (feat - self.ex.global_mean) / self.ex.global_std
+        return feat.astype(np.float32)
+
+    def feed(self, samples: np.ndarray) -> np.ndarray:
+        """int16-scale float samples → newly final fbank frames [T_new, F]."""
+        self.buf = np.concatenate([self.buf, np.asarray(samples, np.float32)])
+        return self._extract()
+
+    def finish(self) -> np.ndarray:
+        return self._extract(final=True)
+
+
 class _Request:
     __slots__ = ("utt_id", "feats", "reply", "t_in", "t_out")
 
@@ -255,6 +312,75 @@ class DynamicBatcher:
         }
 
 
+class MultiStreamFront:
+    """CTC streaming front over ``recognize.multistream.MultiStreamCTC``:
+    N concurrent streams share ONE jitted step per tick (per-row ragged
+    cache positions), instead of one dispatch per stream per chunk. A
+    background tick thread drives the batch whenever any stream has a
+    pending chunk; ``run_stream``/``open_stream`` mirror the session-pool
+    API so both transports work unchanged."""
+
+    def __init__(self, model, params, n_streams: int = 2, idx2unit=None,
+                 piece2word: bool = False):
+        from ..recognize.multistream import MultiStreamCTC
+
+        self.ms = MultiStreamCTC(model, params, n_streams=n_streams,
+                                 idx2unit=idx2unit)
+        self.piece2word = piece2word
+        self.n_sessions = n_streams
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._drive, daemon=True)
+        self._thread.start()
+
+    def _drive(self):
+        while not self._stop.is_set():
+            if not (self.ms.ready() and self.ms.tick()):
+                time.sleep(0.002)
+
+    def _post(self, text: str) -> str:
+        from .eval import postprocess
+
+        return postprocess(text, self.piece2word)
+
+    def warmup(self, n_feat: int):
+        t0 = time.perf_counter()
+        self.run_stream(np.zeros((8 * self.ms.raw_chunk, n_feat), np.float32),
+                        lambda _: None)
+        logger.info("multi-stream warmup: %.1fs (1 fused step/tick, %d slots)",
+                    time.perf_counter() - t0, self.n_sessions)
+
+    def run_stream(self, feats: np.ndarray, on_partial) -> str:
+        done = threading.Event()
+        result = {}
+
+        def on_final(text):
+            result["text"] = text
+            done.set()
+
+        slot = self.ms.open_stream(
+            "u", lambda t: on_partial(self._post(t)), on_final)
+        self.ms.push(slot, feats)
+        self.ms.close(slot)
+        done.wait()
+        return self._post(result["text"])
+
+    # incremental API for the PCM transport
+    def open_stream(self, utt_id, on_partial, on_final):
+        return self.ms.open_stream(
+            utt_id, lambda t: on_partial(self._post(t)),
+            lambda t: on_final(self._post(t)))
+
+    def push(self, slot, feats):
+        self.ms.push(slot, feats)
+
+    def close(self, slot):
+        self.ms.close(slot)
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join()
+
+
 class StreamingSessionPool:
     """A bounded pool of frame-synchronous recognizer sessions
     (recognize/online.py). Sessions are built once — their jitted chunk
@@ -262,6 +388,9 @@ class StreamingSessionPool:
     request; ``run_stream`` simulates real-time arrival by feeding the
     utterance raw_chunk frames at a time, invoking ``on_partial`` whenever
     the running hypothesis changes.
+
+    Used for TRANSDUCER streaming (per-stream prediction-network state);
+    CTC streaming uses the batched ``MultiStreamFront`` instead.
     """
 
     def __init__(self, model_type: str, model, params, n_sessions: int = 2,
@@ -328,12 +457,18 @@ def _build(args):
     )
     idx2unit = load_idx2unit_map(cfg["data"]["vocab"])
     if getattr(args, "streaming", False):
-        pool = StreamingSessionPool(
-            cfg["model"]["type"], model, params, n_sessions=args.streams,
-            idx2unit=idx2unit, max_per_frame=args.max_tokens_per_chunk,
-            piece2word=args.piece2word,
-        )
-        return pool, FeatureExtractor(cfg["data"])
+        if cfg["model"]["type"] == "ctc":
+            # batched: N streams advance in ONE jitted step per tick
+            front = MultiStreamFront(
+                model, params, n_streams=args.streams, idx2unit=idx2unit,
+                piece2word=args.piece2word)
+        else:
+            front = StreamingSessionPool(
+                cfg["model"]["type"], model, params, n_sessions=args.streams,
+                idx2unit=idx2unit, max_per_frame=args.max_tokens_per_chunk,
+                piece2word=args.piece2word,
+            )
+        return front, FeatureExtractor(cfg["data"])
     recog_args = {
         "beam_width": args.beam_width, "nbest": args.nbest,
         "penalty": args.penalty, "lamda": args.lamda, "max_len": args.max_len,
@@ -389,7 +524,26 @@ def _serve_stream(args, batcher: DynamicBatcher, extractor: FeatureExtractor) ->
 def _serve_tcp(args, batcher: DynamicBatcher, extractor: FeatureExtractor) -> int:
     import socketserver
 
+    # in-flight handler tracking: drain_and_stop may only run after every
+    # handler thread is past its final batcher.submit, else a request
+    # enqueued after the stop sentinel would never be processed and its
+    # handler would block forever on done.acquire()
+    inflight = threading.Semaphore(0)
+    inflight_n = [0]
+    inflight_lock = threading.Lock()
+
     class Handler(socketserver.StreamRequestHandler):
+        def setup(self):
+            super().setup()
+            with inflight_lock:
+                inflight_n[0] += 1
+
+        def finish(self):
+            try:
+                super().finish()
+            finally:
+                inflight.release()
+
         def handle(self):
             wlock = threading.Lock()
 
@@ -435,6 +589,12 @@ def _serve_tcp(args, batcher: DynamicBatcher, extractor: FeatureExtractor) -> in
             srv.serve_forever()
         except KeyboardInterrupt:
             pass
+    # the server socket is closed (no NEW connections); wait for active
+    # handlers to finish submitting before draining the batcher
+    with inflight_lock:
+        n = inflight_n[0]
+    for _ in range(n):
+        inflight.acquire(timeout=60)
     batcher.drain_and_stop()
     logger.info("shutdown: %s", batcher.stats())
     return 0
@@ -481,15 +641,103 @@ def _serve_stream_streaming(args, pool: StreamingSessionPool,
     return 0
 
 
-def _serve_tcp_streaming(args, pool: StreamingSessionPool,
+def _handle_pcm_stream(handler, header: str, front, extractor) -> None:
+    """Length-prefixed binary PCM over TCP — real audio transport (replaces
+    wav-file simulation). One stream per connection:
+
+      client → `PCM <utt_id> <sample_rate>\\n` then repeated frames of
+               [u32-LE byte count N][N bytes int16-LE mono samples];
+               N = 0 ends the stream.
+      server → `utt_id\\tPARTIAL\\ttext\\n` lines as the hypothesis grows,
+               then `utt_id\\tFINAL\\ttext\\n`.
+
+    Features extract incrementally (StreamingFbank); with the batched CTC
+    front the stream joins the shared one-dispatch-per-tick batch, with the
+    session pool (transducer) it borrows a session at end-of-audio."""
+    import struct
+
+    parts = header.split()
+    utt_id = parts[1] if len(parts) > 1 else "stream"
+    sr = float(parts[2]) if len(parts) > 2 else 16000.0
+    wlock = threading.Lock()
+
+    def say(kind, text):
+        with wlock:
+            try:
+                handler.wfile.write(f"{utt_id}\t{kind}\t{text}\n".encode())
+                handler.wfile.flush()
+            except (BrokenPipeError, OSError):
+                pass
+
+    def read_exact(n):
+        data = b""
+        while len(data) < n:
+            more = handler.rfile.read(n - len(data))
+            if not more:
+                raise EOFError
+            data += more
+        return data
+
+    sfe = StreamingFbank(extractor, sr)
+    incremental = hasattr(front, "open_stream")
+    done = threading.Event()
+    slot = None
+    if incremental:
+        slot = front.open_stream(
+            utt_id, lambda t: say("PARTIAL", t),
+            lambda t: (say("FINAL", t), done.set()))
+    pending = []  # psf / pool fallback: frames accumulate until EOS
+    try:
+        while True:
+            (n,) = struct.unpack("<I", read_exact(4))
+            if n == 0:
+                break
+            samples = np.frombuffer(read_exact(n), "<i2").astype(np.float32) / 32768.0
+            frames = sfe.feed(samples)
+            if len(frames):
+                if incremental:
+                    front.push(slot, frames)
+                else:
+                    pending.append(frames)
+    except EOFError:
+        pass
+    tail = sfe.finish()
+    if incremental:
+        if len(tail):
+            front.push(slot, tail)
+        front.close(slot)
+        done.wait()
+    else:
+        if len(tail):
+            pending.append(tail)
+        feats = (np.concatenate(pending, axis=0) if pending
+                 else np.zeros((0, extractor.num_mel_bins), np.float32))
+        say("FINAL", front.run_stream(feats, lambda t: say("PARTIAL", t)))
+
+
+def _serve_tcp_streaming(args, pool,
                          extractor: FeatureExtractor) -> int:
-    """TCP streaming: each `utt_id wav_path` line on a connection decodes
-    incrementally; the client receives PARTIAL lines then a FINAL line."""
+    """TCP streaming: a connection either speaks the binary PCM protocol
+    (first line `PCM <utt_id> <rate>`, see ``_handle_pcm_stream``) or sends
+    `utt_id wav_path` lines; either way the client receives PARTIAL lines
+    then a FINAL line per stream."""
     import socketserver
 
     class Handler(socketserver.StreamRequestHandler):
         def handle(self):
-            for raw in self.rfile:
+            first = self.rfile.readline()
+            if not first:
+                return
+            text = first.decode(errors="replace").strip()
+            if text.startswith("PCM"):
+                try:
+                    _handle_pcm_stream(self, text, pool, extractor)
+                except Exception:
+                    logger.exception("pcm stream failed")
+                return
+            import itertools
+
+            for raw in itertools.chain([first], self.rfile):
                 parts = raw.decode().strip().split(maxsplit=1)
                 if len(parts) != 2:
                     continue

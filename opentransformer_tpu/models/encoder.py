@@ -41,9 +41,12 @@ Dtype = Any
 def stream_kv_mask(batch, left, chunk, cache_len, chunk_mask=None):
     """Validity mask for a chunk-streaming attention step over
     [cache(left) ∥ chunk] keys: cache entries are valid only in the last
-    ``cache_len`` slots (the shifting buffer fills from the right)."""
-    cache_valid = jnp.arange(left) >= (left - cache_len)
-    key_valid = jnp.broadcast_to(cache_valid[None], (batch, left))
+    ``cache_len`` slots (the shifting buffer fills from the right).
+    ``cache_len`` may be an i32 scalar or i32[B] (per-row stream depths)."""
+    cl = jnp.asarray(cache_len)
+    if cl.ndim == 0:
+        cl = jnp.full((batch,), cl)
+    key_valid = jnp.arange(left)[None] >= (left - cl[:, None])
     new_valid = chunk_mask if chunk_mask is not None else jnp.ones((batch, chunk), bool)
     return jnp.concatenate([key_valid, new_valid], axis=1)[:, None, None, :]
 
@@ -311,8 +314,11 @@ class TransformerEncoder(nn.Module):
         Args:
           x_chunk: [B, C, D] frontend output frames (C = chunk_size).
           cache: pytree from ``init_stream_cache``.
-          start: i32 scalar — global frame index of the chunk's first frame.
-          cache_len: i32 scalar — valid frames currently in the cache.
+          start: i32 scalar — global frame index of the chunk's first frame —
+            or i32[B] per-row indices (multi-stream serving: each row is an
+            independent stream at its own position).
+          cache_len: i32 scalar or i32[B] — valid frames currently in the
+            cache (per row when [B]).
           chunk_mask: optional bool[B, C] validity of the new frames (final
             partial chunk).
 

@@ -132,10 +132,15 @@ class PositionalEncoding(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, start=0, deterministic: bool = True):
-        # start may be a traced scalar (streaming encode offsets)
+        # start may be a traced scalar (streaming encode offsets) or i32[B]
+        # (multi-stream chunk steps: each row at its own stream position)
         t = x.shape[1]
-        pos = jnp.arange(t) + start
-        pe = sinusoid_position_encoding(pos, self.dim)[None].astype(self.dtype)
+        if jnp.ndim(start) == 0:
+            pos = jnp.arange(t) + start
+            pe = sinusoid_position_encoding(pos, self.dim)[None].astype(self.dtype)
+        else:
+            pos = jnp.asarray(start)[:, None] + jnp.arange(t)[None]
+            pe = sinusoid_position_encoding(pos, self.dim).astype(self.dtype)
         if self.scale_learnable:
             alpha = self.param("alpha", nn.initializers.ones, ())
             y = x + alpha.astype(self.dtype) * pe

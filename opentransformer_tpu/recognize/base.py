@@ -31,6 +31,19 @@ def make_lm_adapter(lm_model, lm_params, max_len: int):
     if lm_model is None:
         return None, None
     if isinstance(lm_model, TransformerLanguageModel):
+        if lm_model.moe_experts > 0:
+            # full-prefix scoring (rescoring) enforces per-expert capacity
+            # over the whole sequence while the length-1 decode_step (beam
+            # fusion) routes every token — the paths agree only in the
+            # drop-free regime (models/lm.py MoE note)
+            drop_free = lm_model.moe_experts / max(lm_model.moe_top_k, 1)
+            if lm_model.moe_capacity_factor < drop_free:
+                logger.warning(
+                    "MoE LM built for recognition with moe_capacity_factor="
+                    "%.2f < n_experts/top_k = %.2f: beam-fusion and n-best "
+                    "rescoring scores diverge whenever expert capacity binds; "
+                    "raise moe_capacity_factor to >= %.2f for the drop-free "
+                    "regime", lm_model.moe_capacity_factor, drop_free, drop_free)
 
         def lm_init(n: int):
             d_k = lm_model.d_model // lm_model.n_heads
