@@ -65,8 +65,8 @@ def build_argparser() -> argparse.ArgumentParser:
                         "each request decodes incrementally, emitting "
                         "PARTIAL hypotheses per chunk and a FINAL result")
     p.add_argument("--streams", type=int, default=2,
-                   help="streaming session pool size (compiled chunk steps "
-                        "are shared; one session serves one stream at a time)")
+                   help="concurrent streaming slots; all advance in ONE "
+                        "jitted step per tick (recognize/multistream.py)")
     p.add_argument("-mt", "--max_tokens_per_chunk", type=int, default=8,
                    help="transducer streaming: max emissions per frame")
     p.add_argument("-bw", "--beam_width", type=int, default=5)
@@ -313,19 +313,25 @@ class DynamicBatcher:
 
 
 class MultiStreamFront:
-    """CTC streaming front over ``recognize.multistream.MultiStreamCTC``:
-    N concurrent streams share ONE jitted step per tick (per-row ragged
-    cache positions), instead of one dispatch per stream per chunk. A
-    background tick thread drives the batch whenever any stream has a
-    pending chunk; ``run_stream``/``open_stream`` mirror the session-pool
-    API so both transports work unchanged."""
+    """Streaming front over ``recognize.multistream`` (CTC greedy or
+    transducer greedy): N concurrent streams share ONE jitted step per tick
+    (per-row ragged cache positions), instead of one dispatch per stream
+    per chunk. A background tick thread drives the batch whenever any
+    stream has a pending chunk; ``run_stream``/``open_stream`` mirror the
+    session-pool API so both transports work unchanged."""
 
     def __init__(self, model, params, n_streams: int = 2, idx2unit=None,
-                 piece2word: bool = False):
-        from ..recognize.multistream import MultiStreamCTC
+                 piece2word: bool = False, model_type: str = "ctc",
+                 max_per_frame: int = 8):
+        from ..recognize.multistream import MultiStreamCTC, MultiStreamTransducer
 
-        self.ms = MultiStreamCTC(model, params, n_streams=n_streams,
-                                 idx2unit=idx2unit)
+        if model_type == "transducer":
+            self.ms = MultiStreamTransducer(
+                model, params, n_streams=n_streams, idx2unit=idx2unit,
+                max_per_frame=max_per_frame)
+        else:
+            self.ms = MultiStreamCTC(model, params, n_streams=n_streams,
+                                     idx2unit=idx2unit)
         self.piece2word = piece2word
         self.n_sessions = n_streams
         self._stop = threading.Event()
@@ -381,73 +387,6 @@ class MultiStreamFront:
         self._thread.join()
 
 
-class StreamingSessionPool:
-    """A bounded pool of frame-synchronous recognizer sessions
-    (recognize/online.py). Sessions are built once — their jitted chunk
-    steps compile once and are reused by every stream — and borrowed per
-    request; ``run_stream`` simulates real-time arrival by feeding the
-    utterance raw_chunk frames at a time, invoking ``on_partial`` whenever
-    the running hypothesis changes.
-
-    Used for TRANSDUCER streaming (per-stream prediction-network state);
-    CTC streaming uses the batched ``MultiStreamFront`` instead.
-    """
-
-    def __init__(self, model_type: str, model, params, n_sessions: int = 2,
-                 idx2unit=None, max_per_frame: int = 8, piece2word: bool = False):
-        from ..recognize.online import (
-            StreamingCTCRecognizer,
-            StreamingTransducerRecognizer,
-        )
-
-        if model_type == "ctc":
-            make = lambda: StreamingCTCRecognizer(  # noqa: E731
-                model, params, batch=1, idx2unit=idx2unit)
-        elif model_type == "transducer":
-            make = lambda: StreamingTransducerRecognizer(  # noqa: E731
-                model, params, batch=1, idx2unit=idx2unit,
-                max_per_frame=max_per_frame)
-        else:
-            raise SystemExit(
-                "--streaming supports ctc and transducer models (attention "
-                "decoders need the full utterance; serve without --streaming)")
-        self._pool: "queue.Queue" = queue.Queue()
-        for _ in range(max(1, int(n_sessions))):
-            self._pool.put(make())
-        self.n_sessions = max(1, int(n_sessions))
-        self.piece2word = piece2word
-
-    def _post(self, text: str) -> str:
-        from .eval import postprocess
-
-        return postprocess(text, self.piece2word)
-
-    def warmup(self, n_feat: int):
-        """Compile every session's chunk steps with a short dummy stream."""
-        for _ in range(self.n_sessions):
-            t0 = time.perf_counter()
-            self.run_stream(np.zeros((64, n_feat), np.float32), lambda _: None)
-            logger.info("streaming warmup: %.1fs", time.perf_counter() - t0)
-
-    def run_stream(self, feats: np.ndarray, on_partial) -> str:
-        """feats [T, F] → final text; calls on_partial(text) per new hypothesis."""
-        rec = self._pool.get()  # blocks while all sessions busy
-        try:
-            rec.reset()
-            rc = rec.session.raw_chunk
-            x = feats[None]  # batch 1
-            last: list[int] = []
-            n_full = x.shape[1] // rc
-            for s in range(n_full):
-                ids = rec.feed(x[:, s * rc:(s + 1) * rc])[0]
-                if ids != last:
-                    last = list(ids)
-                    on_partial(self._post(rec.text_of(ids)))
-            return self._post(rec.finish(x[:, n_full * rc:])[0])
-        finally:
-            self._pool.put(rec)
-
-
 def _build(args):
     """Load checkpoint + config, build recognizer/extractor/batcher."""
     from .eval import load_model_and_lm
@@ -457,17 +396,16 @@ def _build(args):
     )
     idx2unit = load_idx2unit_map(cfg["data"]["vocab"])
     if getattr(args, "streaming", False):
-        if cfg["model"]["type"] == "ctc":
-            # batched: N streams advance in ONE jitted step per tick
-            front = MultiStreamFront(
-                model, params, n_streams=args.streams, idx2unit=idx2unit,
-                piece2word=args.piece2word)
-        else:
-            front = StreamingSessionPool(
-                cfg["model"]["type"], model, params, n_sessions=args.streams,
-                idx2unit=idx2unit, max_per_frame=args.max_tokens_per_chunk,
-                piece2word=args.piece2word,
-            )
+        mtype = cfg["model"]["type"]
+        if mtype not in ("ctc", "transducer"):
+            raise SystemExit(
+                "--streaming supports ctc and transducer models (attention "
+                "decoders need the full utterance; serve without --streaming)")
+        # batched: N streams advance in ONE jitted step per tick
+        front = MultiStreamFront(
+            model, params, n_streams=args.streams, idx2unit=idx2unit,
+            piece2word=args.piece2word, model_type=mtype,
+            max_per_frame=args.max_tokens_per_chunk)
         return front, FeatureExtractor(cfg["data"])
     recog_args = {
         "beam_width": args.beam_width, "nbest": args.nbest,
@@ -600,7 +538,7 @@ def _serve_tcp(args, batcher: DynamicBatcher, extractor: FeatureExtractor) -> in
     return 0
 
 
-def _serve_stream_streaming(args, pool: StreamingSessionPool,
+def _serve_stream_streaming(args, pool: MultiStreamFront,
                             extractor: FeatureExtractor) -> int:
     """Sequential streaming over a wav.scp source: per utterance, emit
     `utt<TAB>PARTIAL<TAB>text` lines as hypotheses evolve chunk by chunk,
@@ -778,6 +716,9 @@ def _serve_tcp_streaming(args, pool,
 
 
 def main(argv=None) -> int:
+    from . import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     args = build_argparser().parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s - %(levelname)s - %(message)s",

@@ -1,6 +1,6 @@
-"""Batched multi-stream frame-synchronous CTC recognition.
+"""Batched multi-stream frame-synchronous recognition (CTC + transducer).
 
-``StreamingCTCRecognizer`` (recognize/online.py) advances ONE stream per
+The single-stream recognizers (recognize/online.py) advance ONE stream per
 jitted step; a serving daemon with N concurrent streams would pay N device
 dispatches per tick. This module advances up to N independent streams in
 ONE jitted step: every stream owns a row of the batched encoder KV cache,
@@ -10,10 +10,13 @@ depths coexist in one batch. Rows that have no pending chunk this tick
 keep their cache via a per-row ``advance`` mask; freshly claimed slots
 need no cache zeroing because ``cache_len = 0`` masks stale contents.
 
-The per-tick step fuses frontend → encoder chunk step → CTC projection →
-argmax, so the device cost of a tick is ONE dispatch regardless of how
-many streams advance (the VERDICT-targeted serving gap). Emitted ids are
-collapsed host-side per stream (same rule as ``CTCRecognizer``).
+The per-tick step fuses frontend → encoder chunk step → decoder head
+(CTC projection+argmax, or the transducer's resumable ``greedy_frames``
+lattice walk with per-row frame counts), so the device cost of a tick is
+ONE dispatch regardless of how many streams advance. Per-stream extras
+(CTC's last-id collapse; the transducer's prediction-network state, reset
+per row via a ``fresh`` mask until a slot's first advancing tick) ride
+along.
 
 Beyond-reference capability: the reference has no serving runtime at all
 (its entry points are offline decode scripts, reference eval.py:20-202).
@@ -31,7 +34,13 @@ import numpy as np
 from ..data import BLK
 from .online import _frontend_geometry
 
-__all__ = ["MultiStreamCTC"]
+__all__ = ["MultiStreamCTC", "MultiStreamTransducer"]
+
+
+def _row_where(flags, new, old):
+    """Per-row select with broadcast over arbitrary trailing dims."""
+    f = flags.reshape((-1,) + (1,) * (new.ndim - 1))
+    return jnp.where(f, new, old)
 
 
 class _Slot:
@@ -59,8 +68,8 @@ class _Slot:
         self.utt_id = utt_id
 
 
-class MultiStreamCTC:
-    """N-slot multi-stream frame-synchronous CTC server core.
+class _MultiStreamBase:
+    """N-slot multi-stream frame-synchronous server core.
 
     Usage: ``open_stream`` claims a slot, ``push(slot, feats)`` buffers raw
     feature frames, ``close(slot)`` marks end-of-stream; a driver (own
@@ -71,15 +80,11 @@ class MultiStreamCTC:
     closed stream drains.
 
     Restrictions are those of the streaming encoder session: conv
-    frontend, absolute-PE transformer encoder with ``chunk_size > 0``,
-    ``left_chunks >= 0``, and ``lookahead_steps == 0``.
+    frontend, chunked attention (``chunk_size > 0``, ``left_chunks >= 0``);
+    plus any model-specific ones (see subclasses).
     """
 
     def __init__(self, model, params, n_streams: int = 4, idx2unit=None):
-        if getattr(model, "lookahead_steps", 0):
-            raise NotImplementedError(
-                "multi-stream CTC requires lookahead_steps=0 (the look-ahead "
-                "conv mixes future frames across chunk boundaries)")
         enc_cfg = model.encoder_cfg
         self.chunk = int(enc_cfg.get("chunk_size", 0))
         left_chunks = int(enc_cfg.get("left_chunks", -1))
@@ -99,31 +104,27 @@ class MultiStreamCTC:
         self.cache = model.apply(
             params, self.n_streams,
             method=lambda m, b: m.encoder.init_stream_cache(b))
-        chunk = self.chunk
-
-        def step(params, window, cache, start, cache_len, chunk_mask, advance):
-            def _f(mdl, window, cache, start, cache_len, chunk_mask):
-                x, _ = mdl.frontend(window, jnp.ones(window.shape[:2], bool))
-                x = x[:, :chunk]
-                y, new_cache = mdl.encoder.encode_step(
-                    x, cache, start, cache_len, chunk_mask)
-                ids = jnp.argmax(mdl.assistor.project(y), axis=-1)  # [B, C]
-                return ids, new_cache
-
-            ids, new_cache = model.apply(
-                params, window, cache, start, cache_len, chunk_mask, method=_f)
-            keep = advance[:, None, None, None]
-            new_cache = jax.tree_util.tree_map(
-                lambda n, o: jnp.where(keep, n, o), new_cache, cache)
-            return ids, new_cache
-
-        self._step = jax.jit(step)
+        self._step = self._build_step()
         self._slots = [_Slot() for _ in range(self.n_streams)]
         self._free: list[int] = list(range(self.n_streams))
+        self._fresh = np.zeros((self.n_streams,), bool)
         self._lock = threading.Lock()        # guards slot/host state
         self._tick_lock = threading.Lock()   # serializes device steps
         self.ticks = 0          # jitted dispatches issued (1 per tick)
         self.chunks_advanced = 0  # stream-chunks processed across all ticks
+
+    # --------------------------------------------------------------- hooks
+    def _build_step(self):
+        """Return the jitted fused tick step (subclass)."""
+        raise NotImplementedError
+
+    def _advance_rows(self, window, start, cache_len, chunk_mask, advance, fresh):
+        """Run the step, update device state, return host-side outputs."""
+        raise NotImplementedError
+
+    def _collect(self, out, row: int, valid: int, slot: _Slot) -> list[int]:
+        """New tokens for one advanced row from the step outputs."""
+        raise NotImplementedError
 
     # ------------------------------------------------------------- lifecycle
     def open_stream(self, utt_id: str,
@@ -139,6 +140,7 @@ class MultiStreamCTC:
                 if self._free:
                     i = self._free.pop(0)
                     self._slots[i].reset(utt_id, on_partial, on_final)
+                    self._fresh[i] = True
                     return i
             if end is not None and _time.monotonic() >= end:
                 return None
@@ -217,12 +219,13 @@ class MultiStreamCTC:
 
     def _tick_inner(self) -> int:
         with self._lock:
-            plan = []  # (slot_index, valid, window_rows)
+            plan = []  # (slot_index, valid)
             window = np.zeros((self.n_streams, self.window, self.n_feat), np.float32)
             start = np.zeros((self.n_streams,), np.int32)
             cache_len = np.zeros((self.n_streams,), np.int32)
             chunk_mask = np.zeros((self.n_streams, self.chunk), bool)
             advance = np.zeros((self.n_streams,), bool)
+            fresh = self._fresh.copy()
             for i, s in enumerate(self._slots):
                 v = self._pending(s)
                 if v == 0:
@@ -239,11 +242,8 @@ class MultiStreamCTC:
             if not plan:
                 return 0
 
-        ids, self.cache = self._step(
-            self.params, jnp.asarray(window), self.cache,
-            jnp.asarray(start), jnp.asarray(cache_len),
-            jnp.asarray(chunk_mask), jnp.asarray(advance))
-        ids = np.asarray(ids)
+        out = self._advance_rows(window, start, cache_len, chunk_mask,
+                                 advance, fresh)
         self.ticks += 1
         self.chunks_advanced += len(plan)
 
@@ -252,19 +252,16 @@ class MultiStreamCTC:
         with self._lock:
             for i, v in plan:
                 s = self._slots[i]
+                self._fresh[i] = False
                 s.consumed += self.raw_chunk
                 s.emitted += v
-                grew = False
-                for t in range(v):
-                    tok = int(ids[i, t])
-                    if tok != BLK and tok != s.last_id:
-                        s.tokens.append(tok)
-                        grew = True
-                    s.last_id = tok
+                new_toks = self._collect(out, i, v, s)
+                if new_toks:
+                    s.tokens.extend(new_toks)
                 if s.finishing and s.emitted >= s.flush_total:
                     s.active = False
                     finals.append((i, s))
-                elif grew:
+                elif new_toks:
                     partials.append(s)
         # callbacks outside the lock (they may write to sockets)
         for s in partials:
@@ -296,3 +293,114 @@ class MultiStreamCTC:
             if not self.ready() or self.tick() == 0:
                 _time.sleep(0.001)
         return result["text"]
+
+
+class MultiStreamCTC(_MultiStreamBase):
+    """Multi-stream greedy CTC: the fused tick step ends in a projection +
+    argmax; ids collapse host-side per stream (same rule as CTCRecognizer,
+    blank=PAD=0)."""
+
+    def __init__(self, model, params, n_streams: int = 4, idx2unit=None):
+        if getattr(model, "lookahead_steps", 0):
+            raise NotImplementedError(
+                "multi-stream CTC requires lookahead_steps=0 (the look-ahead "
+                "conv mixes future frames across chunk boundaries)")
+        super().__init__(model, params, n_streams, idx2unit)
+
+    def _build_step(self):
+        model, chunk = self.model, self.chunk
+
+        def step(params, window, cache, start, cache_len, chunk_mask, advance):
+            def _f(mdl, window, cache, start, cache_len, chunk_mask):
+                x, _ = mdl.frontend(window, jnp.ones(window.shape[:2], bool))
+                x = x[:, :chunk]
+                y, new_cache = mdl.encoder.encode_step(
+                    x, cache, start, cache_len, chunk_mask)
+                ids = jnp.argmax(mdl.assistor.project(y), axis=-1)  # [B, C]
+                return ids, new_cache
+
+            ids, new_cache = model.apply(
+                params, window, cache, start, cache_len, chunk_mask, method=_f)
+            new_cache = jax.tree_util.tree_map(
+                lambda n, o: _row_where(advance, n, o), new_cache, cache)
+            return ids, new_cache
+
+        return jax.jit(step)
+
+    def _advance_rows(self, window, start, cache_len, chunk_mask, advance, fresh):
+        ids, self.cache = self._step(
+            self.params, jnp.asarray(window), self.cache,
+            jnp.asarray(start), jnp.asarray(cache_len),
+            jnp.asarray(chunk_mask), jnp.asarray(advance))
+        return np.asarray(ids)
+
+    def _collect(self, ids, row, valid, s):
+        new = []
+        for t in range(valid):
+            tok = int(ids[row, t])
+            if tok != BLK and tok != s.last_id:
+                new.append(tok)
+            s.last_id = tok
+        return new
+
+
+class MultiStreamTransducer(_MultiStreamBase):
+    """Multi-stream greedy RNNT: the fused tick step runs the resumable
+    ``greedy_frames`` lattice walk with per-row frame counts (idle rows get
+    frame_len 0 and stay untouched); prediction-network state and hidden
+    carry on-device per row, reset through the ``fresh`` mask when a slot
+    starts a new stream. Streamed hypotheses equal the single-stream
+    StreamingTransducerRecognizer whenever its global max_symbols cap
+    doesn't bind."""
+
+    def __init__(self, model, params, n_streams: int = 4, idx2unit=None,
+                 max_symbols: int = 10_000, max_per_frame: int = 8):
+        self.max_symbols = int(max_symbols)
+        self.max_per_frame = int(max_per_frame)
+        super().__init__(model, params, n_streams, idx2unit)
+        self._state, self._hidden = model.apply(
+            params, self.n_streams, method="init_decode_state")
+
+    def _build_step(self):
+        model, chunk = self.model, self.chunk
+        buf = self.chunk * self.max_per_frame
+        max_per_frame = self.max_per_frame
+
+        def step(params, window, cache, state, hidden, start, cache_len,
+                 chunk_mask, advance, fresh):
+            def _f(mdl, window, cache, state, hidden, start, cache_len,
+                   chunk_mask, fresh):
+                # fresh rows restart the prediction network (BOS state)
+                s0, h0 = mdl.init_decode_state(window.shape[0])
+                state = _row_where(fresh, s0, state)
+                hidden = jax.tree_util.tree_map(
+                    lambda n, o: _row_where(fresh, n, o), h0, hidden)
+                x, _ = mdl.frontend(window, jnp.ones(window.shape[:2], bool))
+                x = x[:, :chunk]
+                y, new_cache = mdl.encoder.encode_step(
+                    x, cache, start, cache_len, chunk_mask)
+                frame_len = jnp.sum(chunk_mask, axis=1).astype(jnp.int32)
+                toks, n, state, hidden = mdl.greedy_frames(
+                    y, frame_len, state, hidden, buf, max_per_frame)
+                return toks, n, new_cache, state, hidden
+
+            toks, n, new_cache, state, hidden = model.apply(
+                params, window, cache, state, hidden, start, cache_len,
+                chunk_mask, fresh, method=_f)
+            new_cache = jax.tree_util.tree_map(
+                lambda nw, o: _row_where(advance, nw, o), new_cache, cache)
+            return toks, n, new_cache, state, hidden
+
+        return jax.jit(step)
+
+    def _advance_rows(self, window, start, cache_len, chunk_mask, advance, fresh):
+        toks, n, self.cache, self._state, self._hidden = self._step(
+            self.params, jnp.asarray(window), self.cache, self._state,
+            self._hidden, jnp.asarray(start), jnp.asarray(cache_len),
+            jnp.asarray(chunk_mask), jnp.asarray(advance), jnp.asarray(fresh))
+        return np.asarray(toks), np.asarray(n)
+
+    def _collect(self, out, row, valid, s):
+        toks, n = out
+        room = self.max_symbols - len(s.tokens)
+        return toks[row, : min(int(n[row]), room)].tolist()

@@ -11,9 +11,23 @@ import threading
 import numpy as np
 import pytest
 
-from opentransformer_tpu.recognize.multistream import MultiStreamCTC
-from opentransformer_tpu.recognize.online import StreamingCTCRecognizer
-from tests.test_online import _ctc_cfg, _init
+from opentransformer_tpu.recognize.multistream import (
+    MultiStreamCTC,
+    MultiStreamTransducer,
+)
+from opentransformer_tpu.recognize.online import (
+    StreamingCTCRecognizer,
+    StreamingTransducerRecognizer,
+)
+from tests.test_online import ENCODER, FRONTEND, _ctc_cfg, _init
+
+
+def _rnnt_cfg():
+    return {
+        "type": "transducer", "frontend_type": "conv", "frontend": FRONTEND,
+        "encoder_type": "transformer", "encoder": ENCODER,
+        "vocab_size": 20, "predictor": {"num_layers": 1}, "d_joint": 24,
+    }
 
 
 def _sequential_transcripts(model, params, utts):
@@ -124,6 +138,65 @@ def test_multistream_empty_stream_finalizes():
     ms = MultiStreamCTC(model, params, n_streams=2)
     assert ms.run_stream(np.zeros((0, 12), np.float32), lambda _t: None) == ""
     assert ms.run_stream(np.zeros((3, 12), np.float32), lambda _t: None) == ""
+
+
+def _sequential_rnnt(model, params, utts):
+    rec = StreamingTransducerRecognizer(model, params, batch=1)
+    out = []
+    for feats in utts:
+        rec.reset()
+        rc = rec.session.raw_chunk
+        x = feats[None]
+        n_full = x.shape[1] // rc
+        for s in range(n_full):
+            rec.feed(x[:, s * rc : (s + 1) * rc])
+        out.append(rec.finish(x[:, n_full * rc :])[0])
+    return out
+
+
+def test_multistream_transducer_matches_single_stream():
+    """Ragged interleaved RNNT streams: per-row greedy_frames lattice walks
+    with carried prediction-network state must match the single-stream
+    recognizer, including slot reuse (fresh-mask state reset)."""
+    model, params, _, _ = _init(_rnnt_cfg(), t=80, b=2)
+    lens = [64, 73, 41, 96, 57]
+    utts = _make_utts(5, [41, 42, 43, 44, 45], lens)
+    want = _sequential_rnnt(model, params, utts)
+
+    ms = MultiStreamTransducer(model, params, n_streams=3)
+    finals = {}
+    slots = {}
+    order = [0, 1, 2]  # 5 streams through 3 slots forces reuse mid-run
+    for i in order:
+        slots[i] = ms.open_stream(
+            f"u{i}", lambda _t: None,
+            lambda text, _i=i: finals.__setitem__(_i, text))
+    cursors = [0] * 5
+    opened = set(order)
+    guard = 0
+    while len(finals) < 5:
+        guard += 1
+        assert guard < 10_000, "multi-stream transducer did not drain"
+        for i in list(opened):
+            if cursors[i] < lens[i]:
+                n = min(17, lens[i] - cursors[i])
+                ms.push(slots[i], utts[i][cursors[i] : cursors[i] + n])
+                cursors[i] += n
+                if cursors[i] >= lens[i]:
+                    ms.close(slots[i])
+        if ms.ready():
+            ms.tick()
+        # claim freed slots for the remaining streams
+        for i in range(5):
+            if i not in opened and len(ms._free) > 0:
+                slots[i] = ms.open_stream(
+                    f"u{i}", lambda _t: None,
+                    lambda text, _i=i: finals.__setitem__(_i, text),
+                    timeout=0.01)
+                if slots[i] is not None:
+                    opened.add(i)
+    assert [finals[i] for i in range(5)] == want
+    assert ms.chunks_advanced > ms.ticks  # batching happened
 
 
 def test_multistream_rejects_lookahead():
