@@ -131,11 +131,12 @@ def train_throughput(model, b=16, t=512, u=32, iters=20):
 
     def stacked_args(seed):
         # distinct feats per step and per call (identical dispatches dedup
-        # on the tunnel; see module docstring)
+        # on the tunnel; see module docstring); leaves are [N, A=1, B, ...]
+        # (the multi-step program scans accumulation windows per update)
         r = np.random.default_rng(seed)
-        feats = jnp.asarray(r.normal(size=(iters, b, t, 40)), jnp.float32)
+        feats = jnp.asarray(r.normal(size=(iters, 1, b, t, 40)), jnp.float32)
         rest = jax.tree_util.tree_map(
-            lambda a: jnp.broadcast_to(a, (iters,) + a.shape), args0[1:]
+            lambda a: jnp.broadcast_to(a, (iters, 1) + a.shape), args0[1:]
         )
         return (feats,) + rest
 
@@ -143,16 +144,16 @@ def train_throughput(model, b=16, t=512, u=32, iters=20):
     keys = jax.random.split(jax.random.PRNGKey(1), iters)
     warm = stacked_args(3)
     timed = stacked_args(4)
-    float(timed[0][0, 0, 0, 0])  # force the timed batch resident on device
+    float(timed[0][0, 0, 0, 0, 0])  # force the timed batch resident on device
 
     v, opt, ns = state.params, state.opt_state, state.nan_skips
     v, opt, ns, losses, _, _ = multi(v, opt, ns, warm, lrs, keys)  # compile
-    float(losses[-1])
+    float(losses[-1, -1])
     keys2 = jax.random.split(jax.random.PRNGKey(5), iters)
     t0 = time.perf_counter()
     v, opt, ns, losses, _, gnorms = multi(v, opt, ns, timed, lrs, keys2)
     # 8-byte fetch: program outputs materialize when the whole scan finishes
-    float(losses[-1])
+    float(losses[-1, -1])
     dt = time.perf_counter() - t0
     frames_per_sec = iters * b * t / dt
     return {

@@ -13,6 +13,9 @@ from ..train.checkpoint import Checkpointer
 
 
 def main(argv=None) -> int:
+    from . import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     p = argparse.ArgumentParser(description="Average checkpoints over an epoch range")
     p.add_argument("expdir", type=str)
     p.add_argument("start_epoch", type=int)

@@ -160,6 +160,9 @@ def load_model_and_lm(load_model: str, config: str | None = None,
 
 
 def main(argv=None) -> int:
+    from . import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     args = build_argparser().parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(asctime)s - %(levelname)s - %(message)s", force=True)
     if args.mode == "greedy":

@@ -163,6 +163,9 @@ def main(argv=None) -> int:
     # platform through the config instead
     if os.environ.get("OT_FORCE_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["OT_FORCE_PLATFORM"])
+    from . import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     args = build_argparser().parse_args(argv)
     logging.basicConfig(
         level=getattr(logging, args.logging_level.upper(), logging.INFO),
