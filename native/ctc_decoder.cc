@@ -355,6 +355,9 @@ KenlmProbingLM* LoadKenlmProbing(const char* path, const char* const* vocab_unit
       !get(&search_version, 4))
     return nullptr;
   if (model_type != 0) return nullptr;    // only PROBING supported
+  if (search_version != 0) return nullptr;  // SearchHashed::VERSION — a
+  // different hashed-search revision means different table packing; reject
+  // rather than misparse offsets into silently-wrong LM scores
   if (!has_vocab) return nullptr;         // need trailing words to map units
   if (order_u8 < 1 || multiplier < 1.0f) return nullptr;
 

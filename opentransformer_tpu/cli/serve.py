@@ -200,15 +200,23 @@ class DynamicBatcher:
         self.audio_seconds = 0.0
         self.busy_seconds = 0.0
         self._stop = threading.Event()
+        self._stopping = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
 
     def start(self):
         self._thread.start()
 
     def submit(self, req: _Request):
+        if self._stopping.is_set():
+            # a handler that outlived the shutdown wait: answer empty
+            # instead of enqueueing behind the stop sentinel (which would
+            # never be processed, deadlocking the handler's done.acquire)
+            req.reply(req.utt_id, "")
+            return
         self.q.put(req)
 
     def drain_and_stop(self):
+        self._stopping.set()
         self.q.join()
         self._stop.set()
         self.q.put(None)  # wake the loop
@@ -340,7 +348,15 @@ class MultiStreamFront:
 
     def _drive(self):
         while not self._stop.is_set():
-            if not (self.ms.ready() and self.ms.tick()):
+            try:
+                advanced = self.ms.ready() and self.ms.tick()
+            except Exception:
+                # a dead tick thread would silently wedge every stream on
+                # done.wait(); log, back off, and keep driving
+                logger.exception("multi-stream tick failed; retrying")
+                advanced = False
+                time.sleep(0.25)
+            if not advanced:
                 time.sleep(0.002)
 
     def _post(self, text: str) -> str:

@@ -94,11 +94,15 @@ class BySequenceLengthSampler:
         if self.max_frames_one_batch > 0:
             return max(self.max_frames_one_batch // boundary, 1)
         if self.bucket_batch_sizes:
-            # over-long pseudo-boundaries (> last configured boundary) take
-            # the last configured batch size
             i = next((k for k, b in enumerate(self.boundaries) if b >= boundary),
                      len(self.boundaries) - 1)
-            return int(self.bucket_batch_sizes[min(i, len(self.bucket_batch_sizes) - 1)])
+            bs = int(self.bucket_batch_sizes[min(i, len(self.bucket_batch_sizes) - 1)])
+            if boundary > self.boundaries[-1]:
+                # over-long pseudo-boundary: scale the last configured batch
+                # size down by the frame ratio (it was tuned for the last
+                # boundary's memory footprint, and attention grows ~T^2)
+                bs = max(int(bs * self.boundaries[-1] / boundary), 1)
+            return bs
         return self.batch_size
 
     def _regenerate(self) -> None:

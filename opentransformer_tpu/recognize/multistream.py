@@ -46,8 +46,8 @@ def _row_where(flags, new, old):
 class _Slot:
     """Host-side state of one stream slot."""
 
-    __slots__ = ("active", "frames", "n_frames", "consumed", "emitted",
-                 "last_id", "tokens", "finishing", "flush_total",
+    __slots__ = ("active", "frames", "n_frames", "consumed", "dropped",
+                 "emitted", "last_id", "tokens", "finishing", "flush_total",
                  "on_partial", "on_final", "utt_id")
 
     def __init__(self):
@@ -56,8 +56,9 @@ class _Slot:
     def reset(self, utt_id, on_partial, on_final):
         self.active = True
         self.frames: list[np.ndarray] = []   # buffered raw feature frames
-        self.n_frames = 0                    # total frames buffered (incl. consumed)
+        self.n_frames = 0                    # total frames pushed (incl. consumed)
         self.consumed = 0                    # raw frames consumed by emitted windows
+        self.dropped = 0                     # consumed frames discarded from `frames`
         self.emitted = 0                     # encoder frames emitted
         self.last_id = BLK
         self.tokens: list[int] = []
@@ -230,10 +231,17 @@ class _MultiStreamBase:
                 v = self._pending(s)
                 if v == 0:
                     continue
-                if len(s.frames) > 1:  # consolidate the buffer lazily
-                    s.frames = [np.concatenate(s.frames, axis=0)]
+                if len(s.frames) > 1 or s.consumed - s.dropped >= self.raw_chunk:
+                    # consolidate lazily AND discard the consumed prefix so
+                    # long-lived streams stay O(pending), not O(stream)
+                    buf = (np.concatenate(s.frames, axis=0)
+                           if len(s.frames) > 1 else s.frames[0])
+                    cut = s.consumed - s.dropped
+                    s.frames = [buf[cut:]]
+                    s.dropped = s.consumed
                 buf = s.frames[0]
-                window[i] = buf[s.consumed: s.consumed + self.window]
+                lo = s.consumed - s.dropped
+                window[i] = buf[lo: lo + self.window]
                 start[i] = s.emitted
                 cache_len[i] = min(self.left, s.emitted)
                 chunk_mask[i, :v] = True

@@ -86,11 +86,12 @@ def build_scheduler(sched_cfg: Any, sched_type: str = "transformer") -> Schedule
         # reference semantics: lr <- max(lr ** decay_factor, min_lr), a
         # self-referential power decay (otrans/train/scheduler.py:116-126).
         # Pure closed form of the recurrence so `-ct` resume reproduces the
-        # exact lr trajectory (k decay applications by global step k+1).
+        # exact lr trajectory: the trainer's global_step starts at 1 and the
+        # k-th update applies the k-th decay (init_lr^(d^k)).
         init_lr = float(cfg["init_lr"])
         decay = float(cfg["decay_factor"])
         min_lr = float(cfg.get("min_lr", 1e-6))
-        return lambda step, epoch: _power_decay_lr(init_lr, decay, min_lr, max(int(step), 0) + 1)
+        return lambda step, epoch: _power_decay_lr(init_lr, decay, min_lr, max(int(step), 0))
 
     if sched_type == "transformer":
         # Noam: factor * d^-0.5 * min(step^-0.5, step * warmup^-1.5)

@@ -505,8 +505,12 @@ class Trainer:
         pending: list = []
 
         def stack_group(group):
-            # group_size identical-shape micro-batches -> leaves [N, A, B, ...]
-            stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *group)
+            # group_size identical-shape micro-batches -> leaves [N, A, B, ...].
+            # Stack on HOST (loader batches arrive as numpy): a jnp.stack
+            # here would put the group on device only for the multihost
+            # branch to pull it straight back with np.asarray.
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: np.stack([np.asarray(x) for x in xs]), *group)
             stacked = jax.tree_util.tree_map(
                 lambda x: x.reshape((n_exec, accum) + x.shape[1:]), stacked
             )
@@ -518,7 +522,7 @@ class Trainer:
                         spec = PartitionSpec(None, None, "data", *(None,) * (x.ndim - 3))
                         gshape = x.shape[:2] + (x.shape[2] * jax.process_count(),) + x.shape[3:]
                         return jax.make_array_from_process_local_data(
-                            NamedSharding(mesh, spec), np.asarray(x), gshape
+                            NamedSharding(mesh, spec), x, gshape
                         )
                 else:
                     def put(x):
@@ -528,56 +532,18 @@ class Trainer:
                 stacked = jax.tree_util.tree_map(put, stacked)
             return stacked
 
-        def run_group(group, last_step):
-            nonlocal params, opt_state, nan_skips, rng, span_t0
-            n = len(group)
-            if n == 0:
-                return
-            n_upd = (n + accum - 1) // accum
-            lrs = [self.schedule(self.global_step + i, self.global_epoch)
-                   for i in range(n_upd)]
-            rng, r = jax.random.split(rng)
-            keys = jax.random.split(r, n_upd)
-            gs0 = self.global_step
-            if n == group_size:
-                params, opt_state, nan_skips, losses, auxes, _ = self._multi_fn(
-                    params, opt_state, nan_skips, stack_group(group),
-                    jnp.asarray(lrs, jnp.float32), keys,
-                )
-                # losses [N, A]; aux leaves [N, A]: one pending entry per
-                # update carrying its window's micro losses (same contract
-                # as the single-step loop's accumulation flush)
-                per_loss = [[losses[i, j] for j in range(accum)] for i in range(n_upd)]
-                per_aux = [[{k: v[i, j] for k, v in auxes.items()} for j in range(accum)]
-                           for i in range(n_upd)]
-            else:  # ragged tail / shape change: single-step cores, updating
-                   # every `accum` micro-batches (short final window flushes)
-                per_loss, per_aux = [], []
-                micro_losses, micro_aux = [], []
-                gacc = self._zeros_like_grads(params)
-                micro = 0
-                upd = 0
-                for i, args in enumerate(group):
-                    rng, k1 = jax.random.split(rng)
-                    args = self._shard_batch(args)
-                    params, gacc, loss, aux = self._grad_fn(params, gacc, args, k1)
-                    micro_losses.append(loss)
-                    micro_aux.append(aux)
-                    micro += 1
-                    if micro == accum or i == n - 1:
-                        rng, k2 = jax.random.split(rng)
-                        params, opt_state, nan_skips, _ = self._update_fn(
-                            params, opt_state, gacc, nan_skips, lrs[upd], k2
-                        )
-                        upd += 1
-                        per_loss.append(micro_losses)
-                        per_aux.append(micro_aux)
-                        micro_losses, micro_aux = [], []
-                        gacc = self._zeros_like_grads(params)
-                        micro = 0
-                n_upd = upd
+        # accumulation carry shared by the scanned and single-step paths so
+        # windows span shape changes exactly like the single-step loop (an
+        # early flush would mint extra updates with 1/accum-weighted grads)
+        carry_gacc = None
+        carry_micro = 0
+        carry_losses: list = []
+        carry_aux: list = []
+
+        def emit_updates(per_loss, per_aux, lrs, last_step, gs0):
+            nonlocal span_t0
             progress = min(last_step + 1, n_batches) / max(n_batches, 1) * 100
-            for i in range(n_upd):
+            for i in range(len(per_loss)):
                 self.global_step += 1
                 pending.append((per_loss[i], per_aux[i], lrs[i],
                                 self.global_step, progress))
@@ -585,25 +551,79 @@ class Trainer:
                 span_t0 = self._flush_pending(pending, epoch, span_t0)
             self._maybe_fault_inject()
 
+        def run_scan_group(group, last_step):
+            # exactly n_exec complete accumulation windows, carry empty
+            nonlocal params, opt_state, nan_skips, rng
+            lrs = [self.schedule(self.global_step + i, self.global_epoch)
+                   for i in range(n_exec)]
+            rng, r = jax.random.split(rng)
+            keys = jax.random.split(r, n_exec)
+            gs0 = self.global_step
+            params, opt_state, nan_skips, losses, auxes, _ = self._multi_fn(
+                params, opt_state, nan_skips, stack_group(group),
+                jnp.asarray(lrs, jnp.float32), keys,
+            )
+            # losses [N, A]; aux leaves [N, A]: one pending entry per update
+            # carrying its window's micro losses (same contract as the
+            # single-step loop's accumulation flush)
+            per_loss = [[losses[i, j] for j in range(accum)] for i in range(n_exec)]
+            per_aux = [[{k: v[i, j] for k, v in auxes.items()} for j in range(accum)]
+                       for i in range(n_exec)]
+            emit_updates(per_loss, per_aux, lrs, last_step, gs0)
+
+        def run_single(args, last_step, flush_partial=False):
+            # one micro-batch through the single-step cores, updating when
+            # the window fills (or at epoch end with flush_partial)
+            nonlocal params, opt_state, nan_skips, rng
+            nonlocal carry_gacc, carry_micro, carry_losses, carry_aux
+            if args is not None:
+                if carry_gacc is None:
+                    carry_gacc = self._zeros_like_grads(params)
+                rng, k1 = jax.random.split(rng)
+                args = self._shard_batch(args)
+                params, carry_gacc, loss, aux = self._grad_fn(
+                    params, carry_gacc, args, k1)
+                carry_losses.append(loss)
+                carry_aux.append(aux)
+                carry_micro += 1
+            if carry_micro > 0 and (carry_micro == accum or flush_partial):
+                lr = self.schedule(self.global_step, self.global_epoch)
+                gs0 = self.global_step
+                rng, k2 = jax.random.split(rng)
+                params, opt_state, nan_skips, _ = self._update_fn(
+                    params, opt_state, carry_gacc, nan_skips, lr, k2
+                )
+                emit_updates([carry_losses], [carry_aux], [lr], last_step, gs0)
+                carry_losses, carry_aux = [], []
+                carry_gacc = None
+                carry_micro = 0
+
+        def drain(group, last_step):
+            for args in group:
+                run_single(args, last_step)
+
         group: list = []
         gsig = None
         for step, batch in enumerate(batches):
             _, inputs, targets = batch
             args = self.batch_fn((None, inputs, targets))
-            if mesh is None:
-                args = jax.tree_util.tree_map(jnp.asarray, args)
             sig = tuple((a.shape, str(a.dtype)) for a in jax.tree_util.tree_leaves(args))
             if sig != gsig and group:
-                run_group(group, step - 1)
+                drain(group, step - 1)  # shape change: keep accumulating
                 group = []
             gsig = sig
-            group.append(args)
-            if len(group) == group_size:
-                run_group(group, step)
-                group = []
+            if carry_micro > 0:
+                # finish the in-flight window before grouping for the scan
+                run_single(args, step)
+            else:
+                group.append(args)
+                if len(group) == group_size:
+                    run_scan_group(group, step)
+                    group = []
             if self.is_debug and step > 30:
                 break
-        run_group(group, n_batches - 1)
+        drain(group, n_batches - 1)
+        run_single(None, n_batches - 1, flush_partial=True)  # epoch-end window
         self._flush_pending(pending, epoch, span_t0, final=True)
         return TrainState(params=params, opt_state=opt_state, nan_skips=nan_skips)
 

@@ -54,12 +54,13 @@ def test_stateful_schedules_are_pure_and_resume_safe():
         # calling out of order / repeatedly must not change results
         assert math.isclose(full(3, 0), seq[3]) and math.isclose(full(3, 0), seq[3])
 
-    # closed form matches the literal reference recurrence lr<-max(lr^d, m)
+    # closed form matches the literal reference recurrence lr<-max(lr^d, m):
+    # the trainer's first update is global_step=1 = one decay application
     for init, d, m in [(0.5, 1.1, 1e-2), (0.5, 1.1, 0.3), (1e-8, 1.1, 1e-6),
                        (1e-8, 0.5, 1e-6), (0.3, 0.9, 1e-4)]:
         s = build_scheduler({"init_lr": init, "decay_factor": d, "min_lr": m}, "step-exp")
         lr = init
-        for step in range(40):
+        for step in range(1, 41):
             lr = max(lr ** d, m)
             assert math.isclose(s(step, 0), lr, rel_tol=1e-12), (init, d, m, step)
 
@@ -247,6 +248,44 @@ def test_steps_per_exec_with_accum_matches_single_step():
         # scan vs unrolled CPU compiles fuse differently and Adam amplifies
         # the f32 drift over 5 updates (on TPU both paths agree bit-exactly);
         # ~1e-3 is an order below a single lr-sized update
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-3,
+            err_msg=jax.tree_util.keystr(k),
+        )
+
+
+def test_steps_per_exec_accum_spans_shape_changes():
+    """An accumulation window must NOT flush early at a bucket-shape change:
+    the multi-step path has to accumulate across the boundary exactly like
+    the single-step loop (an early flush would mint extra updates with
+    1/accum-weighted gradients). 3 batches of shape A then 3 of shape B with
+    accum=2 -> windows (A,A), (A,B), (B,B) = 3 updates in BOTH paths."""
+    from tests.test_models import small_model_cfg
+
+    cfg = small_model_cfg()
+    cfg["encoder"] = {**cfg["encoder"], "residual_dropout": 0.0}
+    cfg["frontend"] = {**cfg["frontend"], "dropout": 0.0}
+    cfg["decoder"] = {**cfg["decoder"], "residual_dropout": 0.0}
+    model = build_model(cfg)
+    batches = ([synth_batch(np.random.default_rng(i), b=4, t=33) for i in range(3)]
+               + [synth_batch(np.random.default_rng(10 + i), b=4, t=41) for i in range(3)])
+    tcfg = {"optimizer_type": "adam", "optimizer": {}, "scheduler_type": "constant",
+            "scheduler": {"lr": 1e-3}, "epochs": 1, "clip_grad": 5.0,
+            "accum_steps": 2}
+
+    results = []
+    for extra in ({}, {"steps_per_exec": 2}):
+        tr = Trainer({**tcfg, **extra}, model, log_interval=10 ** 9)
+        state = tr.init_state(jax.random.PRNGKey(0), batches[0])
+        state = tr.train_one_epoch(0, state, batches, jax.random.PRNGKey(1))
+        results.append((tr.global_step, state))
+
+    (gs1, s1), (gs2, s2) = results
+    assert gs1 == gs2 == 4  # 6 micro-batches / accum 2 = 3 updates
+    for (k, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(s1.params),
+        jax.tree_util.tree_leaves_with_path(s2.params),
+    ):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-3,
             err_msg=jax.tree_util.keystr(k),
