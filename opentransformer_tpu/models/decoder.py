@@ -110,16 +110,19 @@ class TransformerDecoderLayer(nn.Module):
             {"ck": ck, "cv": cv},
         )
 
-    def decode_step(self, x_t, self_cache, cross_cache, index, memory_pad_mask):
+    def decode_step(self, x_t, self_cache, cross_cache, index, memory_pad_mask,
+                    src_onehot=None):
         """x_t: [B·K, 1, D]; cross_cache per-utterance [B, H, T, Dh].
 
         Returns (y_t [B·K, 1, D], new self cache). The cross cache is
-        read-only — it never needs beam reordering.
+        read-only — it never needs beam reordering. With ``src_onehot`` the
+        self cache is unordered too (ancestry-selected attention) and the
+        beam search never gathers it.
         """
         h = self.norm1(x_t) if self.normalize_before else x_t
         residual = h if self.normalize_before else x_t
         attn_out, new_k, new_v = self.slf_attn.decode_step(
-            h, self_cache["k"], self_cache["v"], index
+            h, self_cache["k"], self_cache["v"], index, src_onehot=src_onehot
         )
         if self.concat_after:
             attn_out = self.concat_linear1(jnp.concatenate([h, attn_out], axis=-1))
@@ -160,8 +163,11 @@ class _ScanDecoderLayer(TransformerDecoderLayer):
         pair = self.init_layer_cache(memory, batch, max_len, beam_width)
         return carry, pair
 
-    def scan_decode_step(self, x, self_cache, cross_cache, index, memory_pad_mask):
-        y, new_self = self.decode_step(x, self_cache, cross_cache, index, memory_pad_mask)
+    def scan_decode_step(self, x, self_cache, cross_cache, index, memory_pad_mask,
+                         src_onehot):
+        y, new_self = self.decode_step(
+            x, self_cache, cross_cache, index, memory_pad_mask,
+            src_onehot=src_onehot)
         return y, new_self
 
 
@@ -224,7 +230,7 @@ class TransformerDecoder(nn.Module):
                     # cache leaves keep BATCH leading (beam reorder gathers
                     # axis 0); the layer dim is axis 1, scanned over
                     "scan_init_cache": dict(**scan_kw, in_axes=(bcast, bcast, bcast, bcast), out_axes=1),
-                    "scan_decode_step": dict(**scan_kw, in_axes=(1, 1, bcast, bcast), out_axes=1),
+                    "scan_decode_step": dict(**scan_kw, in_axes=(1, 1, bcast, bcast, bcast), out_axes=1),
                 },
             )
             self.blocks = lifted(**layer_kw, name="blocks")
@@ -299,11 +305,14 @@ class TransformerDecoder(nn.Module):
         pairs = [layer.init_layer_cache(memory, b, max_len, beam_width) for layer in self.layers]
         return {"self": [p[0] for p in pairs], "cross": [p[1] for p in pairs]}
 
-    def decode_step(self, token_t, cache, index, memory_pad_mask):
+    def decode_step(self, token_t, cache, index, memory_pad_mask, src=None):
         """One incremental step.
 
         token_t: i[B·K] current input tokens; index: i32 scalar position;
-        memory_pad_mask: bool[B, T] (untiled).
+        memory_pad_mask: bool[B, T] (untiled); src: optional i32[B, K, U_max]
+        beam-ancestry map (row that wrote position u for the hypothesis in
+        slot k) — when given the self caches are unordered and never need the
+        per-step beam gather (``modules.ancestral_decode_context``).
         Returns (log_probs f32[B·K, V], new_cache).
         """
         x = self._embed(token_t[:, None], start=0)  # embed then fix position below
@@ -312,14 +321,18 @@ class TransformerDecoder(nn.Module):
         pe0 = sinusoid_position_encoding(jnp.zeros((1,), jnp.int32), self.d_model)[None]
         pe_t = sinusoid_position_encoding(index[None] if index.ndim == 0 else index, self.d_model)[None]
         x = x + (pe_t - pe0).astype(self.dtype)
+        src_onehot = None
+        if src is not None:
+            # one-hot once for all layers; exact 0/1 so selection is exact
+            src_onehot = jax.nn.one_hot(src, src.shape[1], dtype=jnp.float32)
         if self.scan_layers:
             x, new_self = self.blocks.scan_decode_step(
-                x, cache["self"], cache["cross"], index, memory_pad_mask
+                x, cache["self"], cache["cross"], index, memory_pad_mask, src_onehot
             )
         else:
             new_self = []
             for layer, sc, cc in zip(self.layers, cache["self"], cache["cross"]):
-                x, nsc = layer.decode_step(x, sc, cc, index, memory_pad_mask)
+                x, nsc = layer.decode_step(x, sc, cc, index, memory_pad_mask, src_onehot)
                 new_self.append(nsc)
         if self.normalize_before:
             x = self.after_norm(x)

@@ -37,6 +37,22 @@ from .modules import (
 
 Dtype = Any
 
+logger = __import__("logging").getLogger(__name__)
+
+
+def _warn_moe_stream_capacity(n_experts: int, top_k: int, capacity_factor: float):
+    """Streamed MoE blocks route per chunk while the batch path routes per
+    sequence — the outputs match only in the drop-free capacity regime
+    (capacity never binds). Warn when the config can drop tokens."""
+    drop_free = n_experts / max(top_k, 1)
+    if capacity_factor < drop_free:
+        logger.warning(
+            "streaming an MoE encoder with moe_capacity_factor=%.2f < "
+            "n_experts/top_k=%.2f: expert capacity can bind, and streamed "
+            "outputs then diverge from the batch encode (capacity is "
+            "enforced per chunk when streaming). Raise moe_capacity_factor "
+            "to >= %.2f for exact parity.", capacity_factor, drop_free, drop_free)
+
 
 def stream_kv_mask(batch, left, chunk, cache_len, chunk_mask=None):
     """Validity mask for a chunk-streaming attention step over
@@ -130,10 +146,14 @@ class TransformerEncoderLayer(nn.Module):
             return h, (w, moe_aux)
         return h, w
 
-    def encode_step(self, x, cache_k, cache_v, kv_mask):
-        """Frame-synchronous chunk step (inference-only, abs-PE attention):
-        the C new frames attend to the shifting left-context KV cache plus
-        themselves. Exactly matches __call__ under ``chunk_attn_mask``."""
+    def encode_step(self, x, cache_k, cache_v, kv_mask, chunk_mask=None):
+        """Frame-synchronous chunk step (inference-only): the C new frames
+        attend to the shifting left-context KV cache plus themselves. Both
+        attention variants stream (``chunk_step`` exists on abs-PE and
+        rel-pos modules). Exactly matches __call__ under ``chunk_attn_mask``;
+        for MoE blocks the match holds in the drop-free capacity regime
+        (``chunk_mask`` gates expert dispatch like ``pad_mask`` batch-side).
+        """
         h = self.norm1(x) if self.normalize_before else x
         residual = h if self.normalize_before else x
         attn_out, new_k, new_v = self.slf_attn.chunk_step(h, cache_k, cache_v, kv_mask)
@@ -145,7 +165,11 @@ class TransformerEncoderLayer(nn.Module):
             h = self.norm1(h)
         h2 = self.norm2(h) if self.normalize_before else h
         residual = h2 if self.normalize_before else h
-        h = residual + self.ffn(h2)
+        if self.moe_experts > 0:
+            ffn_out, _ = self.ffn(h2, pad_mask=chunk_mask)
+            h = residual + ffn_out
+        else:
+            h = residual + self.ffn(h2)
         if not self.normalize_before:
             h = self.norm2(h)
         return h, new_k, new_v
@@ -292,10 +316,13 @@ class TransformerEncoder(nn.Module):
                 "streaming encode requires chunk_size > 0 and left_chunks >= 0 "
                 f"(got chunk_size={self.chunk_size}, left_chunks={self.left_chunks})"
             )
-        if self.relative_positional or self.scan_layers or self.moe_experts > 0:
+        if self.scan_layers:
             raise NotImplementedError(
-                "streaming encode supports absolute-PE, unstacked, dense-FFN encoders"
+                "streaming encode requires unstacked blocks (scan_layers: false)"
             )
+        if self.moe_experts > 0:
+            _warn_moe_stream_capacity(
+                self.moe_experts, self.moe_top_k, self.moe_capacity_factor)
         left = self.left_chunks * self.chunk_size
         d_k = self.d_model // self.n_heads
         shape = (batch, self.n_heads, left, d_k)
@@ -326,11 +353,13 @@ class TransformerEncoder(nn.Module):
         """
         b, c, _ = x_chunk.shape
         left = self.left_chunks * self.chunk_size
-        x = self.pos_enc(x_chunk, start=start)
+        # rel-pos attention computes per-chunk relative offsets internally
+        # (position-invariant), so only the abs-PE variant needs `start`
+        x = x_chunk if self.relative_positional else self.pos_enc(x_chunk, start=start)
         kv_mask = stream_kv_mask(b, left, c, cache_len, chunk_mask)
         new_cache = []
         for layer, lc in zip(self.layers, cache):
-            x, nk, nv = layer.encode_step(x, lc["k"], lc["v"], kv_mask)
+            x, nk, nv = layer.encode_step(x, lc["k"], lc["v"], kv_mask, chunk_mask)
             new_cache.append({"k": nk, "v": nv})
         if self.normalize_before:
             x = self.after_norm(x)
@@ -446,11 +475,11 @@ class ConformerEncoderBlock(nn.Module):
             return x, (w, moe_aux)
         return x, w
 
-    def encode_step(self, x, cache, kv_mask, *, train: bool = False):
+    def encode_step(self, x, cache, kv_mask, chunk_mask=None, *, train: bool = False):
         """Frame-synchronous chunk step (inference): attention over the
         shifting KV cache + causal-conv step with carried state. Requires
         ``conv_causal=True``; exactly matches ``__call__`` under
-        ``chunk_attn_mask``."""
+        ``chunk_attn_mask`` (MoE blocks: in the drop-free capacity regime)."""
         scale = jnp.asarray(self.ffn_scale, self.dtype)
         if self.macaron_style:
             x = x + scale * self.pre_ffn(self.pre_ffn_norm(x))
@@ -478,6 +507,9 @@ class ConformerEncoderBlock(nn.Module):
         h = self.post_ffn_norm(x)
         if self.ref_compat:
             x = h
+        elif self.moe_experts > 0:
+            h, _ = self.post_ffn(h, pad_mask=chunk_mask)
+            x = x + scale * h
         else:
             x = x + scale * self.post_ffn(h)
         return self.final_norm(x), new_cache
@@ -590,7 +622,8 @@ class ConformerEncoder(nn.Module):
                 "streaming a conformer requires conv_causal: true (the SAME-"
                 "padded conv window reaches into future chunks)")
         if self.moe_experts > 0:
-            raise NotImplementedError("streaming encode supports dense-FFN blocks")
+            _warn_moe_stream_capacity(
+                self.moe_experts, self.moe_top_k, self.moe_capacity_factor)
         left = self.left_chunks * self.chunk_size
         d_k = self.d_model // self.n_heads
         kv = (batch, self.n_heads, left, d_k)
@@ -613,6 +646,6 @@ class ConformerEncoder(nn.Module):
         kv_mask = stream_kv_mask(b, left, c, cache_len, chunk_mask)
         new_cache = []
         for layer, lc in zip(self.layers, cache):
-            x, nc = layer.encode_step(x, lc, kv_mask)
+            x, nc = layer.encode_step(x, lc, kv_mask, chunk_mask)
             new_cache.append(nc)
         return x, new_cache

@@ -194,8 +194,8 @@ class SpeechToText(nn.Module):
     def init_cache(self, memory, max_len: int, beam_width: int = 1):
         return self.decoder.init_cache(memory, max_len, beam_width)
 
-    def decode_step(self, token_t, cache, index, memory_pad_mask):
-        return self.decoder.decode_step(token_t, cache, index, memory_pad_mask)
+    def decode_step(self, token_t, cache, index, memory_pad_mask, src=None):
+        return self.decoder.decode_step(token_t, cache, index, memory_pad_mask, src)
 
     def decode_full(self, targets_in, memory, memory_pad_mask):
         """Full-prefix logits (greedy/debug path)."""

@@ -139,8 +139,9 @@ class SpeechToTextRecognizer(Recognizer):
         def run(params, feats, feat_mask) -> BeamHypotheses:
             memory, memory_mask = model.apply(params, feats, feat_mask, method="encode")
 
-            def decode_step(tokens, cache, index, mem_mask):
-                return model.apply(params, tokens, cache, index, mem_mask, method="decode_step")
+            def decode_step(tokens, cache, index, mem_mask, src=None):
+                return model.apply(params, tokens, cache, index, mem_mask, src,
+                                   method="decode_step")
 
             def init_cache(mem, n, beam=1):
                 return model.apply(params, mem, n, beam, method="init_cache")

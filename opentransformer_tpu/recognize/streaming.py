@@ -125,8 +125,9 @@ class LongFormRecognizer(SpeechToTextRecognizer):
 
         @jax.jit
         def search(params, memory, memory_mask):
-            def decode_step(tokens, cache, index, mem_mask):
-                return model.apply(params, tokens, cache, index, mem_mask, method="decode_step")
+            def decode_step(tokens, cache, index, mem_mask, src=None):
+                return model.apply(params, tokens, cache, index, mem_mask, src,
+                                   method="decode_step")
 
             def init_cache(mem, n, beam=1):
                 return model.apply(params, mem, n, beam, method="init_cache")

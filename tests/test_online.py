@@ -211,3 +211,64 @@ def test_streaming_conformer_requires_causal_conv():
         sess = StreamingEncoderSession(model, params, batch=2)
         sess.feed(np.zeros((2, sess.raw_chunk, FRONTEND["input_size"]), np.float32))
         sess.feed(np.zeros((2, sess.raw_chunk, FRONTEND["input_size"]), np.float32))
+
+
+@pytest.mark.parametrize("tail_frames", [0, 9])
+def test_streaming_transformer_relpos_matches_batch(tail_frames):
+    """Rel-pos transformer encoder streams: relative offsets are position-
+    invariant, so the per-chunk attention (RelPosSelfAttention.chunk_step)
+    reproduces the batch chunked encode exactly."""
+    cfg = _s2t_cfg()
+    cfg["encoder"] = {**ENCODER, "relative_positional": True}
+    model, params, feats, mask = _init(cfg, t=64 + tail_frames, seed=11)
+    b = feats.shape[0]
+
+    memory, memory_mask = model.apply(
+        params, jnp.asarray(feats), jnp.asarray(mask), method="encode")
+
+    sess = StreamingEncoderSession(model, params, batch=b)
+    rc = sess.raw_chunk
+    for s in range(64 // rc):
+        sess.feed(feats[:, s * rc:(s + 1) * rc])
+    stream_mem, t_valid = sess.finish(feats[:, 64:] if tail_frames else None)
+
+    t_batch = int(np.asarray(jnp.sum(memory_mask[0])))
+    assert t_valid == t_batch
+    np.testing.assert_allclose(
+        np.asarray(stream_mem[:, :t_valid]), np.asarray(memory[:, :t_valid]),
+        rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("encoder_type", ["transformer", "conformer"])
+def test_streaming_moe_encoder_matches_batch(encoder_type):
+    """MoE blocks stream: in the drop-free capacity regime
+    (capacity_factor >= n_experts / top_k) per-token expert outputs are
+    independent of how the sequence is windowed, so streamed == batch."""
+    moe = {"moe_experts": 2, "moe_top_k": 1, "moe_capacity_factor": 2.0}
+    if encoder_type == "transformer":
+        cfg = _s2t_cfg()
+        cfg["encoder"] = {**ENCODER, **moe}
+    else:
+        cfg = {
+            "type": "ctc", "frontend_type": "conv", "frontend": FRONTEND,
+            "encoder_type": "conformer",
+            "encoder": {**CONFORMER_ENC, **moe},
+            "vocab_size": 20, "lookahead_steps": 0,
+        }
+    model, params, feats, mask = _init(cfg, t=64 + 9, seed=13)
+    b = feats.shape[0]
+
+    out = model.apply(params, jnp.asarray(feats), jnp.asarray(mask), method="encode")
+    memory, memory_mask = out[0], out[1]
+
+    sess = StreamingEncoderSession(model, params, batch=b)
+    rc = sess.raw_chunk
+    for s in range(64 // rc):
+        sess.feed(feats[:, s * rc:(s + 1) * rc])
+    stream_mem, t_valid = sess.finish(feats[:, 64:])
+
+    t_batch = int(np.asarray(jnp.sum(memory_mask[0])))
+    assert t_valid == t_batch
+    np.testing.assert_allclose(
+        np.asarray(stream_mem[:, :t_valid]), np.asarray(memory[:, :t_valid]),
+        rtol=2e-5, atol=2e-5)
