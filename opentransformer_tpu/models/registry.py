@@ -58,6 +58,7 @@ def build_model(model_cfg: Any, dtype=jnp.float32) -> nn.Module:
             predictor_cfg=_as_dict(model_cfg.get("predictor", {}) or {}),
             d_joint=int(model_cfg.get("d_joint", model_cfg["encoder"].get("d_model", 256))),
             moe_aux_weight=float(model_cfg.get("moe_aux_weight", 0.01)),
+            joint_t_block=int(model_cfg.get("joint_t_block", -1)),
             dtype=dtype,
         )
     if mtype == "transformer_lm":

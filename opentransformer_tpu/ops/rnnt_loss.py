@@ -58,6 +58,24 @@ def rnnt_loss(
     emit = jnp.take_along_axis(
         log_probs[:, :, :u_max, :], labels[:, None, :, None], axis=-1
     )[..., 0]  # [B, T, U]
+    return rnnt_loss_from_blank_emit(
+        lp_blank, emit, frame_lengths, label_lengths)
+
+
+def rnnt_loss_from_blank_emit(
+    lp_blank: jnp.ndarray,        # f32[B, T, U+1] log P(blank | t, u)
+    emit: jnp.ndarray,            # f32[B, T, U]   log P(label_u | t, u)
+    frame_lengths: jnp.ndarray,   # i32[B]
+    label_lengths: jnp.ndarray,   # i32[B]
+) -> jnp.ndarray:
+    """Lattice forward pass over precomputed blank/label log-probs.
+
+    This is the memory-lean entry: the full [B, T, U+1, V] joint never needs
+    to exist — only the two O(B·T·U) slices the lattice actually reads (see
+    ``TransducerJointNetwork.blank_emit_log_probs``). Per-utterance NLL f32[B].
+    """
+    b, t_max, u1 = lp_blank.shape
+    u_max = u1 - 1
     # forbid emitting beyond the true label length
     u_ids = jnp.arange(u_max)[None, None, :]
     emit = jnp.where(u_ids < label_lengths[:, None, None], emit, NEG_INF)

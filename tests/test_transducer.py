@@ -236,3 +236,45 @@ def test_transducer_beam_lm_fusion(lm_type):
                 np.testing.assert_allclose(fscores[i, j], expect, rtol=1e-4, atol=1e-4)
                 checked += 1
     assert checked >= 2 * V - 2, checked  # every live hyp in both runs
+
+
+def test_blocked_joint_matches_full_joint():
+    """The memory-lean T-blocked joint (blank_emit_log_probs + nn.remat)
+    must reproduce the one-shot [B, T, U+1, V] path exactly: same loss and
+    same gradients, including when T is not a multiple of the block and
+    frame/label lengths are ragged."""
+    from opentransformer_tpu.models.registry import build_model
+
+    cfg = _tiny_cfg()
+    full = build_model({**cfg, "joint_t_block": 0})
+    blocked = build_model({**cfg, "joint_t_block": 4})  # T=9 frames -> 3 blocks, pad 3
+
+    rng = np.random.default_rng(7)
+    b, t, u = 3, 36, 4  # conv frontend 2x2-stride -> 9 encoder frames
+    feats = jnp.asarray(rng.normal(size=(b, t, FEAT_DIM)).astype(np.float32))
+    mask = np.ones((b, t), bool)
+    mask[1, 28:] = False  # ragged frame lengths
+    mask = jnp.asarray(mask)
+    targets = np.zeros((b, u + 2), np.int32)
+    targets[:, 0] = 1
+    targets[:, 1:1 + u] = rng.integers(3, 3 + N_UNITS, (b, u))
+    targets[2, 3:] = 0
+    targets[2, 3] = 1
+    tlen = jnp.asarray([u + 1, u + 1, 3], jnp.int32)  # ragged label lengths
+    targets = jnp.asarray(targets)
+
+    variables = full.init(jax.random.PRNGKey(0), feats, mask, targets, tlen)
+
+    def loss_fn(model):
+        def f(v):
+            return model.apply(v, feats, mask, targets, tlen)[0]
+        return f
+
+    l_full, g_full = jax.value_and_grad(loss_fn(full))(variables)
+    l_blk, g_blk = jax.value_and_grad(loss_fn(blocked))(variables)
+    np.testing.assert_allclose(float(l_full), float(l_blk), rtol=1e-6)
+    flat_f, _ = jax.tree_util.tree_flatten(g_full)
+    flat_b, _ = jax.tree_util.tree_flatten(g_blk)
+    for a, bb in zip(flat_f, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=2e-5, atol=2e-6)
