@@ -83,8 +83,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("-p2w", "--piece2word", action="store_true",
                    help="join sentencepiece pieces: strip spaces, '▁'→space")
     p.add_argument("--online", action="store_true",
-                   help="frame-synchronous streaming decode (ctc/transducer "
-                        "with a chunked-attention encoder; recognize/online.py)")
+                   help="streaming decode over a chunked-attention encoder: "
+                        "frame-synchronous for ctc/transducer, incremental "
+                        "beam re-decode for speech2text (recognize/online.py)")
     p.add_argument("--long_form", action="store_true",
                    help="windowed encoding for long audio (recognize/streaming.py)")
     p.add_argument("--window", type=int, default=1200, help="long-form window frames")
@@ -204,7 +205,9 @@ def main(argv=None) -> int:
 
         recognizer = OnlineRecognizerAdapter(
             cfg["model"]["type"], model, params, idx2unit=idx2unit,
-            max_per_frame=args.max_tokens_per_chunk)
+            max_per_frame=args.max_tokens_per_chunk,
+            beam_width=args.beam_width, max_len=args.max_len,
+            penalty=args.penalty, lamda=args.lamda)
     elif long_form:
         from ..recognize.streaming import LongFormRecognizer
 

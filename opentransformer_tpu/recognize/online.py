@@ -286,6 +286,99 @@ class StreamingTransducerRecognizer(_StreamingRecognizer):
                 self.tokens[b].extend(toks[b, : min(n[b], room)].tolist())
 
 
+class StreamingAttentionRecognizer(_StreamingRecognizer):
+    """Incremental attention-decoder (speech2text) recognition.
+
+    Attention decoders are label-synchronous — earlier output can legally
+    change when more acoustic evidence arrives — so streamed PARTIAL
+    transcripts come from re-running the jitted KV-cached beam search over
+    the encoder memory accumulated so far, and the FINAL transcript equals
+    the offline beam search over the same chunked-encoder memory exactly
+    (the streamed encoder is bit-exact with the batch chunked encode, and
+    bucket padding is masked out of the attention).
+
+    The growing memory is padded to multiples of ``mem_bucket`` encoder
+    frames, so the number of distinct compiled beam programs is bounded by
+    utterance length / bucket — independent of chunk count. ``partial_every``
+    rate-limits the re-decodes (every Nth feed); ``finish()`` always decodes.
+    """
+
+    def __init__(self, model, params, batch: int = 1, idx2unit=None,
+                 beam_width: int = 5, max_len: int = 100, penalty: float = 0.6,
+                 lamda: float = 5.0, mem_bucket: int = 64, partial_every: int = 1,
+                 eos_id: Optional[int] = None):
+        super().__init__(model, params, batch, idx2unit)
+        self.beam_width, self.max_len = int(beam_width), int(max_len)
+        self.penalty, self.lamda = float(penalty), float(lamda)
+        self.mem_bucket = max(1, int(mem_bucket))
+        self.partial_every = max(1, int(partial_every))
+        self._mem: Optional[np.ndarray] = None  # accumulated [B, T', D]
+        self._feeds = 0
+
+        from ..data import EOS
+        from .beam import beam_search, greedy_search
+        eos = EOS if eos_id is None else int(eos_id)
+
+        @jax.jit
+        def search(params, memory, memory_mask):
+            def decode_step(tokens, cache, index, mem_mask, src=None):
+                return model.apply(params, tokens, cache, index, mem_mask, src,
+                                   method="decode_step")
+
+            def init_cache(mem, n, beam=1):
+                return model.apply(params, mem, n, beam, method="init_cache")
+
+            if self.beam_width == 1:
+                return greedy_search(
+                    decode_step, init_cache, memory, memory_mask, self.max_len,
+                    eos_id=eos)
+            return beam_search(
+                decode_step, init_cache, memory, memory_mask,
+                beam_width=self.beam_width, max_len=self.max_len,
+                penalty=self.penalty, lamda=self.lamda, eos_id=eos)
+
+        self._search = search
+
+    def reset(self) -> None:
+        super().reset()
+        self._mem = None
+        self._feeds = 0
+
+    def _redecode(self) -> None:
+        if self._mem is None or self._mem.shape[1] == 0:
+            return
+        t = self._mem.shape[1]
+        t_pad = -(-t // self.mem_bucket) * self.mem_bucket
+        mem = np.zeros((self.batch, t_pad, self._mem.shape[2]), self._mem.dtype)
+        mem[:, :t] = self._mem
+        mask = np.zeros((self.batch, t_pad), bool)
+        mask[:, :t] = True
+        hyp = self._search(self.params, jnp.asarray(mem), jnp.asarray(mask))
+        toks, lens = np.asarray(hyp.tokens), np.asarray(hyp.lengths)
+        # best hypothesis, BOS stripped (lengths count BOS, exclude EOS)
+        self.tokens = [
+            toks[b, 0, 1:int(lens[b, 0])].tolist() for b in range(self.batch)]
+
+    def _consume(self, chunks) -> None:
+        added = False
+        for y in chunks:
+            if y.shape[1] == 0:
+                continue
+            arr = np.asarray(y)
+            self._mem = arr if self._mem is None else np.concatenate(
+                [self._mem, arr], axis=1)
+            added = True
+        if added:
+            self._feeds += 1
+            if self._feeds % self.partial_every == 0:
+                self._redecode()
+
+    def finish(self, tail: Optional[np.ndarray] = None) -> list[str]:
+        self._consume(self.session.flush(tail))
+        self._redecode()  # FINAL always reflects the complete memory
+        return [self.text_of(t) for t in self.tokens]
+
+
 class OnlineRecognizerAdapter:
     """eval.py-compatible front for the streaming recognizers: decodes each
     utterance by feeding its features chunk by chunk (simulated real-time
@@ -293,16 +386,21 @@ class OnlineRecognizerAdapter:
     standard decode CLI (`eval.py --online`)."""
 
     def __init__(self, model_type: str, model, params, idx2unit=None,
-                 max_per_frame: int = 8):
+                 max_per_frame: int = 8, beam_width: int = 5,
+                 max_len: int = 100, penalty: float = 0.6, lamda: float = 5.0):
         if model_type == "ctc":
             self._rec = StreamingCTCRecognizer(model, params, batch=1, idx2unit=idx2unit)
         elif model_type == "transducer":
             self._rec = StreamingTransducerRecognizer(
                 model, params, batch=1, idx2unit=idx2unit, max_per_frame=max_per_frame)
+        elif model_type == "speech2text":
+            self._rec = StreamingAttentionRecognizer(
+                model, params, batch=1, idx2unit=idx2unit, beam_width=beam_width,
+                max_len=max_len, penalty=penalty, lamda=lamda)
         else:
             raise NotImplementedError(
-                "--online supports ctc and transducer models (attention "
-                "decoders need the full utterance; see --long_form)")
+                f"--online supports ctc, transducer and speech2text models "
+                f"(got {model_type!r})")
 
     def recognize(self, feats, feat_mask):
         feats = np.asarray(feats)

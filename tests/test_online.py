@@ -272,3 +272,59 @@ def test_streaming_moe_encoder_matches_batch(encoder_type):
     np.testing.assert_allclose(
         np.asarray(stream_mem[:, :t_valid]), np.asarray(memory[:, :t_valid]),
         rtol=2e-5, atol=2e-5)
+
+
+def test_streaming_attention_final_matches_offline_beam():
+    """StreamingAttentionRecognizer: the FINAL transcript equals the
+    offline beam search over the same chunked-encoder memory (the streamed
+    encoder is bit-exact with batch encode; memory bucket padding is masked
+    out of the attention), and PARTIAL results are produced along the way.
+
+    An out-of-vocab eos_id forces every decode to run the full max_len
+    steps (random-init models otherwise emit EOS immediately and the
+    parity would be vacuous)."""
+    from opentransformer_tpu.recognize.beam import beam_search
+    from opentransformer_tpu.recognize.online import StreamingAttentionRecognizer
+
+    NO_EOS = 10_000
+    cfg = _s2t_cfg()
+    model, params, feats, mask = _init(cfg, t=64 + 9, b=1, seed=3)
+
+    # offline reference: batch chunked encode + the standard beam search
+    memory, memory_mask = model.apply(
+        params, jnp.asarray(feats), jnp.asarray(mask), method="encode")
+
+    def decode_step(tokens, cache, index, mem_mask, src=None):
+        return model.apply(params, tokens, cache, index, mem_mask, src,
+                           method="decode_step")
+
+    def init_cache(mem, n, beam=1):
+        return model.apply(params, mem, n, beam, method="init_cache")
+
+    hyp = beam_search(decode_step, init_cache, memory, memory_mask,
+                      beam_width=3, max_len=12, penalty=0.6, lamda=5.0,
+                      eos_id=NO_EOS)
+    toks, lens = np.asarray(hyp.tokens), np.asarray(hyp.lengths)
+    offline = toks[0, 0, 1:int(lens[0, 0])].tolist()
+    assert len(offline) == 12, offline  # full-length, non-vacuous parity
+
+    rec = StreamingAttentionRecognizer(
+        model, params, batch=1, beam_width=3, max_len=12, mem_bucket=8,
+        eos_id=NO_EOS)
+    rc = rec.session.raw_chunk
+    partials = []
+    for s in range(64 // rc):
+        partials.append(rec.feed(feats[:, s * rc:(s + 1) * rc])[0])
+    final = rec.finish(feats[:, 64:])
+    streamed = [int(x) for x in final[0].split()] if final[0] else []
+
+    assert streamed == offline, (streamed, offline)
+    # partials were recomputed as chunks arrived (list grows / stabilizes)
+    assert len(partials) == 64 // rc
+
+    # reset + re-stream must reproduce the same final (compiled fns reused)
+    rec.reset()
+    for s in range(64 // rc):
+        rec.feed(feats[:, s * rc:(s + 1) * rc])
+    final2 = rec.finish(feats[:, 64:])
+    assert final2 == final

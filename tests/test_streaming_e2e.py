@@ -107,3 +107,57 @@ def test_train_offline_serve_online(tmp_path):
             txt = open(os.path.join(expdir, d, "RESULT")).read()
             results[d] = float(txt.split("CER ")[1].split("%")[0])
     assert results and min(results.values()) < 20.0, results
+
+
+def test_train_offline_serve_online_attention(tmp_path):
+    """Attention-decoder (speech2text) online path: train a chunked-attention
+    s2t model offline, then decode it through `eval.py --online` (incremental
+    beam re-decode over the growing memory) with CER asserted."""
+    from opentransformer_tpu.cli.eval import main as eval_main
+    from opentransformer_tpu.cli.run import main as run_main
+
+    root = str(tmp_path)
+    make_ctc_corpus(root)
+    model_cfg = {
+        "type": "speech2text", "frontend_type": "conv",
+        "frontend": {"input_size": FEAT_DIM, "output_size": 32, "mid_channel": 8,
+                     "out_channel": 16, "kernel_size": [[3, 3], [3, 3]], "stride": [2, 2]},
+        "encoder_type": "transformer",
+        "encoder": {"d_model": 32, "n_heads": 2, "d_ff": 64, "n_blocks": 2,
+                    "residual_dropout": 0.0, "chunk_size": 4, "left_chunks": 2},
+        "decoder_type": "transformer",
+        "decoder": {"vocab_size": 3 + N_UNITS, "d_model": 32, "n_heads": 2,
+                    "d_ff": 64, "memory_dim": 32, "n_blocks": 1,
+                    "residual_dropout": 0.0, "share_embedding": True},
+        "ctc_weight": 0.0, "smoothing": 0.1,
+    }
+    cfg = {
+        "data": {
+            "dataset_type": "kaldi",
+            "vocab": os.path.join(root, "vocab"),
+            "batch_size": 8,
+            "train": {"feat": [os.path.join(root, "feats.scp")],
+                      "text": [os.path.join(root, "text")]},
+            "test": {"feat": [os.path.join(root, "feats.scp")],
+                     "text": [os.path.join(root, "text")]},
+        },
+        "model": model_cfg,
+        "train": {"optimizer_type": "adam", "optimizer": {"lr": 3e-3},
+                  "scheduler_type": "constant", "scheduler": {"lr": 3e-3},
+                  "clip_grad": 5, "epochs": 90, "save_name": "stream_att"},
+    }
+    conf = os.path.join(root, "conf.yaml")
+    with open(conf, "w") as f:
+        yaml.safe_dump(cfg, f)
+    expdir = os.path.join(root, "exp")
+    assert run_main(["-c", conf, "-n", "1", "--expdir", expdir,
+                     "--log_interval", "100"]) == 0
+
+    assert eval_main(["-m", expdir, "-d", "test", "--online", "-bw", "3",
+                      "-ml", "16", "-s", "online"]) == 0
+    results = {}
+    for d in os.listdir(expdir):
+        if "online" in d and d.startswith("decode_test"):
+            txt = open(os.path.join(expdir, d, "RESULT")).read()
+            results[d] = float(txt.split("CER ")[1].split("%")[0])
+    assert results and min(results.values()) < 20.0, results
