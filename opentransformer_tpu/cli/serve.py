@@ -115,11 +115,14 @@ class StreamingFbank:
     """Incremental kaldi-fbank over arriving PCM samples (snip-edges framing:
     frame t covers samples [t·160, t·160+400) at 16 kHz — new frames become
     final as soon as their window fills, so extraction is exact, not an
-    approximation). Per-utterance CMVN is impossible online; global CMVN
-    applies when configured, otherwise features pass through unnormalized
-    (warned once)."""
+    approximation). CMVN online: global stats apply directly; a
+    per-utterance-CMVN config uses **causal running CMVN** — frame t is
+    normalized by the scalar mean/std of frames ≤ t (the online counterpart
+    of ``ops/fbank.normalize_per_utterance``, which it approaches as the
+    utterance grows; exact stats would need the whole utterance). The psf
+    flavor extracts once at finish, so its per-utterance CMVN stays exact."""
 
-    _warned = False
+    _noted = False
 
     def __init__(self, extractor: "FeatureExtractor", sample_rate: float):
         from ..ops.fbank import frame_params
@@ -129,13 +132,31 @@ class StreamingFbank:
         self.ws, self.shift, _ = frame_params(self.sr, 25.0, 10.0)
         self.buf = np.zeros((0,), np.float32)
         self.frames_done = 0
+        self._cmvn_n = 0
+        self._cmvn_sum = 0.0
+        self._cmvn_sumsq = 0.0
         if (extractor.normalization and extractor.global_mean is None
-                and not StreamingFbank._warned):
-            StreamingFbank._warned = True
-            logger.warning(
-                "config asks for per-utterance CMVN, which cannot be computed "
-                "online; PCM streams are served unnormalized (set global_cmvn "
-                "for normalized streaming)")
+                and not StreamingFbank._noted):
+            StreamingFbank._noted = True
+            logger.info(
+                "per-utterance CMVN config: PCM streams use causal running "
+                "CMVN (frame t normalized by stats of frames <= t); set "
+                "global_cmvn for exact streaming normalization")
+
+    def _causal_cmvn(self, feat: np.ndarray) -> np.ndarray:
+        """Scalar running mean/std over every element seen so far, applied
+        causally — streamed features never depend on future audio."""
+        k = feat.shape[1]
+        csum = self._cmvn_sum + np.cumsum(feat.sum(axis=1, dtype=np.float64))
+        csumsq = self._cmvn_sumsq + np.cumsum(
+            (feat.astype(np.float64) ** 2).sum(axis=1))
+        n = self._cmvn_n + k * np.arange(1, feat.shape[0] + 1)
+        mean = csum / n
+        std = np.maximum(np.sqrt(np.maximum(csumsq / n - mean ** 2, 0.0)), 1e-10)
+        self._cmvn_sum = float(csum[-1])
+        self._cmvn_sumsq = float(csumsq[-1])
+        self._cmvn_n = int(n[-1])
+        return ((feat - mean[:, None]) / std[:, None]).astype(np.float32)
 
     def _extract(self, final: bool = False) -> np.ndarray:
         n = len(self.buf)
@@ -155,8 +176,14 @@ class StreamingFbank:
                                num_mel_bins=self.ex.num_mel_bins)
             self.buf = self.buf[avail * self.shift:]
             self.frames_done += avail
-        if self.ex.normalization and self.ex.global_mean is not None:
-            feat = (feat - self.ex.global_mean) / self.ex.global_std
+        if self.ex.normalization:
+            if self.ex.global_mean is not None:
+                feat = (feat - self.ex.global_mean) / self.ex.global_std
+            elif self.ex.flavor in ("psf", "python_speech_feature"):
+                from ..ops.fbank import normalize_per_utterance
+                feat = normalize_per_utterance(feat)  # whole utterance at finish
+            elif feat.shape[0]:
+                feat = self._causal_cmvn(feat)
         return feat.astype(np.float32)
 
     def feed(self, samples: np.ndarray) -> np.ndarray:

@@ -453,3 +453,46 @@ def test_serve_warmup_and_lm_fusion(trained_exp, tmp_path):
         "-bw", "2", "-ml", "12", "-lm", lm_expdir, "-lmw", "0.2",
     ]) == 0
     assert len(out.read_text().splitlines()) == 6
+
+
+def test_streaming_fbank_causal_cmvn():
+    """Per-utterance-CMVN configs stream with causal running CMVN: frame t
+    is normalized by the scalar mean/std of all unnormalized frames <= t,
+    regardless of chunking, and the stream converges toward the offline
+    normalize_per_utterance stats as the utterance grows."""
+    from opentransformer_tpu.cli.serve import FeatureExtractor, StreamingFbank
+
+    rng = np.random.default_rng(5)
+    pcm = (rng.normal(size=48000) * 3000.0).astype(np.float32)  # 3 s @ 16 kHz
+
+    ex_norm = FeatureExtractor({"normalization": True, "num_mel_bins": 8})
+    ex_raw = FeatureExtractor({"normalization": False, "num_mel_bins": 8})
+
+    def run(ex, chunks):
+        sf = StreamingFbank(ex, 16000)
+        outs = [sf.feed(c) for c in chunks] + [sf.finish()]
+        return np.concatenate([o for o in outs if o.shape[0]], axis=0)
+
+    # odd-size chunking must not change the result (stats are per-frame)
+    chunks_a = [pcm[:7000], pcm[7000:19000], pcm[19000:]]
+    chunks_b = [pcm[i:i + 4096] for i in range(0, len(pcm), 4096)]
+    norm_a = run(ex_norm, chunks_a)
+    norm_b = run(ex_norm, chunks_b)
+    np.testing.assert_allclose(norm_a, norm_b, rtol=1e-5, atol=1e-5)
+
+    # exact causal contract vs the raw features
+    raw = run(ex_raw, chunks_a)
+    assert raw.shape == norm_a.shape
+    n_el = np.arange(1, raw.shape[0] + 1) * raw.shape[1]
+    csum = np.cumsum(raw.sum(axis=1, dtype=np.float64))
+    csq = np.cumsum((raw.astype(np.float64) ** 2).sum(axis=1))
+    mean = csum / n_el
+    std = np.maximum(np.sqrt(np.maximum(csq / n_el - mean**2, 0.0)), 1e-10)
+    expect = (raw - mean[:, None]) / std[:, None]
+    np.testing.assert_allclose(norm_a, expect.astype(np.float32), rtol=1e-4, atol=1e-4)
+
+    # converges to per-utterance CMVN: the last frame matches the offline
+    # normalization of the full utterance to first order
+    from opentransformer_tpu.ops.fbank import normalize_per_utterance
+    offline = normalize_per_utterance(raw)
+    np.testing.assert_allclose(norm_a[-1], offline[-1], rtol=0.05, atol=0.05)
