@@ -357,13 +357,21 @@ class MultiStreamFront:
 
     def __init__(self, model, params, n_streams: int = 2, idx2unit=None,
                  piece2word: bool = False, model_type: str = "ctc",
-                 max_per_frame: int = 8):
-        from ..recognize.multistream import MultiStreamCTC, MultiStreamTransducer
+                 max_per_frame: int = 8, beam_args: dict | None = None):
+        from ..recognize.multistream import (
+            MultiStreamAttention,
+            MultiStreamCTC,
+            MultiStreamTransducer,
+        )
 
         if model_type == "transducer":
             self.ms = MultiStreamTransducer(
                 model, params, n_streams=n_streams, idx2unit=idx2unit,
                 max_per_frame=max_per_frame)
+        elif model_type == "speech2text":
+            self.ms = MultiStreamAttention(
+                model, params, n_streams=n_streams, idx2unit=idx2unit,
+                **(beam_args or {}))
         else:
             self.ms = MultiStreamCTC(model, params, n_streams=n_streams,
                                      idx2unit=idx2unit)
@@ -440,15 +448,16 @@ def _build(args):
     idx2unit = load_idx2unit_map(cfg["data"]["vocab"])
     if getattr(args, "streaming", False):
         mtype = cfg["model"]["type"]
-        if mtype not in ("ctc", "transducer"):
-            raise SystemExit(
-                "--streaming supports ctc and transducer models (attention "
-                "decoders need the full utterance; serve without --streaming)")
-        # batched: N streams advance in ONE jitted step per tick
+        if mtype not in ("ctc", "transducer", "speech2text"):
+            raise SystemExit(f"--streaming does not support {mtype!r} models")
+        # batched: N streams advance in ONE jitted step per tick (attention
+        # models add one batched beam re-decode dispatch per tick)
         front = MultiStreamFront(
             model, params, n_streams=args.streams, idx2unit=idx2unit,
             piece2word=args.piece2word, model_type=mtype,
-            max_per_frame=args.max_tokens_per_chunk)
+            max_per_frame=args.max_tokens_per_chunk,
+            beam_args={"beam_width": args.beam_width, "max_len": args.max_len,
+                       "penalty": args.penalty, "lamda": args.lamda})
         return front, FeatureExtractor(cfg["data"])
     recog_args = {
         "beam_width": args.beam_width, "nbest": args.nbest,

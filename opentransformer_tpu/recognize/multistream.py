@@ -34,7 +34,7 @@ import numpy as np
 from ..data import BLK
 from .online import _frontend_geometry
 
-__all__ = ["MultiStreamCTC", "MultiStreamTransducer"]
+__all__ = ["MultiStreamAttention", "MultiStreamCTC", "MultiStreamTransducer"]
 
 
 def _row_where(flags, new, old):
@@ -115,16 +115,26 @@ class _MultiStreamBase:
         self.chunks_advanced = 0  # stream-chunks processed across all ticks
 
     # --------------------------------------------------------------- hooks
+    #: frame-synchronous subclasses APPEND _collect's tokens; label-
+    #: synchronous ones (attention re-decode) REPLACE the hypothesis
+    REPLACE_TOKENS = False
+
     def _build_step(self):
         """Return the jitted fused tick step (subclass)."""
         raise NotImplementedError
 
-    def _advance_rows(self, window, start, cache_len, chunk_mask, advance, fresh):
-        """Run the step, update device state, return host-side outputs."""
+    def _advance_rows(self, window, start, cache_len, chunk_mask, advance,
+                      fresh, fin_now):
+        """Run the step, update device state, return host-side outputs.
+        ``fin_now`` bool[B]: rows whose stream completes with this tick
+        (computed under the slot lock, so label-synchronous subclasses can
+        guarantee a final decode covers the last chunk)."""
         raise NotImplementedError
 
-    def _collect(self, out, row: int, valid: int, slot: _Slot) -> list[int]:
-        """New tokens for one advanced row from the step outputs."""
+    def _collect(self, out, row: int, valid: int, slot: _Slot):
+        """Tokens for one advanced row from the step outputs: the newly
+        emitted ids (appended), or with REPLACE_TOKENS the full hypothesis
+        so far / None for "no decode this tick"."""
         raise NotImplementedError
 
     # ------------------------------------------------------------- lifecycle
@@ -226,11 +236,13 @@ class _MultiStreamBase:
             cache_len = np.zeros((self.n_streams,), np.int32)
             chunk_mask = np.zeros((self.n_streams, self.chunk), bool)
             advance = np.zeros((self.n_streams,), bool)
+            fin_now = np.zeros((self.n_streams,), bool)
             fresh = self._fresh.copy()
             for i, s in enumerate(self._slots):
                 v = self._pending(s)
                 if v == 0:
                     continue
+                fin_now[i] = bool(s.finishing and s.emitted + v >= s.flush_total)
                 if len(s.frames) > 1 or s.consumed - s.dropped >= self.raw_chunk:
                     # consolidate lazily AND discard the consumed prefix so
                     # long-lived streams stay O(pending), not O(stream)
@@ -251,7 +263,7 @@ class _MultiStreamBase:
                 return 0
 
         out = self._advance_rows(window, start, cache_len, chunk_mask,
-                                 advance, fresh)
+                                 advance, fresh, fin_now)
         self.ticks += 1
         self.chunks_advanced += len(plan)
 
@@ -264,12 +276,18 @@ class _MultiStreamBase:
                 s.consumed += self.raw_chunk
                 s.emitted += v
                 new_toks = self._collect(out, i, v, s)
-                if new_toks:
-                    s.tokens.extend(new_toks)
+                if self.REPLACE_TOKENS:
+                    changed = new_toks is not None and list(new_toks) != s.tokens
+                    if changed:
+                        s.tokens = list(new_toks)
+                else:
+                    changed = bool(new_toks)
+                    if new_toks:
+                        s.tokens.extend(new_toks)
                 if s.finishing and s.emitted >= s.flush_total:
                     s.active = False
                     finals.append((i, s))
-                elif new_toks:
+                elif changed:
                     partials.append(s)
         # callbacks outside the lock (they may write to sockets)
         for s in partials:
@@ -335,7 +353,8 @@ class MultiStreamCTC(_MultiStreamBase):
 
         return jax.jit(step)
 
-    def _advance_rows(self, window, start, cache_len, chunk_mask, advance, fresh):
+    def _advance_rows(self, window, start, cache_len, chunk_mask, advance,
+                      fresh, fin_now):
         ids, self.cache = self._step(
             self.params, jnp.asarray(window), self.cache,
             jnp.asarray(start), jnp.asarray(cache_len),
@@ -401,7 +420,8 @@ class MultiStreamTransducer(_MultiStreamBase):
 
         return jax.jit(step)
 
-    def _advance_rows(self, window, start, cache_len, chunk_mask, advance, fresh):
+    def _advance_rows(self, window, start, cache_len, chunk_mask, advance,
+                      fresh, fin_now):
         toks, n, self.cache, self._state, self._hidden = self._step(
             self.params, jnp.asarray(window), self.cache, self._state,
             self._hidden, jnp.asarray(start), jnp.asarray(cache_len),
@@ -412,3 +432,124 @@ class MultiStreamTransducer(_MultiStreamBase):
         toks, n = out
         room = self.max_symbols - len(s.tokens)
         return toks[row, : min(int(n[row]), room)].tolist()
+
+
+class MultiStreamAttention(_MultiStreamBase):
+    """Multi-stream attention-decoder (speech2text) serving.
+
+    Label-synchronous: the tick's fused step advances every pending row's
+    encoder in ONE dispatch (same ragged-cache batching as CTC); emitted
+    memory chunks accumulate per row, and hypotheses come from a second
+    batched dispatch — ONE jitted KV-cached beam search over all rows due a
+    decode this tick (each row masked to its own memory length, the time
+    axis padded to ``mem_bucket`` multiples so compiled programs stay
+    bounded). ``partial_every`` throttles per-row PARTIAL re-decodes; a
+    finishing row always decodes on its last tick, so the FINAL transcript
+    equals the offline beam search over the full chunked-encoder memory
+    (the single-stream parity is tested in
+    ``StreamingAttentionRecognizer``; this class batches the same math).
+    """
+
+    REPLACE_TOKENS = True
+
+    def __init__(self, model, params, n_streams: int = 4, idx2unit=None,
+                 beam_width: int = 5, max_len: int = 100, penalty: float = 0.6,
+                 lamda: float = 5.0, mem_bucket: int = 64,
+                 partial_every: int = 1, eos_id: Optional[int] = None):
+        self.beam_width, self.max_len = int(beam_width), int(max_len)
+        self.penalty, self.lamda = float(penalty), float(lamda)
+        self.mem_bucket = max(1, int(mem_bucket))
+        self.partial_every = max(1, int(partial_every))
+        super().__init__(model, params, n_streams, idx2unit)
+        self._mem: list[list[np.ndarray]] = [[] for _ in range(self.n_streams)]
+        self._since_decode = np.zeros((self.n_streams,), np.int64)
+        self.decode_dispatches = 0
+
+        from ..data import EOS
+        from .beam import beam_search, greedy_search
+        eos = EOS if eos_id is None else int(eos_id)
+
+        @jax.jit
+        def search(params, memory, memory_mask):
+            def decode_step(tokens, cache, index, mem_mask, src=None):
+                return model.apply(params, tokens, cache, index, mem_mask, src,
+                                   method="decode_step")
+
+            def init_cache(mem, n, beam=1):
+                return model.apply(params, mem, n, beam, method="init_cache")
+
+            if self.beam_width == 1:
+                return greedy_search(
+                    decode_step, init_cache, memory, memory_mask, self.max_len,
+                    eos_id=eos)
+            return beam_search(
+                decode_step, init_cache, memory, memory_mask,
+                beam_width=self.beam_width, max_len=self.max_len,
+                penalty=self.penalty, lamda=self.lamda, eos_id=eos)
+
+        self._search = search
+
+    def _build_step(self):
+        model, chunk = self.model, self.chunk
+
+        def step(params, window, cache, start, cache_len, chunk_mask, advance):
+            def _f(mdl, window, cache, start, cache_len, chunk_mask):
+                x, _ = mdl.frontend(window, jnp.ones(window.shape[:2], bool))
+                x = x[:, :chunk]
+                return mdl.encoder.encode_step(x, cache, start, cache_len, chunk_mask)
+
+            y, new_cache = model.apply(
+                params, window, cache, start, cache_len, chunk_mask, method=_f)
+            new_cache = jax.tree_util.tree_map(
+                lambda n, o: _row_where(advance, n, o), new_cache, cache)
+            return y, new_cache
+
+        return jax.jit(step)
+
+    def _advance_rows(self, window, start, cache_len, chunk_mask, advance,
+                      fresh, fin_now):
+        y, self.cache = self._step(
+            self.params, jnp.asarray(window), self.cache,
+            jnp.asarray(start), jnp.asarray(cache_len),
+            jnp.asarray(chunk_mask), jnp.asarray(advance))
+        y = np.asarray(y)
+
+        decode_rows = []
+        for i in range(self.n_streams):
+            if not advance[i]:
+                continue
+            if fresh[i]:
+                self._mem[i] = []
+                self._since_decode[i] = 0
+            v = int(chunk_mask[i].sum())
+            if v:
+                self._mem[i].append(y[i, :v])
+            self._since_decode[i] += 1
+            if fin_now[i] or self._since_decode[i] >= self.partial_every:
+                decode_rows.append(i)
+
+        if not decode_rows:
+            return {}
+
+        # ONE batched beam dispatch: every row slot participates (fixed
+        # batch shape); undecoded rows carry a 1-frame dummy memory and are
+        # simply ignored on output.
+        d = int(self.model.encoder_cfg.get("d_model", 256))
+        t_max = max(sum(c.shape[0] for c in self._mem[i]) for i in decode_rows)
+        t_pad = -(-max(t_max, 1) // self.mem_bucket) * self.mem_bucket
+        memory = np.zeros((self.n_streams, t_pad, d), y.dtype)
+        mask = np.zeros((self.n_streams, t_pad), bool)
+        mask[:, 0] = True  # dummy rows: 1 valid frame, result discarded
+        for i in decode_rows:
+            m = np.concatenate(self._mem[i], axis=0)
+            memory[i, : m.shape[0]] = m
+            mask[i] = False
+            mask[i, : m.shape[0]] = True
+            self._since_decode[i] = 0
+        hyp = self._search(self.params, jnp.asarray(memory), jnp.asarray(mask))
+        self.decode_dispatches += 1
+        toks, lens = np.asarray(hyp.tokens), np.asarray(hyp.lengths)
+        return {i: toks[i, 0, 1:int(lens[i, 0])].tolist() for i in decode_rows}
+
+    def _collect(self, out, row, valid, s):
+        return out.get(row)  # None = no decode this tick (hypothesis kept)

@@ -205,3 +205,98 @@ def test_multistream_rejects_lookahead():
     model, params, _, _ = _init(cfg, t=80, b=2)
     with pytest.raises(NotImplementedError):
         MultiStreamCTC(model, params, n_streams=2)
+
+
+def test_multistream_attention_matches_single_stream():
+    """Batched attention streaming: 3 ragged interleaved speech2text streams
+    must produce the SAME final transcripts as the single-stream
+    StreamingAttentionRecognizer (itself offline-beam-exact), with one
+    encoder dispatch per tick plus one batched beam dispatch per decode
+    round. An out-of-vocab eos forces full-length hypotheses so the parity
+    is non-vacuous."""
+    from opentransformer_tpu.recognize.multistream import MultiStreamAttention
+    from opentransformer_tpu.recognize.online import StreamingAttentionRecognizer
+    from tests.test_online import _s2t_cfg
+
+    NO_EOS = 10_000
+    model, params, _, _ = _init(_s2t_cfg(), t=80, b=2, seed=5)
+    lens = [64, 73, 41]
+    utts = _make_utts(3, [31, 32, 33], lens)
+
+    # single-stream oracle
+    rec = StreamingAttentionRecognizer(
+        model, params, batch=1, beam_width=3, max_len=10, mem_bucket=8,
+        eos_id=NO_EOS)
+    want = []
+    for feats in utts:
+        rec.reset()
+        rc = rec.session.raw_chunk
+        x = feats[None]
+        n_full = x.shape[1] // rc
+        for s in range(n_full):
+            rec.feed(x[:, s * rc:(s + 1) * rc])
+        want.append(rec.finish(x[:, n_full * rc:])[0])
+    assert any(len(w.split()) == 10 for w in want), want  # non-vacuous
+
+    ms = MultiStreamAttention(
+        model, params, n_streams=3, beam_width=3, max_len=10, mem_bucket=8,
+        eos_id=NO_EOS)
+    finals = [None] * 3
+    partial_seen = [0] * 3
+    slots = []
+    for i in range(3):
+        slots.append(ms.open_stream(
+            f"u{i}",
+            lambda _t, _i=i: partial_seen.__setitem__(_i, partial_seen[_i] + 1),
+            lambda text, _i=i: finals.__setitem__(_i, text)))
+    cursors = [0] * 3
+    pieces = [9, 17, 40, 96]
+    while any(cursors[i] < lens[i] for i in range(3)):
+        for i in range(3):
+            for p in pieces:
+                if cursors[i] >= lens[i]:
+                    break
+                n = min(p, lens[i] - cursors[i])
+                ms.push(slots[i], utts[i][cursors[i]:cursors[i] + n])
+                cursors[i] += n
+            if ms.ready():
+                ms.tick()
+    for i in range(3):
+        ms.close(slots[i])
+    while ms.ready():
+        ms.tick()
+
+    assert finals == want
+    assert ms.chunks_advanced > ms.ticks  # batching happened
+    assert ms.decode_dispatches <= ms.ticks  # one beam dispatch per tick max
+    assert any(n > 0 for n in partial_seen)  # PARTIALs flowed
+
+
+def test_multistream_attention_slot_reuse():
+    """Freed attention slots must serve new streams with cleared memory."""
+    from opentransformer_tpu.recognize.multistream import MultiStreamAttention
+    from opentransformer_tpu.recognize.online import StreamingAttentionRecognizer
+    from tests.test_online import _s2t_cfg
+
+    NO_EOS = 10_000
+    model, params, _, _ = _init(_s2t_cfg(), t=80, b=2, seed=5)
+    utts = _make_utts(3, [41, 42, 43], [64, 48, 56])
+
+    rec = StreamingAttentionRecognizer(
+        model, params, batch=1, beam_width=2, max_len=8, mem_bucket=8,
+        eos_id=NO_EOS)
+    want = []
+    for feats in utts:
+        rec.reset()
+        rc = rec.session.raw_chunk
+        x = feats[None]
+        n_full = x.shape[1] // rc
+        for s in range(n_full):
+            rec.feed(x[:, s * rc:(s + 1) * rc])
+        want.append(rec.finish(x[:, n_full * rc:])[0])
+
+    ms = MultiStreamAttention(
+        model, params, n_streams=2, beam_width=2, max_len=8, mem_bucket=8,
+        eos_id=NO_EOS)
+    got = [ms.run_stream(u, lambda _t: None) for u in utts]
+    assert got == want
