@@ -98,6 +98,46 @@ class Recognizer:
         return [[self.translate(hyp) for hyp in utt] for utt in np.asarray(tokens)]
 
 
+def make_memory_search(model, beam_width: int, max_len: int,
+                       penalty: float = 0.6, lamda: float = 5.0,
+                       lm=None, lm_params=None, lm_weight: float = 0.1,
+                       eos_id: Optional[int] = None, force_beam: bool = False):
+    """Jitted ``(params, memory, memory_mask) -> BeamHypotheses`` search over
+    a precomputed encoder memory: the KV-cached beam (beam=1: greedy) with
+    optional LM shallow fusion. The shared decode core behind the offline
+    recognizer, long-form/windowed decoding, single-stream online attention,
+    and the multi-stream attention server — change the search contract here,
+    not at each call site. ``eos_id`` overrides the end token (benchmarks and
+    parity tests pass an out-of-vocab id to force full-length decodes)."""
+    from ..data import EOS
+    eos = EOS if eos_id is None else int(eos_id)
+
+    @jax.jit
+    def search(params, memory, memory_mask) -> BeamHypotheses:
+        def decode_step(tokens, cache, index, mem_mask, src=None):
+            return model.apply(params, tokens, cache, index, mem_mask, src,
+                               method="decode_step")
+
+        def init_cache(mem, n, beam=1):
+            return model.apply(params, mem, n, beam, method="init_cache")
+
+        if lm is not None:
+            lm_i, lm_s = make_lm_adapter(lm, lm_params, max_len)
+        else:
+            lm_i = lm_s = None
+
+        if beam_width == 1 and lm is None and not force_beam:
+            return greedy_search(decode_step, init_cache, memory, memory_mask,
+                                 max_len, eos_id=eos)
+        return beam_search(
+            decode_step, init_cache, memory, memory_mask,
+            beam_width=beam_width, max_len=max_len, penalty=penalty,
+            lamda=lamda, lm_step=lm_s, lm_init=lm_i, lm_weight=lm_weight,
+            eos_id=eos)
+
+    return search
+
+
 class SpeechToTextRecognizer(Recognizer):
     """Batch beam search with KV cache + optional LM fusion + rescoring."""
 
@@ -128,36 +168,18 @@ class SpeechToTextRecognizer(Recognizer):
         self._jit_recognize = self._build()
 
     def _build(self):
-        model = self.model
-        max_len, beam, penalty, lamda, lm_w, ctc_w = (
-            self.max_len, self.beam_width, self.penalty, self.lamda,
-            self.lm_weight, self.ctc_weight,
-        )
-        lm, lm_params = self.lm, self.lm_params
+        model, ctc_w = self.model, self.ctc_weight
+        # CTC rescoring combines length-penalized beam scores, so beam=1
+        # must run the beam path (penalized scores), not the greedy shortcut
+        search = make_memory_search(
+            model, self.beam_width, self.max_len, self.penalty, self.lamda,
+            lm=self.lm, lm_params=self.lm_params, lm_weight=self.lm_weight,
+            force_beam=ctc_w > 0.0)
 
         @jax.jit
         def run(params, feats, feat_mask) -> BeamHypotheses:
             memory, memory_mask = model.apply(params, feats, feat_mask, method="encode")
-
-            def decode_step(tokens, cache, index, mem_mask, src=None):
-                return model.apply(params, tokens, cache, index, mem_mask, src,
-                                   method="decode_step")
-
-            def init_cache(mem, n, beam=1):
-                return model.apply(params, mem, n, beam, method="init_cache")
-
-            if lm is not None:
-                lm_i, lm_s = make_lm_adapter(lm, lm_params, max_len)
-            else:
-                lm_i = lm_s = None
-
-            if beam == 1 and lm is None and ctc_w == 0.0:
-                return greedy_search(decode_step, init_cache, memory, memory_mask, max_len)
-            hyp = beam_search(
-                decode_step, init_cache, memory, memory_mask,
-                beam_width=beam, max_len=max_len, penalty=penalty, lamda=lamda,
-                lm_step=lm_s, lm_init=lm_i, lm_weight=lm_w,
-            )
+            hyp = search(params, memory, memory_mask)
             if ctc_w > 0.0:
                 ctc_logits = model.apply(params, memory, method="ctc_logits")
                 hyp = ctc_rescore_scores(ctc_logits, memory_mask, hyp, ctc_w)

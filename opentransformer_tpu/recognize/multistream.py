@@ -465,29 +465,10 @@ class MultiStreamAttention(_MultiStreamBase):
         self._since_decode = np.zeros((self.n_streams,), np.int64)
         self.decode_dispatches = 0
 
-        from ..data import EOS
-        from .beam import beam_search, greedy_search
-        eos = EOS if eos_id is None else int(eos_id)
-
-        @jax.jit
-        def search(params, memory, memory_mask):
-            def decode_step(tokens, cache, index, mem_mask, src=None):
-                return model.apply(params, tokens, cache, index, mem_mask, src,
-                                   method="decode_step")
-
-            def init_cache(mem, n, beam=1):
-                return model.apply(params, mem, n, beam, method="init_cache")
-
-            if self.beam_width == 1:
-                return greedy_search(
-                    decode_step, init_cache, memory, memory_mask, self.max_len,
-                    eos_id=eos)
-            return beam_search(
-                decode_step, init_cache, memory, memory_mask,
-                beam_width=self.beam_width, max_len=self.max_len,
-                penalty=self.penalty, lamda=self.lamda, eos_id=eos)
-
-        self._search = search
+        from .base import make_memory_search
+        self._search = make_memory_search(
+            model, self.beam_width, self.max_len, self.penalty, self.lamda,
+            eos_id=eos_id)
 
     def _build_step(self):
         model, chunk = self.model, self.chunk

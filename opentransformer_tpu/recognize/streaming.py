@@ -30,8 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.masks import length_to_mask, mask_to_length
-from .base import SpeechToTextRecognizer, make_lm_adapter
-from .beam import beam_search, greedy_search
+from .base import SpeechToTextRecognizer, make_memory_search
 
 
 def encode_windowed(
@@ -111,10 +110,6 @@ class LongFormRecognizer(SpeechToTextRecognizer):
 
     def _build(self):
         model = self.model
-        beam, max_len, penalty, lamda, lm_w = (
-            self.beam_width, self.max_len, self.penalty, self.lamda, self.lm_weight,
-        )
-        lm, lm_params = self.lm, self.lm_params
 
         # one jitted window encoder shared across all recognize() calls
         self._encode_fn = jax.jit(
@@ -122,28 +117,9 @@ class LongFormRecognizer(SpeechToTextRecognizer):
                 params, chunk, chunk_mask, method="encode"
             )
         )
-
-        @jax.jit
-        def search(params, memory, memory_mask):
-            def decode_step(tokens, cache, index, mem_mask, src=None):
-                return model.apply(params, tokens, cache, index, mem_mask, src,
-                                   method="decode_step")
-
-            def init_cache(mem, n, beam=1):
-                return model.apply(params, mem, n, beam, method="init_cache")
-
-            if lm is not None:
-                lm_i, lm_s = make_lm_adapter(lm, lm_params, max_len)
-            else:
-                lm_i = lm_s = None
-
-            if beam == 1 and lm is None:
-                return greedy_search(decode_step, init_cache, memory, memory_mask, max_len)
-            return beam_search(
-                decode_step, init_cache, memory, memory_mask,
-                beam_width=beam, max_len=max_len, penalty=penalty, lamda=lamda,
-                lm_step=lm_s, lm_init=lm_i, lm_weight=lm_w,
-            )
+        search = make_memory_search(
+            model, self.beam_width, self.max_len, self.penalty, self.lamda,
+            lm=self.lm, lm_params=self.lm_params, lm_weight=self.lm_weight)
 
         def run(params, feats, feat_mask):
             lengths = np.asarray(mask_to_length(feat_mask))
