@@ -57,10 +57,17 @@ def main() -> None:
         def init_cache(mem, n, beam=1):
             return model.apply(params, mem, n, beam, method="init_cache")
 
+        def decode_topk(tokens, cache, index, mem_mask, src, k):
+            # fused projection→log-softmax→top-k (Pallas on TPU): the
+            # [B·K, V] log-prob tensor never hits HBM (ops/project_topk.py)
+            return model.apply(params, tokens, cache, index, mem_mask,
+                               src, k, method="decode_step_topk")
+
         hyp = beam_search(
             decode_step, init_cache, memory, memory_mask,
             beam_width=BEAM, max_len=MAX_LEN, penalty=0.6,
             eos_id=-1,  # force full-length decodes (worst case)
+            decode_topk=decode_topk,
         )
         # reduce to a scalar so timing can fetch 8 bytes: through the remote
         # relay block_until_ready is unreliable and full-token fetches are

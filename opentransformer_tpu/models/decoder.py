@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.masks import attn_mask_from_pad, causal_mask
+from ..ops.project_topk import project_logp_topk
 from .modules import (
     MultiHeadCrossAttention,
     MultiHeadSelfAttention,
@@ -315,6 +316,38 @@ class TransformerDecoder(nn.Module):
         per-step beam gather (``modules.ancestral_decode_context``).
         Returns (log_probs f32[B·K, V], new_cache).
         """
+        x, new_self = self._decode_hidden(token_t, cache, index, memory_pad_mask, src)
+        logits = self._project(x)[:, 0, :]
+        return jax.nn.log_softmax(logits, axis=-1), {"self": new_self, "cross": cache["cross"]}
+
+    def decode_step_topk(self, token_t, cache, index, memory_pad_mask, src, k: int):
+        """One incremental step returning only the top-k next-token log-probs.
+
+        Semantically ``lax.top_k(decode_step(...)[0], k)`` — what every
+        LM-fusion-free beam/greedy step actually consumes — but the
+        projection, log-softmax and top-k are fused on TPU
+        (``ops.project_topk``): the [B·K, V] logits never hit HBM.
+        Returns (logp f32[B·K, k] desc-sorted, ids i32[B·K, k], new_cache).
+        """
+        x, new_self = self._decode_hidden(token_t, cache, index, memory_pad_mask, src)
+        h = x[:, 0, :]
+        new_cache = {"self": new_self, "cross": cache["cross"]}
+        if self.share_embedding:
+            vals, idx = project_logp_topk(
+                h, self.embedding.embedding, self.output_bias, k
+            )
+        else:
+            # untied head: kernel is [D, V]; XLA folds the transpose into the
+            # dot, and the fused kernel expects [V, D] rows — use the unfused
+            # path here (untied decode is off the flagship path).
+            logits = self._project(x)[:, 0, :]
+            vals, idx = jax.lax.top_k(jax.nn.log_softmax(logits, axis=-1), k)
+        return vals, idx, new_cache
+
+    def _decode_hidden(self, token_t, cache, index, memory_pad_mask, src=None):
+        """Shared body of the incremental step: embed at ``index``, run the
+        block stack against the KV cache, final norm. Returns (x [N, 1, D],
+        new_self_cache)."""
         x = self._embed(token_t[:, None], start=0)  # embed then fix position below
         # position-dependent PE: recompute at `index` (traced) — _embed used
         # start=0 over length 1, i.e. position 0; adjust by the PE delta.
@@ -336,5 +369,4 @@ class TransformerDecoder(nn.Module):
                 new_self.append(nsc)
         if self.normalize_before:
             x = self.after_norm(x)
-        logits = self._project(x)[:, 0, :]
-        return jax.nn.log_softmax(logits, axis=-1), {"self": new_self, "cross": cache["cross"]}
+        return x, new_self

@@ -1,0 +1,168 @@
+"""Pallas TPU kernel: fused vocab projection → log-softmax top-k.
+
+Every beam/greedy decode step ends with ``log_softmax(h @ Wᵀ + b)`` followed
+by ``top_k`` (reference re-ranks the full distribution the same way,
+``otrans/recognize/speech2text.py:96-118``). The unfused XLA lowering
+materializes the f32 ``[B·K, V]`` logits in HBM and re-reads them for the
+softmax reduction and again for top-k — at the flagship decode geometry
+(B·K=2560, V=4233) that's ~130 MB of HBM round-trips per decode step for
+43 MB of useful output, all to keep k=5 numbers per row.
+
+This kernel streams the vocabulary in lane-aligned tiles and keeps the
+running state in VMEM: per (row-tile, vocab-tile) grid step it computes the
+tile logits on the MXU, folds them into an online logsumexp (flash-attention
+style m/s carry) and merges them into a running top-k (k unrolled
+max/mask passes; ties resolve to the smallest vocab id, matching
+``jax.lax.top_k``). The full logits never exist — HBM traffic is one read
+of W per row-tile plus the [N, k] outputs.
+
+``project_logp_topk`` dispatches: Pallas on TPU, an identical-semantics XLA
+reference elsewhere (the CPU test mesh), overridable via ``force``.
+Parity: tests/test_project_topk.py (interpret mode + XLA cross-check).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30  # large-negative (not -inf: avoids inf-inf NaNs)
+_IDX_PAD = 2**30
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _topk_kernel(h_ref, w_ref, b_ref, vals_ref, idx_ref,
+                 run_vals, run_idx, m_ref, s_ref, *, k: int, v: int,
+                 block_v: int, out_pad: int):
+    j = pl.program_id(1)
+    nv = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        run_vals[:] = jnp.full(run_vals.shape, _NEG, jnp.float32)
+        run_idx[:] = jnp.full(run_idx.shape, _IDX_PAD, jnp.int32)
+        m_ref[:] = jnp.full(m_ref.shape, _NEG, jnp.float32)
+        s_ref[:] = jnp.zeros(s_ref.shape, jnp.float32)
+
+    r = h_ref.shape[0]
+    logits = jax.lax.dot_general(
+        h_ref[:], w_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b_ref[:]  # [R, BV]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (r, block_v), 1)
+    gid = col + j * block_v
+    logits = jnp.where(gid < v, logits, _NEG)
+
+    # online logsumexp (m: running max, s: running scaled sumexp)
+    tile_max = jnp.max(logits, axis=-1, keepdims=True)  # [R, 1]
+    m_old = m_ref[:, :1]
+    m_new = jnp.maximum(m_old, tile_max)
+    s_ref[:, :1] = (s_ref[:, :1] * jnp.exp(m_old - m_new)
+                    + jnp.sum(jnp.exp(logits - m_new), axis=-1, keepdims=True))
+    m_ref[:, :1] = m_new
+
+    # merge tile into the running top-k: k unrolled max/mask passes over
+    # [running buffer ∥ tile] — the full lane-aligned [R, out_pad] buffer is
+    # used (pad slots hold _NEG/_IDX_PAD and can never win for a real row) so
+    # every concatenate/slice stays on 128-lane boundaries for Mosaic.
+    # Running ids are always from earlier tiles (smaller), so min-id
+    # tie-breaking matches lax.top_k's smallest-index rule exactly.
+    l_ext = jnp.concatenate([run_vals[:], logits], axis=1)
+    id_ext = jnp.concatenate([run_idx[:], gid], axis=1)
+    new_vals, new_idx = [], []
+    for _ in range(k):
+        cur = jnp.max(l_ext, axis=-1, keepdims=True)
+        sel = jnp.min(jnp.where(l_ext == cur, id_ext, _IDX_PAD),
+                      axis=-1, keepdims=True)
+        new_vals.append(cur)
+        new_idx.append(sel)
+        l_ext = jnp.where(id_ext == sel, _NEG, l_ext)
+    pad = jnp.zeros((r, out_pad - k), jnp.float32)
+    run_vals[:] = jnp.concatenate(new_vals + [pad + _NEG], axis=1)
+    run_idx[:] = jnp.concatenate(new_idx + [pad.astype(jnp.int32) + _IDX_PAD],
+                                 axis=1)
+
+    @pl.when(j == nv - 1)
+    def _finalize():
+        lse = m_ref[:, :1] + jnp.log(s_ref[:, :1])
+        vals_ref[:] = run_vals[:] - lse
+        idx_ref[:] = run_idx[:]
+
+
+@partial(jax.jit, static_argnames=("k", "block_rows", "block_v", "interpret"))
+def project_logp_topk_pallas(
+    h: jnp.ndarray,       # [N, D] hidden states (model dtype)
+    weight: jnp.ndarray,  # [V, D] vocab rows (tied embedding layout)
+    bias: jnp.ndarray,    # [V] f32
+    k: int,
+    block_rows: int = 512,
+    block_v: int = 512,
+    interpret: bool = False,
+):
+    """(logp_vals f32[N, k] desc-sorted, idx i32[N, k]) of log_softmax(h@Wᵀ+b)."""
+    n, d = h.shape
+    v = weight.shape[0]
+    assert k <= 128, "top-k width must fit one lane tile"
+    r = min(block_rows, _round_up(n, 8))
+    n_pad = _round_up(n, r)
+    d_pad = _round_up(d, 128)
+    v_pad = _round_up(v, block_v)
+    out_pad = _round_up(k, 128)
+
+    hp = jnp.pad(h, ((0, n_pad - n), (0, d_pad - d)))
+    wp = jnp.pad(weight.astype(h.dtype), ((0, v_pad - v), (0, d_pad - d)))
+    bp = jnp.pad(bias.astype(jnp.float32), (0, v_pad - v)).reshape(1, v_pad)
+
+    grid = (n_pad // r, v_pad // block_v)
+    vals, idx = pl.pallas_call(
+        partial(_topk_kernel, k=k, v=v, block_v=block_v, out_pad=out_pad),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((r, d_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_v, d_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_v), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((r, out_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, out_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, out_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, out_pad), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((r, out_pad), jnp.float32),
+            pltpu.VMEM((r, out_pad), jnp.int32),
+            pltpu.VMEM((r, 1), jnp.float32),
+            pltpu.VMEM((r, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(hp, wp, bp)
+    return vals[:n, :k], idx[:n, :k]
+
+
+def project_logp_topk_xla(h, weight, bias, k):
+    """Reference semantics (materialized logits) — the non-TPU fallback."""
+    logits = jnp.einsum("nd,vd->nv", h, weight.astype(h.dtype),
+                        preferred_element_type=jnp.float32)
+    logp = jax.nn.log_softmax(logits + bias.astype(jnp.float32), axis=-1)
+    return jax.lax.top_k(logp, k)
+
+
+def project_logp_topk(h, weight, bias, k, force: str | None = None):
+    """Fused on TPU, XLA elsewhere. ``force`` ∈ {None, 'pallas', 'xla'}."""
+    use_pallas = (force == "pallas") or (
+        force is None and jax.default_backend() == "tpu")
+    if use_pallas:
+        return project_logp_topk_pallas(h, weight, bias, k)
+    return project_logp_topk_xla(h, weight, bias, k)

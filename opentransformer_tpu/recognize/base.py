@@ -112,6 +112,11 @@ def make_memory_search(model, beam_width: int, max_len: int,
     from ..data import EOS
     eos = EOS if eos_id is None else int(eos_id)
 
+    # LM-fusion-free searches only consume the per-step top-k: use the
+    # model's fused projection→log-softmax→top-k step when it has one
+    # (Pallas on TPU — the [B·K, V] log-probs never hit HBM).
+    has_topk = lm is None and hasattr(type(model), "decode_step_topk")
+
     @jax.jit
     def search(params, memory, memory_mask) -> BeamHypotheses:
         def decode_step(tokens, cache, index, mem_mask, src=None):
@@ -121,6 +126,12 @@ def make_memory_search(model, beam_width: int, max_len: int,
         def init_cache(mem, n, beam=1):
             return model.apply(params, mem, n, beam, method="init_cache")
 
+        decode_topk = None
+        if has_topk:
+            def decode_topk(tokens, cache, index, mem_mask, src, k):
+                return model.apply(params, tokens, cache, index, mem_mask,
+                                   src, k, method="decode_step_topk")
+
         if lm is not None:
             lm_i, lm_s = make_lm_adapter(lm, lm_params, max_len)
         else:
@@ -128,12 +139,12 @@ def make_memory_search(model, beam_width: int, max_len: int,
 
         if beam_width == 1 and lm is None and not force_beam:
             return greedy_search(decode_step, init_cache, memory, memory_mask,
-                                 max_len, eos_id=eos)
+                                 max_len, eos_id=eos, decode_topk=decode_topk)
         return beam_search(
             decode_step, init_cache, memory, memory_mask,
             beam_width=beam_width, max_len=max_len, penalty=penalty,
             lamda=lamda, lm_step=lm_s, lm_init=lm_i, lm_weight=lm_weight,
-            eos_id=eos)
+            eos_id=eos, decode_topk=decode_topk)
 
     return search
 

@@ -56,11 +56,17 @@ def beam_search(
     lm_weight: float = 0.1,
     vocab_size: Optional[int] = None,
     eos_id: int = EOS,
+    decode_topk: Optional[Callable] = None,  # (tokens, cache, index, mem_mask, src, k) -> (vals, idx, cache)
 ) -> BeamHypotheses:
     """Run batched beam search fully on device. All shapes static.
 
     ``eos_id`` overrides the end token (benchmarks pass an out-of-vocab id to
     force full-length decodes — a worst-case throughput measurement).
+
+    ``decode_topk``: fused projection→log-softmax→top-k step (the model's
+    ``decode_step_topk``). Used instead of ``decode_step`` + ``lax.top_k``
+    when no LM fusion is active — the [B·K, V] log-prob tensor is never
+    materialized (Pallas kernel on TPU, see ``ops/project_topk.py``).
     """
     b, t, _ = memory.shape
     k = beam_width
@@ -91,13 +97,15 @@ def beam_search(
     def body(state):
         step, tokens, scores, end_flag, cache, lm_state, src = state
         cur = jax.lax.dynamic_index_in_dim(tokens, step, axis=1, keepdims=False)  # i32[B*K]
-        logp, new_cache = decode_step(cur, cache, step, memory_mask, src)  # [B*K, V]
-        if lm_step is not None:
-            lm_logp, lm_state = lm_step(cur, lm_state, step)
-            logp = logp + lm_weight * lm_logp
-        v = logp.shape[-1]
-
-        top_vals, top_idx = jax.lax.top_k(logp, k)  # [B*K, K]
+        if decode_topk is not None and lm_step is None:
+            # fused path: the full [B*K, V] distribution never exists
+            top_vals, top_idx, new_cache = decode_topk(cur, cache, step, memory_mask, src, k)
+        else:
+            logp, new_cache = decode_step(cur, cache, step, memory_mask, src)  # [B*K, V]
+            if lm_step is not None:
+                lm_logp, lm_state = lm_step(cur, lm_state, step)
+                logp = logp + lm_weight * lm_logp
+            top_vals, top_idx = jax.lax.top_k(logp, k)  # [B*K, K]
         # finished beams: one alive branch with additive score 0, forced EOS
         fin = end_flag.reshape(b * k, 1)
         fin_vals = jnp.concatenate(
@@ -155,8 +163,13 @@ def greedy_search(
     memory_mask: jnp.ndarray,
     max_len: int,
     eos_id: int = EOS,
+    decode_topk: Optional[Callable] = None,
 ) -> BeamHypotheses:
-    """Argmax decoding as a jitted while_loop (beam=1 fast path)."""
+    """Argmax decoding as a jitted while_loop (beam=1 fast path).
+
+    ``decode_topk`` (if given) replaces decode_step + argmax/max with the
+    fused k=1 projection top-k — same smallest-index tie rule as argmax.
+    """
     b = memory.shape[0]
     cache = init_cache(memory, max_len + 1)
     tokens = jnp.full((b, max_len + 1), eos_id, jnp.int32).at[:, 0].set(BOS)
@@ -170,9 +183,13 @@ def greedy_search(
     def body(state):
         step, tokens, scores, end_flag, cache = state
         cur = jax.lax.dynamic_index_in_dim(tokens, step, axis=1, keepdims=False)
-        logp, cache = decode_step(cur, cache, step, memory_mask)
-        tok = jnp.argmax(logp, axis=-1).astype(jnp.int32)
-        val = jnp.max(logp, axis=-1)
+        if decode_topk is not None:
+            vals1, idx1, cache = decode_topk(cur, cache, step, memory_mask, None, 1)
+            tok, val = idx1[:, 0], vals1[:, 0]
+        else:
+            logp, cache = decode_step(cur, cache, step, memory_mask)
+            tok = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+            val = jnp.max(logp, axis=-1)
         tok = jnp.where(end_flag, eos_id, tok)
         scores = scores + jnp.where(end_flag, 0.0, val)
         tokens = jax.lax.dynamic_update_index_in_dim(tokens, tok, step + 1, axis=1)

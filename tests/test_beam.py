@@ -292,3 +292,41 @@ def test_beam5_long_matches_naive(model_and_params):
         for kk in range(got.shape[1]):
             L = ref_lengths[ib, kk]
             np.testing.assert_array_equal(got[ib, kk, :L], ref_tokens[ib, kk, :L])
+
+
+def test_fused_topk_beam_matches_unfused(model_and_params):
+    """beam_search with decode_topk (fused projection top-k path) must equal
+    the unfused decode_step + lax.top_k path hypothesis-for-hypothesis."""
+    from opentransformer_tpu.recognize.beam import beam_search, greedy_search
+
+    model, params, feats, feat_mask = model_and_params
+    memory, memory_mask = model.apply(params, feats, feat_mask, method="encode")
+
+    def decode_step(tokens, cache, index, mem_mask, src=None):
+        return model.apply(params, tokens, cache, index, mem_mask, src,
+                           method="decode_step")
+
+    def init_cache(mem, n, beam=1):
+        return model.apply(params, mem, n, beam, method="init_cache")
+
+    def decode_topk(tokens, cache, index, mem_mask, src, k):
+        return model.apply(params, tokens, cache, index, mem_mask, src, k,
+                           method="decode_step_topk")
+
+    for fused in (None, decode_topk):
+        hyp = beam_search(decode_step, init_cache, memory, memory_mask,
+                          beam_width=3, max_len=8, decode_topk=fused)
+        if fused is None:
+            base = hyp
+        else:
+            np.testing.assert_array_equal(np.asarray(hyp.tokens), np.asarray(base.tokens))
+            np.testing.assert_allclose(np.asarray(hyp.scores), np.asarray(base.scores),
+                                       rtol=1e-5, atol=1e-5)
+            np.testing.assert_array_equal(np.asarray(hyp.lengths), np.asarray(base.lengths))
+
+    g0 = greedy_search(decode_step, init_cache, memory, memory_mask, max_len=8)
+    g1 = greedy_search(decode_step, init_cache, memory, memory_mask, max_len=8,
+                       decode_topk=decode_topk)
+    np.testing.assert_array_equal(np.asarray(g1.tokens), np.asarray(g0.tokens))
+    np.testing.assert_allclose(np.asarray(g1.scores), np.asarray(g0.scores),
+                               rtol=1e-5, atol=1e-5)

@@ -1,0 +1,105 @@
+"""Parity tests for the fused vocab-projection → log-softmax top-k kernel.
+
+The Pallas kernel (``ops/project_topk.py``) runs in interpret mode on the
+CPU test mesh and is checked value- and index-exact against the unfused XLA
+semantics (materialized logits → log_softmax → lax.top_k), including the
+smallest-index tie-breaking rule. Reference semantics target:
+``otrans/recognize/speech2text.py:96-118`` (full-distribution re-rank).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from opentransformer_tpu.ops.project_topk import (
+    project_logp_topk,
+    project_logp_topk_pallas,
+    project_logp_topk_xla,
+)
+
+
+def _rand(n, d, v, dtype=jnp.float32, seed=0):
+    k0, k1, k2 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    h = jax.random.normal(k0, (n, d), dtype)
+    w = jax.random.normal(k1, (v, d), jnp.float32) * 0.3
+    b = jax.random.normal(k2, (v,), jnp.float32) * 0.1
+    return h, w, b
+
+
+@pytest.mark.parametrize(
+    "n,d,v,k,block_v",
+    [
+        (3, 24, 50, 5, 128),     # tiny, single vocab tile, ragged everything
+        (17, 64, 700, 5, 256),   # multiple vocab tiles, ragged tail tile
+        (16, 32, 260, 1, 128),   # k=1 (greedy path), ragged tail
+        (9, 40, 131, 8, 128),    # k>5, vocab just past one tile
+    ],
+)
+def test_pallas_matches_xla(n, d, v, k, block_v):
+    h, w, b = _rand(n, d, v)
+    ref_vals, ref_idx = project_logp_topk_xla(h, w, b, k)
+    vals, idx = project_logp_topk_pallas(
+        h, w, b, k, block_rows=8, block_v=block_v, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    np.testing.assert_allclose(
+        np.asarray(vals), np.asarray(ref_vals), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_tie_breaking_matches_lax_top_k():
+    # duplicate logits across vocab-tile boundaries: identical h rows and
+    # duplicated weight rows force exact value ties; lax.top_k keeps the
+    # smallest index first, and so must the kernel's min-id merge rule.
+    n, d, k = 4, 16, 6
+    h = jnp.tile(jnp.linspace(-1.0, 1.0, d)[None, :], (n, 1))
+    base = jax.random.normal(jax.random.PRNGKey(3), (7, d))
+    w = jnp.tile(base, (40, 1))  # V=280: every logit value appears 40×
+    b = jnp.zeros((w.shape[0],))
+    ref_vals, ref_idx = project_logp_topk_xla(h, w, b, k)
+    vals, idx = project_logp_topk_pallas(
+        h, w, b, k, block_rows=8, block_v=128, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    np.testing.assert_allclose(
+        np.asarray(vals), np.asarray(ref_vals), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_bf16_hidden_states():
+    # decode runs the model in bf16; logits/logsumexp must still be f32
+    h, w, b = _rand(12, 48, 300, seed=7)
+    h16 = h.astype(jnp.bfloat16)
+    ref_vals, ref_idx = project_logp_topk_xla(h16, w, b, 5)
+    vals, idx = project_logp_topk_pallas(
+        h16, w, b, 5, block_rows=8, block_v=128, interpret=True
+    )
+    assert vals.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    np.testing.assert_allclose(
+        np.asarray(vals), np.asarray(ref_vals), rtol=1e-2, atol=1e-2
+    )
+
+
+def test_values_are_normalized_log_probs():
+    h, w, b = _rand(5, 32, 120, seed=11)
+    logits = h @ w.T + b
+    full_logp = jax.nn.log_softmax(logits, axis=-1)
+    vals, idx = project_logp_topk_pallas(
+        h, w, b, 4, block_rows=8, block_v=128, interpret=True
+    )
+    picked = jnp.take_along_axis(full_logp, idx, axis=1)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(picked),
+                               rtol=1e-5, atol=1e-5)
+    # descending order
+    dv = np.asarray(vals)
+    assert (np.diff(dv, axis=1) <= 1e-6).all()
+
+
+def test_dispatch_uses_xla_off_tpu():
+    h, w, b = _rand(4, 16, 64, seed=2)
+    vals, idx = project_logp_topk(h, w, b, 3)  # CPU backend → XLA path
+    ref_vals, ref_idx = project_logp_topk_xla(h, w, b, 3)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals))
