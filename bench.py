@@ -46,33 +46,37 @@ def main() -> None:
     tlen = jnp.asarray([6] * BATCH, jnp.int32)
     params = model.init(jax.random.PRNGKey(0), feats, mask, tgt, tlen)
 
-    @jax.jit
-    def decode(params, feats, mask):
-        memory, memory_mask = model.apply(params, feats, mask, method="encode")
+    def build_decode(fused: bool):
+        @jax.jit
+        def decode(params, feats, mask):
+            memory, memory_mask = model.apply(params, feats, mask, method="encode")
 
-        def decode_step(tokens, cache, index, mem_mask, src=None):
-            return model.apply(params, tokens, cache, index, mem_mask, src,
-                               method="decode_step")
+            def decode_step(tokens, cache, index, mem_mask, src=None):
+                return model.apply(params, tokens, cache, index, mem_mask, src,
+                                   method="decode_step")
 
-        def init_cache(mem, n, beam=1):
-            return model.apply(params, mem, n, beam, method="init_cache")
+            def init_cache(mem, n, beam=1):
+                return model.apply(params, mem, n, beam, method="init_cache")
 
-        def decode_topk(tokens, cache, index, mem_mask, src, k):
-            # fused projection→log-softmax→top-k (Pallas on TPU): the
-            # [B·K, V] log-prob tensor never hits HBM (ops/project_topk.py)
-            return model.apply(params, tokens, cache, index, mem_mask,
-                               src, k, method="decode_step_topk")
+            def decode_topk(tokens, cache, index, mem_mask, src, k):
+                # fused projection→log-softmax→top-k (Pallas on TPU): the
+                # [B·K, V] log-prob tensor never hits HBM (ops/project_topk.py)
+                return model.apply(params, tokens, cache, index, mem_mask,
+                                   src, k, method="decode_step_topk")
 
-        hyp = beam_search(
-            decode_step, init_cache, memory, memory_mask,
-            beam_width=BEAM, max_len=MAX_LEN, penalty=0.6,
-            eos_id=-1,  # force full-length decodes (worst case)
-            decode_topk=decode_topk,
-        )
-        # reduce to a scalar so timing can fetch 8 bytes: through the remote
-        # relay block_until_ready is unreliable and full-token fetches are
-        # bandwidth-bound (~0.7 MB/s) — neither measures decode compute
-        return jnp.sum(hyp.tokens)
+            hyp = beam_search(
+                decode_step, init_cache, memory, memory_mask,
+                beam_width=BEAM, max_len=MAX_LEN, penalty=0.6,
+                eos_id=-1,  # force full-length decodes (worst case)
+                decode_topk=decode_topk if fused else None,
+            )
+            # reduce to a scalar so timing can fetch 8 bytes: through the
+            # remote relay block_until_ready is unreliable and full-token
+            # fetches are bandwidth-bound (~0.7 MB/s) — neither measures
+            # decode compute
+            return jnp.sum(hyp.tokens)
+
+        return decode
 
     # distinct inputs per iteration (identical dispatches dedupe)
     rng2 = np.random.default_rng(1)
@@ -80,7 +84,18 @@ def main() -> None:
         jnp.asarray(rng2.normal(size=(BATCH, FRAMES, 40)), jnp.float32)
         for _ in range(ITERS)
     ]
-    float(decode(params, feats, mask))  # warmup / compile
+    decode = build_decode(True)
+    fused_note = "fused-topk"
+    try:
+        float(decode(params, feats, mask))  # warmup / compile
+    except Exception as e:  # Pallas regression must not take the bench down
+        import sys
+
+        print(f"fused decode path failed ({type(e).__name__}: {e}); "
+              "falling back to unfused", file=sys.stderr)
+        decode = build_decode(False)
+        fused_note = "unfused-topk-fallback"
+        float(decode(params, feats, mask))
 
     t0 = time.perf_counter()
     for x in iter_inputs:
@@ -98,7 +113,7 @@ def main() -> None:
         "unit": "x_realtime",
         "vs_baseline": round(rtfx / 20.0, 3),
         "utts_per_sec_per_chip": round(utts_per_sec, 2),
-        "config": f"B{BATCH} T{FRAMES} beam{BEAM} steps{MAX_LEN} bf16 no-early-exit",
+        "config": f"B{BATCH} T{FRAMES} beam{BEAM} steps{MAX_LEN} bf16 no-early-exit {fused_note}",
         "device": str(jax.devices()[0]),
     }
     try:

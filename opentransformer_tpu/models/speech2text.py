@@ -61,13 +61,22 @@ class CTCAssistor(nn.Module):
     lookahead_steps: int = 0
     dtype: Dtype = jnp.float32
 
+    def setup(self):
+        self.output_layer = TorchLinear(self.vocab_size, dtype=self.dtype)
+
     @nn.compact
-    def project(self, memory):
+    def _hidden(self, memory):
+        """Pre-projection hidden states (look-ahead conv applied if any).
+
+        The look-ahead conv is depthwise over [t .. t+lookahead]: pad right
+        only (causal in reverse — sees only current + future frames). Its
+        width equals the input width, unknown until the first call, so it is
+        declared inline here (param path ``look_ahead_conv`` unchanged from
+        earlier revisions).
+        """
         h = memory
         if self.lookahead_steps > 0:
             d = memory.shape[-1]
-            # depthwise conv over [t .. t+lookahead]: pad right only (causal
-            # in reverse — sees only current + future frames)
             h = jnp.pad(h, ((0, 0), (0, self.lookahead_steps), (0, 0)))
             h = nn.Conv(
                 features=d,
@@ -78,7 +87,24 @@ class CTCAssistor(nn.Module):
                 dtype=self.dtype,
                 name="look_ahead_conv",
             )(h)
-        return TorchLinear(self.vocab_size, dtype=self.dtype, name="output_layer")(h).astype(jnp.float32)
+        return h
+
+    def project(self, memory):
+        return self.output_layer(self._hidden(memory)).astype(jnp.float32)
+
+    def project_topk(self, memory, k: int):
+        """Fused frame-wise log_softmax(project(memory)) top-k — the full
+        [B, T, V] distribution never materializes (Pallas on TPU; see
+        ``ops/project_topk.py``). Returns (logp f32[B, T, k], ids i32[B, T, k]).
+        Greedy CTC (k=1) reads only ids; values are normalized log-probs."""
+        from ..ops.project_topk import project_logp_topk
+
+        h = self._hidden(memory)
+        p = self.output_layer.variables["params"]["dense"]
+        w, bias = p["kernel"], p["bias"]  # kernel [D, V] (flax Dense layout)
+        b_, t_ = h.shape[0], h.shape[1]
+        vals, idx = project_logp_topk(h.reshape(b_ * t_, -1), w.T, bias, k)
+        return vals.reshape(b_, t_, k), idx.reshape(b_, t_, k)
 
     def __call__(self, memory, memory_lengths, labels, label_lengths):
         logits = self.project(memory)
@@ -258,3 +284,13 @@ class CTCModel(nn.Module):
         memory, memory_mask = self.encode(feats, feat_mask)
         logits = self.assistor.project(memory)
         return jax.nn.log_softmax(logits, axis=-1), memory_mask
+
+    def recognize_argmax(self, feats, feat_mask):
+        """Per-frame argmax ids for greedy CTC without materializing the
+        [B, T, V] distribution (fused projection top-1, ``ops/project_topk``;
+        XLA fallback off-TPU). Returns (ids i32[B, T'], mask bool[B, T']).
+        Same ids as ``argmax(recognize_logits(...))`` — the reference decodes
+        greedily from exactly that argmax (``otrans/recognize/ctc.py:38-43``)."""
+        memory, memory_mask = self.encode(feats, feat_mask)
+        _, idx = self.assistor.project_topk(memory, 1)
+        return idx[:, :, 0], memory_mask

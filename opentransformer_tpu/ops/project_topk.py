@@ -160,7 +160,16 @@ def project_logp_topk_xla(h, weight, bias, k):
 
 
 def project_logp_topk(h, weight, bias, k, force: str | None = None):
-    """Fused on TPU, XLA elsewhere. ``force`` ∈ {None, 'pallas', 'xla'}."""
+    """Fused on TPU, XLA elsewhere. ``force`` ∈ {None, 'pallas', 'xla'}.
+
+    ``OT_FUSED_TOPK=0`` in the environment disables the Pallas path globally
+    (escape hatch: a Mosaic regression on a new runtime would otherwise take
+    every decode surface down with it).
+    """
+    import os
+
+    if os.environ.get("OT_FUSED_TOPK", "1") == "0" and force != "pallas":
+        return project_logp_topk_xla(h, weight, bias, k)
     use_pallas = (force == "pallas") or (
         force is None and jax.default_backend() == "tpu")
     if use_pallas:

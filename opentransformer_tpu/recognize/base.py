@@ -23,7 +23,7 @@ logger = logging.getLogger(__name__)
 from ..data import EOS, PAD
 from ..models.lm import RecurrentLanguageModel, TransformerLanguageModel
 from .beam import BeamHypotheses, beam_search, greedy_search
-from .ctc_decode import ctc_greedy_decode
+from .ctc_decode import ctc_collapse_ids
 
 
 def make_lm_adapter(lm_model, lm_params, max_len: int):
@@ -230,8 +230,9 @@ class CTCRecognizer(Recognizer):
 
         @jax.jit
         def greedy(params, feats, feat_mask):
-            logp, mask = model.apply(params, feats, feat_mask, method="recognize_logits")
-            return ctc_greedy_decode(logp, mask)
+            # fused projection top-1: the [B, T, V] log-probs never exist
+            ids, mask = model.apply(params, feats, feat_mask, method="recognize_argmax")
+            return ctc_collapse_ids(ids, mask)
 
         @jax.jit
         def logits(params, feats, feat_mask):

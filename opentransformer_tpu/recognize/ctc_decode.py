@@ -29,9 +29,20 @@ def ctc_greedy_decode(log_probs: jnp.ndarray, frame_mask: jnp.ndarray):
       log_probs: f[B, T, V]; frame_mask: bool[B, T]
     Returns (tokens i32[B, T] left-packed with PAD(=BLK) tail, lengths i32[B]).
     """
-    b, t, _ = log_probs.shape
     ids = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)  # [B, T]
-    ids = jnp.where(frame_mask, ids, BLK)
+    return ctc_collapse_ids(ids, frame_mask)
+
+
+def ctc_collapse_ids(ids: jnp.ndarray, frame_mask: jnp.ndarray):
+    """Collapse per-frame argmax ids: merge repeats, drop blanks, left-pack.
+
+    The ids may come from ``jnp.argmax`` over frame log-probs or from the
+    fused projection top-1 (``CTCModel.recognize_argmax``) — identical result
+    (same smallest-index tie rule), but the fused path never materializes the
+    [B, T, V] distribution.
+    """
+    b, t = ids.shape
+    ids = jnp.where(frame_mask, ids.astype(jnp.int32), BLK)
     prev = jnp.concatenate([jnp.full((b, 1), -1, jnp.int32), ids[:, :-1]], axis=1)
     keep = jnp.logical_and(ids != BLK, ids != prev)  # new non-blank symbol
     # left-pack kept symbols: position = cumsum(keep) - 1

@@ -342,7 +342,8 @@ class MultiStreamCTC(_MultiStreamBase):
                 x = x[:, :chunk]
                 y, new_cache = mdl.encoder.encode_step(
                     x, cache, start, cache_len, chunk_mask)
-                ids = jnp.argmax(mdl.assistor.project(y), axis=-1)  # [B, C]
+                # fused projection top-1 (no [B, C, V] materialization)
+                ids = mdl.assistor.project_topk(y, 1)[1][:, :, 0]  # [B, C]
                 return ids, new_cache
 
             ids, new_cache = model.apply(

@@ -220,9 +220,10 @@ class StreamingCTCRecognizer(_StreamingRecognizer):
         self._last = np.zeros(batch, np.int64)  # last frame id per stream (BLK init)
 
         def project(params, memory):
+            # fused projection top-1 (no [B, c, V] materialization)
             return model.apply(
                 params, memory,
-                method=lambda m, mem: jnp.argmax(m.assistor.project(mem), axis=-1))
+                method=lambda m, mem: m.assistor.project_topk(mem, 1)[1][:, :, 0])
 
         self._project = jax.jit(project)
 

@@ -103,3 +103,59 @@ def test_dispatch_uses_xla_off_tpu():
     ref_vals, ref_idx = project_logp_topk_xla(h, w, b, 3)
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
     np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals))
+
+
+def _tiny_ctc(lookahead_steps=0, seed=0, b=2, t=40):
+    from opentransformer_tpu.models.registry import build_model
+
+    cfg = {
+        "type": "ctc",
+        "frontend_type": "conv",
+        "frontend": {"input_size": 20, "output_size": 24, "dropout": 0.0},
+        "encoder_type": "transformer",
+        "encoder": {"d_model": 24, "n_heads": 2, "d_ff": 32, "n_blocks": 1,
+                    "residual_dropout": 0.0, "attention_dropout": 0.0,
+                    "ffn_dropout": 0.0, "activation": "relu"},
+        "vocab_size": 20, "lookahead_steps": lookahead_steps,
+    }
+    model = build_model(cfg)
+    rng = np.random.default_rng(seed)
+    feats = jnp.asarray(rng.normal(size=(b, t, 20)), jnp.float32)
+    mask = jnp.ones((b, t), bool)
+    tgt = jnp.ones((b, 6), jnp.int32)
+    params = model.init(jax.random.PRNGKey(1), feats, mask, tgt,
+                        jnp.asarray([5] * b))
+    return model, params, feats, mask
+
+
+@pytest.mark.parametrize("lookahead", [0, 2])
+def test_ctc_recognize_argmax_matches_logits(lookahead):
+    """CTCModel.recognize_argmax (fused top-1) == argmax(recognize_logits),
+    including through the look-ahead conv; project_topk values must equal the
+    normalized log-probs of the picked ids."""
+    model, params, feats, mask = _tiny_ctc(lookahead)
+    logp, m1 = model.apply(params, feats, mask, method="recognize_logits")
+    ids, m2 = model.apply(params, feats, mask, method="recognize_argmax")
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    np.testing.assert_array_equal(
+        np.asarray(ids), np.asarray(jnp.argmax(logp, axis=-1)))
+
+    vals, idx = model.apply(
+        params, feats, mask, 3,
+        method=lambda mdl, f, mk, k: mdl.assistor.project_topk(
+            mdl.encode(f, mk)[0], k))
+    ref_vals, ref_idx = jax.lax.top_k(logp, 3)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ctc_assistor_param_paths_stable():
+    """The setup-style CTCAssistor must keep the historical param paths
+    (checkpoint/compat contract): ctc/output_layer/dense and
+    ctc/look_ahead_conv."""
+    _, params, _, _ = _tiny_ctc(lookahead_steps=2)
+    p = params["params"]["ctc"]
+    assert "kernel" in p["output_layer"]["dense"]
+    assert "bias" in p["output_layer"]["dense"]
+    assert "kernel" in p["look_ahead_conv"]
