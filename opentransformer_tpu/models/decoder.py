@@ -344,6 +344,24 @@ class TransformerDecoder(nn.Module):
             vals, idx = jax.lax.top_k(jax.nn.log_softmax(logits, axis=-1), k)
         return vals, idx, new_cache
 
+    def decode_hidden_step(self, token_t, cache, index, memory_pad_mask, src=None):
+        """One incremental step returning the pre-projection hidden state.
+
+        (h [N, D], new_cache) — the vocab head is applied elsewhere (e.g.
+        fused with an LM head in ``ops.project_topk.project2_logp_topk`` for
+        shallow fusion, where top-k of the COMBINED score is what the beam
+        consumes; reference semantics ``otrans/recognize/speech2text.py:102-105``).
+        """
+        x, new_self = self._decode_hidden(token_t, cache, index, memory_pad_mask, src)
+        return x[:, 0, :], {"self": new_self, "cross": cache["cross"]}
+
+    def vocab_head(self):
+        """(weight [V, D], bias [V]) of the output projection."""
+        if self.share_embedding:
+            return self.embedding.embedding, self.output_bias
+        p = self.output_layer.variables["params"]["dense"]
+        return p["kernel"].T, p["bias"]
+
     def _decode_hidden(self, token_t, cache, index, memory_pad_mask, src=None):
         """Shared body of the incremental step: embed at ``index``, run the
         block stack against the KV cache, final norm. Returns (x [N, 1, D],

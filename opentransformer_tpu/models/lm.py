@@ -214,6 +214,13 @@ class TransformerLanguageModel(nn.Module):
     def decode_step(self, token_t, cache, index):
         """token_t: i[B] → (log_probs f32[B, V], new cache). ``index`` may be
         a scalar (lockstep beam) or i32[B] (ragged per-row positions)."""
+        h, new_cache = self.decode_hidden(token_t, cache, index)
+        logits = self._project(h[:, None, :])[:, 0, :]
+        return jax.nn.log_softmax(logits, axis=-1), new_cache
+
+    def decode_hidden(self, token_t, cache, index):
+        """Pre-projection hidden of one step: (h [B, D], new cache). Feeds the
+        fused two-head shallow-fusion top-k (``ops.project_topk``)."""
         x = self._embed(token_t[:, None], start=0)
         index = jnp.asarray(index, jnp.int32)
         pe0 = sinusoid_position_encoding(jnp.zeros((1,), jnp.int32), self.d_model)[None]  # [1,1,D]
@@ -226,8 +233,14 @@ class TransformerLanguageModel(nn.Module):
         for blk, lc in zip(self.blocks, cache):
             x, nlc = blk.decode_step(x, lc, index)
             new_cache.append(nlc)
-        logits = self._project(x)[:, 0, :]
-        return jax.nn.log_softmax(logits, axis=-1), new_cache
+        return x[:, 0, :], new_cache
+
+    def vocab_head(self):
+        """(weight [V, D], bias [V]) of the output projection."""
+        if self.share_embedding:
+            return self.embedding.embedding, self.output_bias
+        p = self.output_layer.variables["params"]["dense"]
+        return p["kernel"].T, p["bias"]
 
 
 class RecurrentLanguageModel(nn.Module):
@@ -301,10 +314,22 @@ class RecurrentLanguageModel(nn.Module):
     def decode_step(self, token_t, hidden, index=None):
         """token_t: i[B] → (log_probs f32[B, V], new hidden). Stepwise predict
         (reference ``model/lm.py:75-91``)."""
+        h, new_hidden = self.decode_hidden(token_t, hidden, index)
+        logits = self._project(h[:, None, :])[:, 0, :]
+        return jax.nn.log_softmax(logits, axis=-1), new_hidden
+
+    def decode_hidden(self, token_t, hidden, index=None):
+        """Pre-projection hidden of one step: (h [B, D], new hidden)."""
         x = self.embedding(token_t)[:, None, :]  # [B, 1, D]
         new_hidden = []
         for i, rnn in enumerate(self.rnns):
             carry, x = rnn(x, initial_carry=(hidden[i][0], hidden[i][1]))
             new_hidden.append(carry)
-        logits = self._project(x)[:, 0, :]
-        return jax.nn.log_softmax(logits, axis=-1), new_hidden
+        return x[:, 0, :], new_hidden
+
+    def vocab_head(self):
+        """(weight [V, D], bias [V]) of the output projection."""
+        if self.share_embedding:
+            return self.embedding.embedding, self.output_bias
+        p = self.output_layer.variables["params"]["dense"]
+        return p["kernel"].T, p["bias"]

@@ -226,6 +226,12 @@ class SpeechToText(nn.Module):
     def decode_step_topk(self, token_t, cache, index, memory_pad_mask, src, k: int):
         return self.decoder.decode_step_topk(token_t, cache, index, memory_pad_mask, src, k)
 
+    def decode_hidden_step(self, token_t, cache, index, memory_pad_mask, src=None):
+        return self.decoder.decode_hidden_step(token_t, cache, index, memory_pad_mask, src)
+
+    def vocab_head(self):
+        return self.decoder.vocab_head()
+
     def decode_full(self, targets_in, memory, memory_pad_mask):
         """Full-prefix logits (greedy/debug path)."""
         return self.decoder(targets_in, memory, memory_pad_mask, None, deterministic=True)

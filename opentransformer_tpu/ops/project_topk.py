@@ -151,6 +151,179 @@ def project_logp_topk_pallas(
     return vals[:n, :k], idx[:n, :k]
 
 
+def _topk2_kernel(h1_ref, w1_ref, b1_ref, h2_ref, w2_ref, b2_ref,
+                  vals_ref, idx_ref,
+                  run_vals, run_idx, m1_ref, s1_ref, m2_ref, s2_ref,
+                  *, k: int, v: int, block_v: int, out_pad: int, lam: float):
+    """Two-head fused top-k: top_k(logp1 + lam*logp2) without materializing
+    either [N, V] distribution (shallow LM fusion's per-step consumption).
+
+    Per-row, logp1 + lam*logp2 = (l1 + lam*l2) − (lse1 + lam*lse2): the
+    subtracted term is a row constant, so the running top-k ranks raw
+    combined logits and the normalizers fold in once at finalize.
+    """
+    j = pl.program_id(1)
+    nv = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        run_vals[:] = jnp.full(run_vals.shape, _NEG, jnp.float32)
+        run_idx[:] = jnp.full(run_idx.shape, _IDX_PAD, jnp.int32)
+        m1_ref[:] = jnp.full(m1_ref.shape, _NEG, jnp.float32)
+        s1_ref[:] = jnp.zeros(s1_ref.shape, jnp.float32)
+        m2_ref[:] = jnp.full(m2_ref.shape, _NEG, jnp.float32)
+        s2_ref[:] = jnp.zeros(s2_ref.shape, jnp.float32)
+
+    r = h1_ref.shape[0]
+    l1 = jax.lax.dot_general(
+        h1_ref[:], w1_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[:]
+    l2 = jax.lax.dot_general(
+        h2_ref[:], w2_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[:]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (r, block_v), 1)
+    gid = col + j * block_v
+    valid = gid < v
+    l1 = jnp.where(valid, l1, _NEG)
+    l2 = jnp.where(valid, l2, _NEG)
+
+    # two online logsumexps
+    for l, m_ref, s_ref in ((l1, m1_ref, s1_ref), (l2, m2_ref, s2_ref)):
+        tile_max = jnp.max(l, axis=-1, keepdims=True)
+        m_old = m_ref[:, :1]
+        m_new = jnp.maximum(m_old, tile_max)
+        s_ref[:, :1] = (s_ref[:, :1] * jnp.exp(m_old - m_new)
+                        + jnp.sum(jnp.exp(l - m_new), axis=-1, keepdims=True))
+        m_ref[:, :1] = m_new
+
+    combined = jnp.where(valid, l1 + lam * l2, _NEG)
+    l_ext = jnp.concatenate([run_vals[:], combined], axis=1)
+    id_ext = jnp.concatenate([run_idx[:], gid], axis=1)
+    new_vals, new_idx = [], []
+    for _ in range(k):
+        cur = jnp.max(l_ext, axis=-1, keepdims=True)
+        sel = jnp.min(jnp.where(l_ext == cur, id_ext, _IDX_PAD),
+                      axis=-1, keepdims=True)
+        new_vals.append(cur)
+        new_idx.append(sel)
+        l_ext = jnp.where(id_ext == sel, _NEG, l_ext)
+    pad = jnp.zeros((r, out_pad - k), jnp.float32)
+    run_vals[:] = jnp.concatenate(new_vals + [pad + _NEG], axis=1)
+    run_idx[:] = jnp.concatenate(new_idx + [pad.astype(jnp.int32) + _IDX_PAD],
+                                 axis=1)
+
+    @pl.when(j == nv - 1)
+    def _finalize():
+        lse1 = m1_ref[:, :1] + jnp.log(s1_ref[:, :1])
+        lse2 = m2_ref[:, :1] + jnp.log(s2_ref[:, :1])
+        vals_ref[:] = run_vals[:] - (lse1 + lam * lse2)
+        idx_ref[:] = run_idx[:]
+
+
+@partial(jax.jit, static_argnames=("k", "lam", "block_rows", "block_v", "interpret"))
+def project2_logp_topk_pallas(
+    h1: jnp.ndarray,       # [N, D1]
+    w1: jnp.ndarray,       # [V, D1]
+    b1: jnp.ndarray,       # [V]
+    h2: jnp.ndarray,       # [N, D2]
+    w2: jnp.ndarray,       # [V, D2]
+    b2: jnp.ndarray,       # [V]
+    lam: float,
+    k: int,
+    block_rows: int = 512,
+    block_v: int = 512,
+    interpret: bool = False,
+):
+    """top-k of ``log_softmax(h1@w1ᵀ+b1) + lam·log_softmax(h2@w2ᵀ+b2)``.
+
+    Returns (vals f32[N, k] desc-sorted, idx i32[N, k]); ties resolve to the
+    smallest vocab id (``lax.top_k`` rule).
+    """
+    n, d1 = h1.shape
+    d2 = h2.shape[1]
+    v = w1.shape[0]
+    assert w2.shape[0] == v, "fused LM fusion requires matching vocabularies"
+    assert k <= 128, "top-k width must fit one lane tile"
+    r = min(block_rows, _round_up(n, 8))
+    n_pad = _round_up(n, r)
+    d1_pad = _round_up(d1, 128)
+    d2_pad = _round_up(d2, 128)
+    v_pad = _round_up(v, block_v)
+    out_pad = _round_up(k, 128)
+
+    h1p = jnp.pad(h1, ((0, n_pad - n), (0, d1_pad - d1)))
+    w1p = jnp.pad(w1.astype(h1.dtype), ((0, v_pad - v), (0, d1_pad - d1)))
+    b1p = jnp.pad(b1.astype(jnp.float32), (0, v_pad - v)).reshape(1, v_pad)
+    h2p = jnp.pad(h2, ((0, n_pad - n), (0, d2_pad - d2)))
+    w2p = jnp.pad(w2.astype(h2.dtype), ((0, v_pad - v), (0, d2_pad - d2)))
+    b2p = jnp.pad(b2.astype(jnp.float32), (0, v_pad - v)).reshape(1, v_pad)
+
+    grid = (n_pad // r, v_pad // block_v)
+    vals, idx = pl.pallas_call(
+        partial(_topk2_kernel, k=k, v=v, block_v=block_v, out_pad=out_pad,
+                lam=float(lam)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((r, d1_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_v, d1_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_v), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, d2_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_v, d2_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_v), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((r, out_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, out_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, out_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, out_pad), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((r, out_pad), jnp.float32),
+            pltpu.VMEM((r, out_pad), jnp.int32),
+            pltpu.VMEM((r, 1), jnp.float32),
+            pltpu.VMEM((r, 1), jnp.float32),
+            pltpu.VMEM((r, 1), jnp.float32),
+            pltpu.VMEM((r, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(h1p, w1p, b1p, h2p, w2p, b2p)
+    return vals[:n, :k], idx[:n, :k]
+
+
+def project2_logp_topk_xla(h1, w1, b1, h2, w2, b2, lam, k):
+    """Reference semantics (both distributions materialized) — non-TPU path."""
+    lp1 = jax.nn.log_softmax(
+        jnp.einsum("nd,vd->nv", h1, w1.astype(h1.dtype),
+                   preferred_element_type=jnp.float32) + b1.astype(jnp.float32),
+        axis=-1)
+    lp2 = jax.nn.log_softmax(
+        jnp.einsum("nd,vd->nv", h2, w2.astype(h2.dtype),
+                   preferred_element_type=jnp.float32) + b2.astype(jnp.float32),
+        axis=-1)
+    return jax.lax.top_k(lp1 + lam * lp2, k)
+
+
+def project2_logp_topk(h1, w1, b1, h2, w2, b2, lam, k, force: str | None = None):
+    """Fused on TPU, XLA elsewhere. ``force`` ∈ {None, 'pallas', 'xla'};
+    ``OT_FUSED_TOPK=0`` disables the Pallas path globally."""
+    import os
+
+    if os.environ.get("OT_FUSED_TOPK", "1") == "0" and force != "pallas":
+        return project2_logp_topk_xla(h1, w1, b1, h2, w2, b2, lam, k)
+    use_pallas = (force == "pallas") or (
+        force is None and jax.default_backend() == "tpu")
+    if use_pallas:
+        return project2_logp_topk_pallas(h1, w1, b1, h2, w2, b2, float(lam), k)
+    return project2_logp_topk_xla(h1, w1, b1, h2, w2, b2, lam, k)
+
+
 def project_logp_topk_xla(h, weight, bias, k):
     """Reference semantics (materialized logits) — the non-TPU fallback."""
     logits = jnp.einsum("nd,vd->nv", h, weight.astype(h.dtype),

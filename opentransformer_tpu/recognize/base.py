@@ -112,10 +112,20 @@ def make_memory_search(model, beam_width: int, max_len: int,
     from ..data import EOS
     eos = EOS if eos_id is None else int(eos_id)
 
-    # LM-fusion-free searches only consume the per-step top-k: use the
-    # model's fused projection→log-softmax→top-k step when it has one
-    # (Pallas on TPU — the [B·K, V] log-probs never hit HBM).
+    # The beam consumes only the per-step top-k of the (LM-fused) next-token
+    # distribution: use the fused projection→log-softmax→top-k kernel when
+    # available (Pallas on TPU — no [B·K, V] log-probs in HBM). Without an
+    # LM that's the model's decode_step_topk; with shallow fusion it's the
+    # two-head combined kernel over the model and LM hidden states.
     has_topk = lm is None and hasattr(type(model), "decode_step_topk")
+    has_topk_lm = (
+        lm is not None
+        and hasattr(type(model), "decode_hidden_step")
+        and hasattr(type(lm), "decode_hidden")
+        and hasattr(type(lm), "vocab_head")
+        and getattr(model, "decoder_cfg", {}).get("vocab_size")
+        == getattr(lm, "vocab_size", None)
+    )
 
     @jax.jit
     def search(params, memory, memory_mask) -> BeamHypotheses:
@@ -137,6 +147,23 @@ def make_memory_search(model, beam_width: int, max_len: int,
         else:
             lm_i = lm_s = None
 
+        decode_topk_lm = None
+        if has_topk_lm:
+            from ..ops.project_topk import project2_logp_topk
+
+            w_m, b_m = model.apply(params, method="vocab_head")
+            w_l, b_l = lm.apply(lm_params, method="vocab_head")
+
+            def decode_topk_lm(tokens, cache, lm_state, index, mem_mask, src, k):
+                h, new_cache = model.apply(params, tokens, cache, index,
+                                           mem_mask, src,
+                                           method="decode_hidden_step")
+                h_l, new_state = lm.apply(lm_params, tokens, lm_state, index,
+                                          method="decode_hidden")
+                vals, idx = project2_logp_topk(
+                    h, w_m, b_m, h_l, w_l, b_l, lm_weight, k)
+                return vals, idx, new_cache, new_state
+
         if beam_width == 1 and lm is None and not force_beam:
             return greedy_search(decode_step, init_cache, memory, memory_mask,
                                  max_len, eos_id=eos, decode_topk=decode_topk)
@@ -144,7 +171,7 @@ def make_memory_search(model, beam_width: int, max_len: int,
             decode_step, init_cache, memory, memory_mask,
             beam_width=beam_width, max_len=max_len, penalty=penalty,
             lamda=lamda, lm_step=lm_s, lm_init=lm_i, lm_weight=lm_weight,
-            eos_id=eos, decode_topk=decode_topk)
+            eos_id=eos, decode_topk=decode_topk, decode_topk_lm=decode_topk_lm)
 
     return search
 

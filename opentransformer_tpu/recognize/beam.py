@@ -57,6 +57,7 @@ def beam_search(
     vocab_size: Optional[int] = None,
     eos_id: int = EOS,
     decode_topk: Optional[Callable] = None,  # (tokens, cache, index, mem_mask, src, k) -> (vals, idx, cache)
+    decode_topk_lm: Optional[Callable] = None,  # (tokens, cache, lm_state, index, mem_mask, src, k) -> (vals, idx, cache, lm_state)
 ) -> BeamHypotheses:
     """Run batched beam search fully on device. All shapes static.
 
@@ -67,6 +68,10 @@ def beam_search(
     ``decode_step_topk``). Used instead of ``decode_step`` + ``lax.top_k``
     when no LM fusion is active — the [B·K, V] log-prob tensor is never
     materialized (Pallas kernel on TPU, see ``ops/project_topk.py``).
+
+    ``decode_topk_lm``: the shallow-fusion counterpart — one fused step
+    returning the top-k of ``logp_model + lm_weight·logp_lm`` from the two
+    pre-projection hidden states (neither distribution materializes).
     """
     b, t, _ = memory.shape
     k = beam_width
@@ -97,7 +102,12 @@ def beam_search(
     def body(state):
         step, tokens, scores, end_flag, cache, lm_state, src = state
         cur = jax.lax.dynamic_index_in_dim(tokens, step, axis=1, keepdims=False)  # i32[B*K]
-        if decode_topk is not None and lm_step is None:
+        if decode_topk_lm is not None and lm_step is not None:
+            # fused shallow fusion: top-k of the combined score, neither the
+            # model's nor the LM's [B*K, V] distribution ever exists
+            top_vals, top_idx, new_cache, lm_state = decode_topk_lm(
+                cur, cache, lm_state, step, memory_mask, src, k)
+        elif decode_topk is not None and lm_step is None:
             # fused path: the full [B*K, V] distribution never exists
             top_vals, top_idx, new_cache = decode_topk(cur, cache, step, memory_mask, src, k)
         else:

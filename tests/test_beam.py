@@ -330,3 +330,60 @@ def test_fused_topk_beam_matches_unfused(model_and_params):
     np.testing.assert_array_equal(np.asarray(g1.tokens), np.asarray(g0.tokens))
     np.testing.assert_allclose(np.asarray(g1.scores), np.asarray(g0.scores),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("lm_family", ["transformer", "rnn"])
+def test_fused_lm_beam_matches_unfused(model_and_params, lm_family):
+    """Shallow fusion through the fused two-head top-k (decode_topk_lm) must
+    equal the unfused decode_step + lm_step + lax.top_k path, for both LM
+    families."""
+    from opentransformer_tpu.models.lm import (
+        RecurrentLanguageModel,
+        TransformerLanguageModel,
+    )
+    from opentransformer_tpu.ops.project_topk import project2_logp_topk
+    from opentransformer_tpu.recognize.base import make_lm_adapter
+    from opentransformer_tpu.recognize.beam import beam_search
+
+    model, params, feats, feat_mask = model_and_params
+    memory, memory_mask = model.apply(params, feats, feat_mask, method="encode")
+    max_len, w = 8, 0.3
+
+    if lm_family == "transformer":
+        lm = TransformerLanguageModel(vocab_size=VOCAB, num_blocks=1,
+                                      d_model=32, n_heads=2, d_ff=64)
+    else:
+        lm = RecurrentLanguageModel(vocab_size=VOCAB, num_layers=1,
+                                    hidden_size=32)
+    toks = jnp.ones((2, 6), jnp.int32)
+    lm_params = lm.init(jax.random.PRNGKey(11), toks, toks, jnp.asarray([5, 5]))
+
+    def decode_step(tokens, cache, index, mem_mask, src=None):
+        return model.apply(params, tokens, cache, index, mem_mask, src,
+                           method="decode_step")
+
+    def init_cache(mem, n, beam=1):
+        return model.apply(params, mem, n, beam, method="init_cache")
+
+    lm_init, lm_step = make_lm_adapter(lm, lm_params, max_len)
+
+    w_m, b_m = model.apply(params, method="vocab_head")
+    w_l, b_l = lm.apply(lm_params, method="vocab_head")
+
+    def decode_topk_lm(tokens, cache, lm_state, index, mem_mask, src, k):
+        h, new_cache = model.apply(params, tokens, cache, index, mem_mask,
+                                   src, method="decode_hidden_step")
+        h_l, new_state = lm.apply(lm_params, tokens, lm_state, index,
+                                  method="decode_hidden")
+        vals, idx = project2_logp_topk(h, w_m, b_m, h_l, w_l, b_l, w, k)
+        return vals, idx, new_cache, new_state
+
+    common = dict(beam_width=3, max_len=max_len, lm_init=lm_init,
+                  lm_step=lm_step, lm_weight=w)
+    base = beam_search(decode_step, init_cache, memory, memory_mask, **common)
+    fused = beam_search(decode_step, init_cache, memory, memory_mask,
+                        decode_topk_lm=decode_topk_lm, **common)
+    np.testing.assert_array_equal(np.asarray(fused.tokens), np.asarray(base.tokens))
+    np.testing.assert_allclose(np.asarray(fused.scores), np.asarray(base.scores),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(fused.lengths), np.asarray(base.lengths))

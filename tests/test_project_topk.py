@@ -159,3 +159,73 @@ def test_ctc_assistor_param_paths_stable():
     assert "kernel" in p["output_layer"]["dense"]
     assert "bias" in p["output_layer"]["dense"]
     assert "kernel" in p["look_ahead_conv"]
+
+
+# ---------------------------------------------------------------------------
+# two-head (shallow LM fusion) kernel
+# ---------------------------------------------------------------------------
+
+
+def _rand2(n, d1, d2, v, seed=0, dtype=jnp.float32):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 6)
+    h1 = jax.random.normal(ks[0], (n, d1), dtype)
+    w1 = jax.random.normal(ks[1], (v, d1), jnp.float32) * 0.3
+    b1 = jax.random.normal(ks[2], (v,), jnp.float32) * 0.1
+    h2 = jax.random.normal(ks[3], (n, d2), dtype)
+    w2 = jax.random.normal(ks[4], (v, d2), jnp.float32) * 0.3
+    b2 = jax.random.normal(ks[5], (v,), jnp.float32) * 0.1
+    return h1, w1, b1, h2, w2, b2
+
+
+@pytest.mark.parametrize(
+    "n,d1,d2,v,k,lam",
+    [
+        (3, 24, 16, 50, 5, 0.3),    # tiny, ragged everything, D1 != D2
+        (17, 64, 32, 700, 5, 0.1),  # multiple vocab tiles
+        (9, 40, 40, 131, 8, 1.0),   # k>5, lam=1
+    ],
+)
+def test_project2_pallas_matches_xla(n, d1, d2, v, k, lam):
+    from opentransformer_tpu.ops.project_topk import (
+        project2_logp_topk_pallas,
+        project2_logp_topk_xla,
+    )
+
+    args = _rand2(n, d1, d2, v)
+    ref_vals, ref_idx = project2_logp_topk_xla(*args, lam, k)
+    vals, idx = project2_logp_topk_pallas(
+        *args, lam, k, block_rows=8, block_v=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_project2_values_are_combined_log_probs():
+    from opentransformer_tpu.ops.project_topk import project2_logp_topk_pallas
+
+    h1, w1, b1, h2, w2, b2 = _rand2(5, 32, 24, 120, seed=5)
+    lam = 0.25
+    lp1 = jax.nn.log_softmax(h1 @ w1.T + b1, axis=-1)
+    lp2 = jax.nn.log_softmax(h2 @ w2.T + b2, axis=-1)
+    combined = lp1 + lam * lp2
+    vals, idx = project2_logp_topk_pallas(
+        h1, w1, b1, h2, w2, b2, lam, 4, block_rows=8, block_v=128,
+        interpret=True)
+    picked = jnp.take_along_axis(combined, idx, axis=1)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(picked),
+                               rtol=1e-5, atol=1e-5)
+    dv = np.asarray(vals)
+    assert (np.diff(dv, axis=1) <= 1e-6).all()
+
+
+def test_project2_dispatch_uses_xla_off_tpu():
+    from opentransformer_tpu.ops.project_topk import (
+        project2_logp_topk,
+        project2_logp_topk_xla,
+    )
+
+    args = _rand2(4, 16, 16, 64, seed=3)
+    vals, idx = project2_logp_topk(*args, 0.5, 3)  # CPU backend → XLA path
+    ref_vals, ref_idx = project2_logp_topk_xla(*args, 0.5, 3)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals))
