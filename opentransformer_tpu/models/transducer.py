@@ -109,6 +109,17 @@ class TransducerJointNetwork(nn.Module):
         h = jnp.tanh(self.enc_proj(enc_t) + self.pred_proj(pred_u))
         return self.output_layer(h).astype(jnp.float32)
 
+    def step_argmax(self, enc_t, pred_u):
+        """Argmax label of ``step`` without materializing the [B, V] logits
+        (fused projection top-1, ``ops/project_topk``; XLA fallback off-TPU).
+        Same smallest-index tie rule as ``jnp.argmax``. Returns i32[B]."""
+        from ..ops.project_topk import project_logp_topk
+
+        h = jnp.tanh(self.enc_proj(enc_t) + self.pred_proj(pred_u))
+        p = self.output_layer.variables["params"]["dense"]
+        _, idx = project_logp_topk(h, p["kernel"].T, p["bias"], 1)
+        return idx[:, 0]
+
     def blank_emit_log_probs(self, enc, pred, labels, blank: int = 0,
                              t_block: int = 16):
         """Memory-lean joint evaluation: only the lattice-visible log-probs.
@@ -262,8 +273,7 @@ class TransducerModel(nn.Module):
             t, state, hidden, tokens, n, emitted_in_frame = st
             t_safe = jnp.minimum(t, t_max - 1)
             enc_t = jnp.take_along_axis(memory, t_safe[:, None, None], axis=1)[:, 0]
-            logits = self.joint.step(enc_t, state)
-            best = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            best = self.joint.step_argmax(enc_t, state)  # fused: no [B, V]
             active = t < frame_len
             can_emit = jnp.logical_and(active, n < max_symbols)
             can_emit = jnp.logical_and(can_emit, emitted_in_frame < max_per_frame)
