@@ -33,6 +33,7 @@ from .modules import (
     TorchLinear,
     sinusoid_position_encoding,
     torch_bias_init,
+    vocab_head_params,
 )
 
 Dtype = Any
@@ -332,16 +333,10 @@ class TransformerDecoder(nn.Module):
         x, new_self = self._decode_hidden(token_t, cache, index, memory_pad_mask, src)
         h = x[:, 0, :]
         new_cache = {"self": new_self, "cross": cache["cross"]}
-        if self.share_embedding:
-            vals, idx = project_logp_topk(
-                h, self.embedding.embedding, self.output_bias, k
-            )
-        else:
-            # untied head: kernel is [D, V]; XLA folds the transpose into the
-            # dot, and the fused kernel expects [V, D] rows — use the unfused
-            # path here (untied decode is off the flagship path).
-            logits = self._project(x)[:, 0, :]
-            vals, idx = jax.lax.top_k(jax.nn.log_softmax(logits, axis=-1), k)
+        # untied heads: the [D, V] kernel transpose is loop-invariant and
+        # hoisted out of the decode while_loop by XLA
+        w, b = vocab_head_params(self)
+        vals, idx = project_logp_topk(h, w, b, k)
         return vals, idx, new_cache
 
     def decode_hidden_step(self, token_t, cache, index, memory_pad_mask, src=None):
@@ -357,10 +352,7 @@ class TransformerDecoder(nn.Module):
 
     def vocab_head(self):
         """(weight [V, D], bias [V]) of the output projection."""
-        if self.share_embedding:
-            return self.embedding.embedding, self.output_bias
-        p = self.output_layer.variables["params"]["dense"]
-        return p["kernel"].T, p["bias"]
+        return vocab_head_params(self)
 
     def _decode_hidden(self, token_t, cache, index, memory_pad_mask, src=None):
         """Shared body of the incremental step: embed at ``index``, run the

@@ -31,6 +31,7 @@ from .modules import (
     sinusoid_position_encoding,
     TorchLinear,
     torch_bias_init,
+    vocab_head_params,
 )
 
 Dtype = Any
@@ -237,10 +238,7 @@ class TransformerLanguageModel(nn.Module):
 
     def vocab_head(self):
         """(weight [V, D], bias [V]) of the output projection."""
-        if self.share_embedding:
-            return self.embedding.embedding, self.output_bias
-        p = self.output_layer.variables["params"]["dense"]
-        return p["kernel"].T, p["bias"]
+        return vocab_head_params(self)
 
 
 class RecurrentLanguageModel(nn.Module):
@@ -329,7 +327,4 @@ class RecurrentLanguageModel(nn.Module):
 
     def vocab_head(self):
         """(weight [V, D], bias [V]) of the output projection."""
-        if self.share_embedding:
-            return self.embedding.embedding, self.output_bias
-        p = self.output_layer.variables["params"]["dense"]
-        return p["kernel"].T, p["bias"]
+        return vocab_head_params(self)

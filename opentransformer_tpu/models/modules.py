@@ -72,6 +72,20 @@ class TorchLinear(nn.Module):
         )(x)
 
 
+def vocab_head_params(mod):
+    """(weight [V, D], bias [V]) of a module's vocab projection.
+
+    Shared by every model with a tied-or-TorchLinear output head
+    (TransformerDecoder, both LMs): tied heads expose the embedding matrix +
+    separate bias, untied heads read the TorchLinear params (the 'dense'
+    param path this helper depends on lives just above). Feeds the fused
+    projection→top-k kernels (``ops/project_topk``)."""
+    if mod.share_embedding:
+        return mod.embedding.embedding, mod.output_bias
+    p = mod.output_layer.variables["params"]["dense"]
+    return p["kernel"].T, p["bias"]
+
+
 # --------------------------------------------------------------------------
 # activations
 # --------------------------------------------------------------------------

@@ -295,8 +295,12 @@ class CTCModel(nn.Module):
         """Per-frame argmax ids for greedy CTC without materializing the
         [B, T, V] distribution (fused projection top-1, ``ops/project_topk``;
         XLA fallback off-TPU). Returns (ids i32[B, T'], mask bool[B, T']).
-        Same ids as ``argmax(recognize_logits(...))`` — the reference decodes
-        greedily from exactly that argmax (``otrans/recognize/ctc.py:38-43``)."""
+        Same ids as ``argmax(recognize_logits(...))`` in f32 — the reference
+        decodes greedily from exactly that argmax
+        (``otrans/recognize/ctc.py:38-43``). Under bf16 the fused path
+        accumulates logits in f32 (more precise than recognize_logits, whose
+        Dense output rounds to bf16), so ids can differ where two logits tie
+        at bf16 resolution."""
         memory, memory_mask = self.encode(feats, feat_mask)
         _, idx = self.assistor.project_topk(memory, 1)
         return idx[:, :, 0], memory_mask

@@ -112,7 +112,9 @@ class TransducerJointNetwork(nn.Module):
     def step_argmax(self, enc_t, pred_u):
         """Argmax label of ``step`` without materializing the [B, V] logits
         (fused projection top-1, ``ops/project_topk``; XLA fallback off-TPU).
-        Same smallest-index tie rule as ``jnp.argmax``. Returns i32[B]."""
+        Same smallest-index tie rule as ``jnp.argmax``; identical ids in f32
+        (under bf16 the fused f32 accumulation can pick differently where
+        ``step``'s bf16-rounded logits tie). Returns i32[B]."""
         from ..ops.project_topk import project_logp_topk
 
         h = jnp.tanh(self.enc_proj(enc_t) + self.pred_proj(pred_u))

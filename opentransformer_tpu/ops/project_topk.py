@@ -39,31 +39,18 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _topk_kernel(h_ref, w_ref, b_ref, vals_ref, idx_ref,
-                 run_vals, run_idx, m_ref, s_ref, *, k: int, v: int,
-                 block_v: int, out_pad: int):
-    j = pl.program_id(1)
-    nv = pl.num_programs(1)
-
-    @pl.when(j == 0)
-    def _init():
-        run_vals[:] = jnp.full(run_vals.shape, _NEG, jnp.float32)
-        run_idx[:] = jnp.full(run_idx.shape, _IDX_PAD, jnp.int32)
-        m_ref[:] = jnp.full(m_ref.shape, _NEG, jnp.float32)
-        s_ref[:] = jnp.zeros(s_ref.shape, jnp.float32)
-
-    r = h_ref.shape[0]
-    logits = jax.lax.dot_general(
+def _tile_logits(h_ref, w_ref, b_ref):
+    """MXU tile matmul: [R, D]·[BV, D]ᵀ + b → f32[R, BV]."""
+    return jax.lax.dot_general(
         h_ref[:], w_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + b_ref[:]  # [R, BV]
+    ) + b_ref[:]
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (r, block_v), 1)
-    gid = col + j * block_v
-    logits = jnp.where(gid < v, logits, _NEG)
 
-    # online logsumexp (m: running max, s: running scaled sumexp)
+def _online_lse(logits, m_ref, s_ref):
+    """Fold a tile into the running logsumexp carry (m: max, s: scaled
+    sumexp) — flash-attention style."""
     tile_max = jnp.max(logits, axis=-1, keepdims=True)  # [R, 1]
     m_old = m_ref[:, :1]
     m_new = jnp.maximum(m_old, tile_max)
@@ -71,14 +58,17 @@ def _topk_kernel(h_ref, w_ref, b_ref, vals_ref, idx_ref,
                     + jnp.sum(jnp.exp(logits - m_new), axis=-1, keepdims=True))
     m_ref[:, :1] = m_new
 
-    # merge tile into the running top-k: k unrolled max/mask passes over
-    # [running buffer ∥ tile] — the full lane-aligned [R, out_pad] buffer is
-    # used (pad slots hold _NEG/_IDX_PAD and can never win for a real row) so
-    # every concatenate/slice stays on 128-lane boundaries for Mosaic.
-    # Running ids are always from earlier tiles (smaller), so min-id
-    # tie-breaking matches lax.top_k's smallest-index rule exactly.
-    l_ext = jnp.concatenate([run_vals[:], logits], axis=1)
-    id_ext = jnp.concatenate([run_idx[:], gid], axis=1)
+
+def _merge_topk(run_vals, run_idx, tile_vals, tile_ids, k: int, out_pad: int):
+    """Merge a tile into the running top-k: k unrolled max/mask passes over
+    [running buffer ∥ tile] — the full lane-aligned [R, out_pad] buffer is
+    used (pad slots hold _NEG/_IDX_PAD and can never win for a real row) so
+    every concatenate/slice stays on 128-lane boundaries for Mosaic.
+    Running ids are always from earlier tiles (smaller), so min-id
+    tie-breaking matches lax.top_k's smallest-index rule exactly."""
+    r = tile_vals.shape[0]
+    l_ext = jnp.concatenate([run_vals[:], tile_vals], axis=1)
+    id_ext = jnp.concatenate([run_idx[:], tile_ids], axis=1)
     new_vals, new_idx = [], []
     for _ in range(k):
         cur = jnp.max(l_ext, axis=-1, keepdims=True)
@@ -91,6 +81,37 @@ def _topk_kernel(h_ref, w_ref, b_ref, vals_ref, idx_ref,
     run_vals[:] = jnp.concatenate(new_vals + [pad + _NEG], axis=1)
     run_idx[:] = jnp.concatenate(new_idx + [pad.astype(jnp.int32) + _IDX_PAD],
                                  axis=1)
+
+
+def _init_scratch(run_vals, run_idx, *lse_refs):
+    run_vals[:] = jnp.full(run_vals.shape, _NEG, jnp.float32)
+    run_idx[:] = jnp.full(run_idx.shape, _IDX_PAD, jnp.int32)
+    for i, ref in enumerate(lse_refs):
+        if i % 2 == 0:
+            ref[:] = jnp.full(ref.shape, _NEG, jnp.float32)  # m
+        else:
+            ref[:] = jnp.zeros(ref.shape, jnp.float32)       # s
+
+
+def _topk_kernel(h_ref, w_ref, b_ref, vals_ref, idx_ref,
+                 run_vals, run_idx, m_ref, s_ref, *, k: int, v: int,
+                 block_v: int, out_pad: int):
+    j = pl.program_id(1)
+    nv = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        _init_scratch(run_vals, run_idx, m_ref, s_ref)
+
+    r = h_ref.shape[0]
+    logits = _tile_logits(h_ref, w_ref, b_ref)  # [R, BV]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (r, block_v), 1)
+    gid = col + j * block_v
+    logits = jnp.where(gid < v, logits, _NEG)
+
+    _online_lse(logits, m_ref, s_ref)
+    _merge_topk(run_vals, run_idx, logits, gid, k, out_pad)
 
     @pl.when(j == nv - 1)
     def _finalize():
@@ -167,24 +188,11 @@ def _topk2_kernel(h1_ref, w1_ref, b1_ref, h2_ref, w2_ref, b2_ref,
 
     @pl.when(j == 0)
     def _init():
-        run_vals[:] = jnp.full(run_vals.shape, _NEG, jnp.float32)
-        run_idx[:] = jnp.full(run_idx.shape, _IDX_PAD, jnp.int32)
-        m1_ref[:] = jnp.full(m1_ref.shape, _NEG, jnp.float32)
-        s1_ref[:] = jnp.zeros(s1_ref.shape, jnp.float32)
-        m2_ref[:] = jnp.full(m2_ref.shape, _NEG, jnp.float32)
-        s2_ref[:] = jnp.zeros(s2_ref.shape, jnp.float32)
+        _init_scratch(run_vals, run_idx, m1_ref, s1_ref, m2_ref, s2_ref)
 
     r = h1_ref.shape[0]
-    l1 = jax.lax.dot_general(
-        h1_ref[:], w1_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b1_ref[:]
-    l2 = jax.lax.dot_general(
-        h2_ref[:], w2_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b2_ref[:]
+    l1 = _tile_logits(h1_ref, w1_ref, b1_ref)
+    l2 = _tile_logits(h2_ref, w2_ref, b2_ref)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (r, block_v), 1)
     gid = col + j * block_v
@@ -192,30 +200,11 @@ def _topk2_kernel(h1_ref, w1_ref, b1_ref, h2_ref, w2_ref, b2_ref,
     l1 = jnp.where(valid, l1, _NEG)
     l2 = jnp.where(valid, l2, _NEG)
 
-    # two online logsumexps
-    for l, m_ref, s_ref in ((l1, m1_ref, s1_ref), (l2, m2_ref, s2_ref)):
-        tile_max = jnp.max(l, axis=-1, keepdims=True)
-        m_old = m_ref[:, :1]
-        m_new = jnp.maximum(m_old, tile_max)
-        s_ref[:, :1] = (s_ref[:, :1] * jnp.exp(m_old - m_new)
-                        + jnp.sum(jnp.exp(l - m_new), axis=-1, keepdims=True))
-        m_ref[:, :1] = m_new
+    _online_lse(l1, m1_ref, s1_ref)
+    _online_lse(l2, m2_ref, s2_ref)
 
     combined = jnp.where(valid, l1 + lam * l2, _NEG)
-    l_ext = jnp.concatenate([run_vals[:], combined], axis=1)
-    id_ext = jnp.concatenate([run_idx[:], gid], axis=1)
-    new_vals, new_idx = [], []
-    for _ in range(k):
-        cur = jnp.max(l_ext, axis=-1, keepdims=True)
-        sel = jnp.min(jnp.where(l_ext == cur, id_ext, _IDX_PAD),
-                      axis=-1, keepdims=True)
-        new_vals.append(cur)
-        new_idx.append(sel)
-        l_ext = jnp.where(id_ext == sel, _NEG, l_ext)
-    pad = jnp.zeros((r, out_pad - k), jnp.float32)
-    run_vals[:] = jnp.concatenate(new_vals + [pad + _NEG], axis=1)
-    run_idx[:] = jnp.concatenate(new_idx + [pad.astype(jnp.int32) + _IDX_PAD],
-                                 axis=1)
+    _merge_topk(run_vals, run_idx, combined, gid, k, out_pad)
 
     @pl.when(j == nv - 1)
     def _finalize():

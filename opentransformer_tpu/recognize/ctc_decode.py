@@ -37,9 +37,10 @@ def ctc_collapse_ids(ids: jnp.ndarray, frame_mask: jnp.ndarray):
     """Collapse per-frame argmax ids: merge repeats, drop blanks, left-pack.
 
     The ids may come from ``jnp.argmax`` over frame log-probs or from the
-    fused projection top-1 (``CTCModel.recognize_argmax``) — identical result
-    (same smallest-index tie rule), but the fused path never materializes the
-    [B, T, V] distribution.
+    fused projection top-1 (``CTCModel.recognize_argmax``) — same
+    smallest-index tie rule, identical in f32 (under bf16 the fused path's
+    f32 logit accumulation can pick differently where bf16 rounding ties),
+    and the fused path never materializes the [B, T, V] distribution.
     """
     b, t = ids.shape
     ids = jnp.where(frame_mask, ids.astype(jnp.int32), BLK)
