@@ -490,28 +490,35 @@ struct Beam {
   float Total() const { return LogSumExp(p_b, p_nb) + lm_score; }
 };
 
-void DecodeOne(const float* log_probs, int frames, int vocab, int blank,
-               int beam_width, int prune_k, float alpha, float beta,
-               const LmBase* lm, int max_out,
-               int32_t* out_tokens, int32_t* out_len, float* out_score,
-               int nbest) {
+// Prefix beam search over per-frame CANDIDATE LISTS (label id + log-prob):
+// the core shared by the dense [T, V] path (host-pruned, below) and the
+// sparse path (device-pruned via the fused top-k kernel — only [T, n_cand]
+// crosses device→host). blank_lp[t] supplies the blank's exact log-prob for
+// frames whose candidate list does not already contain blank (CTC needs the
+// blank transition for every beam at every frame).
+void DecodeOneCands(const float* cand_lp, const int32_t* cand_ids,
+                    const float* blank_lp, int frames, int n_cand, int blank,
+                    int beam_width, float alpha, float beta,
+                    const LmBase* lm, int max_out,
+                    int32_t* out_tokens, int32_t* out_len, float* out_score,
+                    int nbest) {
   std::vector<Beam> beams(1);
   beams[0].p_b = 0.0f;
 
   std::vector<Beam> next;
   std::unordered_map<std::string, int> index;
-  std::vector<int> syms(vocab);  // hoisted: reused across frames
+  std::vector<std::pair<int, float>> syms;  // hoisted: reused across frames
 
   for (int t = 0; t < frames; ++t) {
-    const float* frame = log_probs + (size_t)t * vocab;
-    // prune to top-k symbols this frame
-    int k = std::min(prune_k, vocab);
-    syms.resize(vocab);
-    for (int i = 0; i < vocab; ++i) syms[i] = i;
-    std::partial_sort(syms.begin(), syms.begin() + k, syms.end(),
-                      [&](int a, int b) { return frame[a] > frame[b]; });
-    syms.resize(k);
-    if (std::find(syms.begin(), syms.end(), blank) == syms.end()) syms.push_back(blank);
+    const float* lp = cand_lp + (size_t)t * n_cand;
+    const int32_t* ids = cand_ids + (size_t)t * n_cand;
+    syms.clear();
+    bool has_blank = false;
+    for (int i = 0; i < n_cand; ++i) {
+      syms.emplace_back(ids[i], lp[i]);
+      has_blank |= (ids[i] == blank);
+    }
+    if (!has_blank) syms.emplace_back(blank, blank_lp[t]);
 
     next.clear();
     index.clear();
@@ -536,8 +543,9 @@ void DecodeOne(const float* log_probs, int frames, int vocab, int blank,
 
     for (const Beam& b : beams) {
       float total = LogSumExp(b.p_b, b.p_nb);
-      for (int s : syms) {
-        float p = frame[s];
+      for (const auto& sp : syms) {
+        int s = sp.first;
+        float p = sp.second;
         if (s == blank) {
           emit(b.prefix, total + p, kNegInf, b.lm_score);
         } else if (!b.prefix.empty() && s == b.prefix.back()) {
@@ -576,6 +584,35 @@ void DecodeOne(const float* log_probs, int frames, int vocab, int blank,
     out_score[i] = b.Total();
   }
   for (int i = n; i < nbest; ++i) { out_len[i] = 0; out_score[i] = kNegInf; }
+}
+
+// Dense [T, V] wrapper: prune to the top prune_k labels per frame on the
+// host, then run the candidate-list core (historical behavior unchanged —
+// same labels, same order, blank force-appended when outside the top-k).
+void DecodeOne(const float* log_probs, int frames, int vocab, int blank,
+               int beam_width, int prune_k, float alpha, float beta,
+               const LmBase* lm, int max_out,
+               int32_t* out_tokens, int32_t* out_len, float* out_score,
+               int nbest) {
+  int k = std::min(prune_k, vocab);
+  std::vector<float> cand_lp((size_t)frames * k);
+  std::vector<int32_t> cand_ids((size_t)frames * k);
+  std::vector<float> blank_lp(frames);
+  std::vector<int> order(vocab);
+  for (int t = 0; t < frames; ++t) {
+    const float* frame = log_probs + (size_t)t * vocab;
+    for (int i = 0; i < vocab; ++i) order[i] = i;
+    std::partial_sort(order.begin(), order.begin() + k, order.end(),
+                      [&](int a, int b) { return frame[a] > frame[b]; });
+    for (int i = 0; i < k; ++i) {
+      cand_ids[(size_t)t * k + i] = order[i];
+      cand_lp[(size_t)t * k + i] = frame[order[i]];
+    }
+    blank_lp[t] = frame[blank];
+  }
+  DecodeOneCands(cand_lp.data(), cand_ids.data(), blank_lp.data(), frames, k,
+                 blank, beam_width, alpha, beta, lm, max_out,
+                 out_tokens, out_len, out_score, nbest);
 }
 
 }  // namespace
@@ -630,6 +667,43 @@ void ctc_beam_decode(const float* log_probs, const int32_t* frame_counts,
                 out_tokens + (size_t)i * nbest * max_out,
                 out_lens + (size_t)i * nbest,
                 out_scores + (size_t)i * nbest, nbest);
+    }
+  };
+  int n = std::min(num_threads, batch);
+  for (int i = 0; i < n; ++i) pool.emplace_back(work);
+  for (auto& th : pool) th.join();
+}
+
+// Sparse variant: candidates pre-pruned on the device (fused top-k kernel).
+// cand_lp: [batch, frames, n_cand] f32; cand_ids: [batch, frames, n_cand]
+// i32; blank_lp: [batch, frames] f32 (exact blank log-prob per frame —
+// consulted when blank is not among the candidates). Same outputs as
+// ctc_beam_decode; with n_cand == that call's prune_k the results match.
+void ctc_beam_decode_sparse(const float* cand_lp, const int32_t* cand_ids,
+                            const float* blank_lp,
+                            const int32_t* frame_counts,
+                            int batch, int frames, int n_cand, int blank,
+                            int beam_width, float alpha, float beta,
+                            void* lm_handle, int max_out, int nbest,
+                            int num_threads,
+                            int32_t* out_tokens, int32_t* out_lens,
+                            float* out_scores) {
+  const LmBase* lm = static_cast<const LmBase*>(lm_handle);
+  if (num_threads < 1) num_threads = std::thread::hardware_concurrency();
+  std::vector<std::thread> pool;
+  std::atomic<int> counter{0};
+  auto work = [&]() {
+    for (;;) {
+      int i = counter.fetch_add(1);
+      if (i >= batch) return;
+      DecodeOneCands(cand_lp + (size_t)i * frames * n_cand,
+                     cand_ids + (size_t)i * frames * n_cand,
+                     blank_lp + (size_t)i * frames,
+                     frame_counts[i], n_cand, blank, beam_width, alpha, beta,
+                     lm, max_out,
+                     out_tokens + (size_t)i * nbest * max_out,
+                     out_lens + (size_t)i * nbest,
+                     out_scores + (size_t)i * nbest, nbest);
     }
   };
   int n = std::min(num_threads, batch);

@@ -92,19 +92,31 @@ class CTCAssistor(nn.Module):
     def project(self, memory):
         return self.output_layer(self._hidden(memory)).astype(jnp.float32)
 
-    def project_topk(self, memory, k: int):
+    def project_topk(self, memory, k: int, with_label: int | None = None):
         """Fused frame-wise log_softmax(project(memory)) top-k — the full
         [B, T, V] distribution never materializes (Pallas on TPU; see
         ``ops/project_topk.py``). Returns (logp f32[B, T, k], ids i32[B, T, k]).
-        Greedy CTC (k=1) reads only ids; values are normalized log-probs."""
+        Greedy CTC (k=1) reads only ids; values are normalized log-probs.
+
+        ``with_label`` additionally returns that single label's log-prob
+        f32[B, T] (exact: its logit minus the row logsumexp) — the sparse
+        prefix-beam path always needs blank even outside the top-k."""
         from ..ops.project_topk import project_logp_topk
 
         h = self._hidden(memory)
         p = self.output_layer.variables["params"]["dense"]
         w, bias = p["kernel"], p["bias"]  # kernel [D, V] (flax Dense layout)
         b_, t_ = h.shape[0], h.shape[1]
-        vals, idx = project_logp_topk(h.reshape(b_ * t_, -1), w.T, bias, k)
-        return vals.reshape(b_, t_, k), idx.reshape(b_, t_, k)
+        h2 = h.reshape(b_ * t_, -1)
+        if with_label is None:
+            vals, idx = project_logp_topk(h2, w.T, bias, k)
+            return vals.reshape(b_, t_, k), idx.reshape(b_, t_, k)
+        vals, idx, lse = project_logp_topk(h2, w.T, bias, k, with_lse=True)
+        logit_l = jnp.einsum("nd,d->n", h2, w[:, with_label].astype(h2.dtype),
+                             preferred_element_type=jnp.float32)
+        label_lp = logit_l + bias[with_label].astype(jnp.float32) - lse
+        return (vals.reshape(b_, t_, k), idx.reshape(b_, t_, k),
+                label_lp.reshape(b_, t_))
 
     def __call__(self, memory, memory_lengths, labels, label_lengths):
         logits = self.project(memory)
@@ -304,3 +316,19 @@ class CTCModel(nn.Module):
         memory, memory_mask = self.encode(feats, feat_mask)
         _, idx = self.assistor.project_topk(memory, 1)
         return idx[:, :, 0], memory_mask
+
+    def recognize_topk(self, feats, feat_mask, k: int):
+        """Per-frame top-k candidates + exact blank log-prob for the sparse
+        native prefix-beam path: the host receives [B, T', k] candidate lists
+        instead of the full [B, T', V] distribution (~V/k less device→host
+        traffic; the host decoder pruned to its top ``prune_k`` per frame
+        anyway, so with k == prune_k results are identical — reference
+        semantics ``otrans/recognize/ctc.py:19-25`` via ctcdecode's
+        cutoff_top_n). Returns (vals f32[B, T', k], ids i32[B, T', k],
+        blank_lp f32[B, T'], mask bool[B, T'])."""
+        from ..data import BLK
+
+        memory, memory_mask = self.encode(feats, feat_mask)
+        vals, idx, blank_lp = self.assistor.project_topk(
+            memory, k, with_label=BLK)
+        return vals, idx, blank_lp, memory_mask

@@ -93,7 +93,7 @@ def _init_scratch(run_vals, run_idx, *lse_refs):
             ref[:] = jnp.zeros(ref.shape, jnp.float32)       # s
 
 
-def _topk_kernel(h_ref, w_ref, b_ref, vals_ref, idx_ref,
+def _topk_kernel(h_ref, w_ref, b_ref, vals_ref, idx_ref, lse_ref,
                  run_vals, run_idx, m_ref, s_ref, *, k: int, v: int,
                  block_v: int, out_pad: int):
     j = pl.program_id(1)
@@ -118,9 +118,13 @@ def _topk_kernel(h_ref, w_ref, b_ref, vals_ref, idx_ref,
         lse = m_ref[:, :1] + jnp.log(s_ref[:, :1])
         vals_ref[:] = run_vals[:] - lse
         idx_ref[:] = run_idx[:]
+        # row logsumexp, broadcast over the lane tile: lets callers score any
+        # single extra label as (h·w_label + b_label) − lse (e.g. CTC blank)
+        lse_ref[:] = jnp.broadcast_to(lse, lse_ref.shape)
 
 
-@partial(jax.jit, static_argnames=("k", "block_rows", "block_v", "interpret"))
+@partial(jax.jit, static_argnames=("k", "block_rows", "block_v", "interpret",
+                                   "with_lse"))
 def project_logp_topk_pallas(
     h: jnp.ndarray,       # [N, D] hidden states (model dtype)
     weight: jnp.ndarray,  # [V, D] vocab rows (tied embedding layout)
@@ -129,8 +133,14 @@ def project_logp_topk_pallas(
     block_rows: int = 512,
     block_v: int = 512,
     interpret: bool = False,
+    with_lse: bool = False,
 ):
-    """(logp_vals f32[N, k] desc-sorted, idx i32[N, k]) of log_softmax(h@Wᵀ+b)."""
+    """(logp_vals f32[N, k] desc-sorted, idx i32[N, k]) of log_softmax(h@Wᵀ+b).
+
+    ``with_lse=True`` appends the row logsumexp f32[N]: callers can then
+    score any single extra label exactly as ``h·w_label + b_label − lse``
+    (the CTC sparse-beam path needs the blank's log-prob even when blank
+    falls outside the top-k)."""
     n, d = h.shape
     v = weight.shape[0]
     assert k <= 128, "top-k width must fit one lane tile"
@@ -145,7 +155,7 @@ def project_logp_topk_pallas(
     bp = jnp.pad(bias.astype(jnp.float32), (0, v_pad - v)).reshape(1, v_pad)
 
     grid = (n_pad // r, v_pad // block_v)
-    vals, idx = pl.pallas_call(
+    vals, idx, lse = pl.pallas_call(
         partial(_topk_kernel, k=k, v=v, block_v=block_v, out_pad=out_pad),
         grid=grid,
         in_specs=[
@@ -156,10 +166,12 @@ def project_logp_topk_pallas(
         out_specs=[
             pl.BlockSpec((r, out_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((r, out_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, 128), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_pad, out_pad), jnp.float32),
             jax.ShapeDtypeStruct((n_pad, out_pad), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((r, out_pad), jnp.float32),
@@ -169,6 +181,8 @@ def project_logp_topk_pallas(
         ],
         interpret=interpret,
     )(hp, wp, bp)
+    if with_lse:
+        return vals[:n, :k], idx[:n, :k], lse[:n, 0]
     return vals[:n, :k], idx[:n, :k]
 
 
@@ -313,15 +327,20 @@ def project2_logp_topk(h1, w1, b1, h2, w2, b2, lam, k, force: str | None = None)
     return project2_logp_topk_xla(h1, w1, b1, h2, w2, b2, lam, k)
 
 
-def project_logp_topk_xla(h, weight, bias, k):
+def project_logp_topk_xla(h, weight, bias, k, with_lse: bool = False):
     """Reference semantics (materialized logits) — the non-TPU fallback."""
     logits = jnp.einsum("nd,vd->nv", h, weight.astype(h.dtype),
                         preferred_element_type=jnp.float32)
-    logp = jax.nn.log_softmax(logits + bias.astype(jnp.float32), axis=-1)
-    return jax.lax.top_k(logp, k)
+    logits = logits + bias.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    vals, idx = jax.lax.top_k(logp, k)
+    if with_lse:
+        return vals, idx, jax.nn.logsumexp(logits, axis=-1)
+    return vals, idx
 
 
-def project_logp_topk(h, weight, bias, k, force: str | None = None):
+def project_logp_topk(h, weight, bias, k, force: str | None = None,
+                      with_lse: bool = False):
     """Fused on TPU, XLA elsewhere. ``force`` ∈ {None, 'pallas', 'xla'}.
 
     ``OT_FUSED_TOPK=0`` in the environment disables the Pallas path globally
@@ -331,9 +350,9 @@ def project_logp_topk(h, weight, bias, k, force: str | None = None):
     import os
 
     if os.environ.get("OT_FUSED_TOPK", "1") == "0" and force != "pallas":
-        return project_logp_topk_xla(h, weight, bias, k)
+        return project_logp_topk_xla(h, weight, bias, k, with_lse=with_lse)
     use_pallas = (force == "pallas") or (
         force is None and jax.default_backend() == "tpu")
     if use_pallas:
-        return project_logp_topk_pallas(h, weight, bias, k)
-    return project_logp_topk_xla(h, weight, bias, k)
+        return project_logp_topk_pallas(h, weight, bias, k, with_lse=with_lse)
+    return project_logp_topk_xla(h, weight, bias, k, with_lse=with_lse)

@@ -265,8 +265,20 @@ class CTCRecognizer(Recognizer):
         def logits(params, feats, feat_mask):
             return model.apply(params, feats, feat_mask, method="recognize_logits")
 
+        # device-pruned candidates for the native prefix beam: ships
+        # [B, T, prune_k] (+ blank lp) to the host instead of [B, T, V].
+        # 32 == ctc_beam_decode's default prune_k → identical results
+        prune_k = min(32, int(getattr(model, "vocab_size", 32)))
+
+        @jax.jit
+        def topk(params, feats, feat_mask):
+            return model.apply(params, feats, feat_mask, prune_k,
+                               method="recognize_topk")
+
         self._jit_greedy = greedy
         self._jit_logits = logits
+        self._jit_topk = topk
+        self._prune_k = prune_k
 
     def recognize(self, feats, feat_mask):
         if self.beam_width <= 1:
@@ -276,13 +288,14 @@ class CTCRecognizer(Recognizer):
             texts = [[self.translate(tokens[i, : lengths[i]])] for i in range(tokens.shape[0])]
             return texts, np.zeros((tokens.shape[0], 1), np.float32)
 
-        from .native_ctc import ctc_beam_decode
+        from .native_ctc import ctc_beam_decode_sparse
         from ..ops.masks import mask_to_length
 
-        logp, mask = self._jit_logits(self.params, feats, feat_mask)
+        vals, ids, blank_lp, mask = self._jit_topk(self.params, feats, feat_mask)
         counts = np.asarray(mask_to_length(mask), np.int32)
-        tokens, lens, scores = ctc_beam_decode(
-            np.asarray(logp), counts, beam_width=self.beam_width,
+        tokens, lens, scores = ctc_beam_decode_sparse(
+            np.asarray(vals), np.asarray(ids), np.asarray(blank_lp), counts,
+            beam_width=self.beam_width,
             alpha=self.alpha, beta=self.beta, lm=self.lm, nbest=self.nbest,
         )
         texts = [

@@ -52,6 +52,15 @@ def _load_lib():
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_float),
     ]
+    lib.ctc_beam_decode_sparse.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_float, ctypes.c_float,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+    ]
     _lib = lib
     return lib
 
@@ -131,6 +140,49 @@ def ctc_beam_decode(
         lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         fc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         b, t, v, blank, beam_width, prune_k,
+        ctypes.c_float(alpha), ctypes.c_float(beta),
+        getattr(lm, "_handle", None), max_out, nbest, num_threads,
+        tokens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return tokens, lens, scores
+
+
+def ctc_beam_decode_sparse(
+    cand_lp: np.ndarray,    # f32[B, T, N] desc-sorted per frame
+    cand_ids: np.ndarray,   # i32[B, T, N]
+    blank_lp: np.ndarray,   # f32[B, T] exact blank log-prob per frame
+    frame_counts: np.ndarray,  # i32[B]
+    beam_width: int = 10,
+    blank: int = 0,
+    alpha: float = 0.0,
+    beta: float = 0.0,
+    lm: Optional[NgramLM] = None,
+    nbest: int = 1,
+    num_threads: int = 0,
+):
+    """Prefix beam search over device-pruned candidate lists (the fused
+    top-k kernel's output) — only [B, T, N] crosses device→host instead of
+    the full [B, T, V] distribution. With N == ``ctc_beam_decode``'s
+    ``prune_k`` the results are identical. Returns
+    (tokens i32[B, nbest, U_max], lengths i32[B, nbest], scores f32[B, nbest])."""
+    lib = _load_lib()
+    lp = np.ascontiguousarray(cand_lp, np.float32)
+    ids = np.ascontiguousarray(cand_ids, np.int32)
+    blp = np.ascontiguousarray(blank_lp, np.float32)
+    fc = np.ascontiguousarray(frame_counts, np.int32)
+    b, t, n = lp.shape
+    max_out = t
+    tokens = np.zeros((b, nbest, max_out), np.int32)
+    lens = np.zeros((b, nbest), np.int32)
+    scores = np.zeros((b, nbest), np.float32)
+    lib.ctc_beam_decode_sparse(
+        lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        blp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        fc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        b, t, n, blank, beam_width,
         ctypes.c_float(alpha), ctypes.c_float(beta),
         getattr(lm, "_handle", None), max_out, nbest, num_threads,
         tokens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),

@@ -364,3 +364,90 @@ def test_binary_lm_cache_roundtrip(tmp_path):
         nbest=1, alpha=1.0, beta=0.0, lm=lm2,
     )
     assert t2[0, 0, : l2[0, 0]].tolist() == [4, 3]  # 'a c' in the new ids
+
+
+# ---------------------------------------------------------------------------
+# sparse (device-pruned candidate) entry point
+# ---------------------------------------------------------------------------
+
+
+def _dense_to_sparse(lp, n, blank=0):
+    """Host reference for the device top-k: desc-sorted top-n per frame."""
+    ids = np.argsort(-lp, axis=-1)[..., :n].astype(np.int32)
+    vals = np.take_along_axis(lp, ids, axis=-1).astype(np.float32)
+    return vals, ids, lp[..., blank].astype(np.float32)
+
+
+def test_sparse_matches_dense():
+    """ctc_beam_decode_sparse over top-n candidates == ctc_beam_decode with
+    prune_k=n over the dense matrix (same labels, same force-added blank)."""
+    rng = np.random.default_rng(7)
+    b, t, v, n = 4, 18, 40, 12
+    lp = np.stack([random_logprobs(rng, t, v) for _ in range(b)])
+    counts = np.asarray([t, t - 3, t - 5, t], np.int32)
+    dt, dl, ds = native.ctc_beam_decode(
+        lp, counts, beam_width=6, prune_k=n, nbest=2)
+    vals, ids, blp = _dense_to_sparse(lp, n)
+    st, sl, ss = native.ctc_beam_decode_sparse(
+        vals, ids, blp, counts, beam_width=6, nbest=2)
+    np.testing.assert_array_equal(st, dt)
+    np.testing.assert_array_equal(sl, dl)
+    np.testing.assert_allclose(ss, ds, rtol=1e-6, atol=1e-6)
+
+
+def test_sparse_blank_outside_candidates():
+    """When blank misses the top-n, the supplied blank_lp must drive the
+    blank transitions exactly as the dense path's force-appended blank."""
+    rng = np.random.default_rng(11)
+    t, v, n = 10, 20, 3
+    lp = random_logprobs(rng, t, v)
+    lp[:, 0] = np.log(1e-6)  # blank never in the top-3
+    lp = lp - np.log(np.sum(np.exp(lp), axis=1, keepdims=True))
+    counts = np.asarray([t], np.int32)
+    dt, dl, ds = native.ctc_beam_decode(
+        lp[None], counts, beam_width=5, prune_k=n, nbest=2)
+    vals, ids, blp = _dense_to_sparse(lp[None], n)
+    assert not (ids == 0).any()  # the edge is actually exercised
+    st, sl, ss = native.ctc_beam_decode_sparse(
+        vals, ids, blp, counts, beam_width=5, nbest=2)
+    np.testing.assert_array_equal(st, dt)
+    np.testing.assert_allclose(ss, ds, rtol=1e-6, atol=1e-6)
+
+
+def test_sparse_lm_fusion_matches_dense(tmp_path):
+    arpa = textwrap.dedent("""\
+        \\data\\
+        ngram 1=4
+        ngram 2=2
+
+        \\1-grams:
+        -0.5\ta\t-0.3
+        -1.5\tb\t-0.3
+        -0.6\tc\t-0.3
+        -0.5\t<s>\t-0.3
+
+        \\2-grams:
+        -2.0\ta b
+        -0.1\ta c
+
+        \\end\\
+    """)
+    path = str(tmp_path / "lm_sparse.arpa")
+    with open(path, "w") as f:
+        f.write(arpa)
+    vocab = ["<blank>", "<s/e>", "<unk>", "a", "b", "c"]
+    lm = native.NgramLM(path, vocab)
+    lp = np.log(np.array([
+        [0.04, 0.01, 0.01, 0.90, 0.02, 0.02],
+        [0.04, 0.01, 0.01, 0.02, 0.49, 0.43],
+    ], np.float32))
+    counts = np.asarray([2], np.int32)
+    dt, dl, ds = native.ctc_beam_decode(
+        lp[None], counts, beam_width=8, prune_k=6, nbest=1,
+        alpha=1.0, beta=0.0, lm=lm)
+    vals, ids, blp = _dense_to_sparse(lp[None], 6)
+    st, sl, ss = native.ctc_beam_decode_sparse(
+        vals, ids, blp, counts, beam_width=8, nbest=1,
+        alpha=1.0, beta=0.0, lm=lm)
+    np.testing.assert_array_equal(st, dt)
+    np.testing.assert_allclose(ss, ds, rtol=1e-6, atol=1e-6)

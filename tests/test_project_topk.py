@@ -229,3 +229,36 @@ def test_project2_dispatch_uses_xla_off_tpu():
     ref_vals, ref_idx = project2_logp_topk_xla(*args, 0.5, 3)
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
     np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals))
+
+
+def test_ctc_recognize_topk_matches_logits():
+    """CTCModel.recognize_topk == lax.top_k over recognize_logits plus the
+    exact blank log-prob column (the sparse prefix-beam device contract)."""
+    model, params, feats, mask = _tiny_ctc(lookahead_steps=2)
+    logp, m1 = model.apply(params, feats, mask, method="recognize_logits")
+    vals, ids, blank_lp, m2 = model.apply(params, feats, mask, 7,
+                                          method="recognize_topk")
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    ref_vals, ref_ids = jax.lax.top_k(logp, 7)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref_ids))
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(blank_lp), np.asarray(logp[..., 0]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_with_lse_output():
+    from opentransformer_tpu.ops.project_topk import (
+        project_logp_topk_pallas,
+        project_logp_topk_xla,
+    )
+
+    h, w, b = _rand(9, 40, 150, seed=13)
+    logits = h @ w.T + b
+    ref_lse = jax.nn.logsumexp(logits, axis=-1)
+    for fn, kw in ((project_logp_topk_pallas,
+                    dict(block_rows=8, block_v=128, interpret=True)),
+                   (project_logp_topk_xla, {})):
+        vals, idx, lse = fn(h, w, b, 4, with_lse=True, **kw)
+        np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse),
+                                   rtol=1e-5, atol=1e-5)
