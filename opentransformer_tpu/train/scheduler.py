@@ -34,9 +34,16 @@ def build_optimizer(opt_cfg: Any, opt_type: str = "adam") -> optax.GradientTrans
         chain = []
         if wd > 0:
             chain.append(optax.add_decayed_weights(wd))  # torch-Adam L2-into-grad
+        # beyond-reference: `adam_m_dtype: bfloat16` stores the first moment
+        # in bf16 (half the m buffer's HBM footprint and traffic; the update
+        # math still runs in f32 — optax casts per step). The second moment
+        # stays f32: its sqrt feeds the step size directly and bf16's 8
+        # mantissa bits visibly perturb effective lr.
+        m_dtype = opt_cfg.get("adam_m_dtype")
         chain.append(
             optax.scale_by_adam(
-                b1=float(betas[0]), b2=float(betas[1]), eps=float(opt_cfg.get("eps", 1e-8))
+                b1=float(betas[0]), b2=float(betas[1]), eps=float(opt_cfg.get("eps", 1e-8)),
+                mu_dtype=m_dtype,
             )
         )
         return optax.chain(*chain)

@@ -326,3 +326,41 @@ def test_steps_per_exec_on_mesh():
     assert tr.global_step == 5
     loss, _ = model.apply(state.params, *tr.batch_fn(batches[0]))
     assert np.isfinite(float(loss))
+
+
+def test_adam_m_dtype_bf16():
+    """`optimizer.adam_m_dtype: bfloat16` stores Adam's first moment in bf16
+    (half the m-buffer HBM) while training still converges; the second
+    moment stays f32."""
+    import jax.numpy as jnp
+
+    model = build_model(small_model_cfg())
+    train_cfg = {
+        "optimizer_type": "adam",
+        "optimizer": {"lr": 1e-3, "betas": [0.9, 0.98], "eps": 1e-9,
+                      "adam_m_dtype": "bfloat16"},
+        "scheduler_type": "constant", "scheduler": {"lr": 1e-3},
+        "clip_grad": 5, "epochs": 1,
+    }
+    trainer = Trainer(train_cfg, model, log_interval=1000)
+    rng = np.random.default_rng(3)
+    batches = [synth_batch(rng) for _ in range(2)]
+    state = trainer.init_state(jax.random.PRNGKey(0), batches[0])
+
+    adam_state = [s for s in jax.tree_util.tree_leaves(
+        state.opt_state, is_leaf=lambda x: hasattr(x, "mu"))
+        if hasattr(x := s, "mu")]
+    assert adam_state, "scale_by_adam state not found"
+    mu_dtypes = {l.dtype.name for l in jax.tree_util.tree_leaves(adam_state[0].mu)}
+    nu_dtypes = {l.dtype.name for l in jax.tree_util.tree_leaves(adam_state[0].nu)}
+    assert mu_dtypes == {"bfloat16"}, mu_dtypes
+    assert nu_dtypes == {"float32"}, nu_dtypes
+
+    losses = []
+    key = jax.random.PRNGKey(1)
+    for it in range(12):
+        args = trainer.batch_fn(batches[0])
+        loss, _ = model.apply(state.params, *args)
+        losses.append(float(loss))
+        state = trainer.train_one_epoch(it, state, batches, key)
+    assert losses[-1] < losses[0] * 0.8, losses
