@@ -96,6 +96,20 @@ class NgramLM:
         if not self._handle:
             self._handle = lib.lm_load(arpa_path.encode(), arr, len(vocab_units))
         if not self._handle:
+            # distinguish "unsupported KenLM variant" from "not found/garbage":
+            # TRIE/quantized binaries share the magic but not the layout (the
+            # native reader rejects them rather than misparse scores)
+            try:
+                with open(arpa_path, "rb") as f:
+                    head = f.read(51)
+            except OSError:
+                head = b""
+            if head.startswith(b"mmap lm http://kheafield.com/code"):
+                raise ValueError(
+                    f"{arpa_path}: failed to load KenLM binary — either not a "
+                    "plain PROBING model (trie/quantized layouts are "
+                    "unsupported; rebuild with `build_binary probing` or pass "
+                    "the ARPA text) or the file is truncated/corrupt")
             raise FileNotFoundError(arpa_path)
         if binary_cache and not from_cache and not arpa_path.endswith(".otbin"):
             # best-effort: a nonzero rc (e.g. read-only dir) just means the

@@ -273,7 +273,7 @@ def test_kenlm_binary_rejects_malformed(tmp_path):
     with open(trunc, "wb") as f:
         f.write(data[: len(data) - 6])  # drop part of the vocab strings
     vocab = ["<blank>", "<s/e>", "<unk>", "a", "b", "c"]
-    with pytest.raises(FileNotFoundError):
+    with pytest.raises(ValueError, match="truncated|PROBING"):
         native.NgramLM(trunc, vocab, binary_cache=False)
 
 
@@ -451,3 +451,23 @@ def test_sparse_lm_fusion_matches_dense(tmp_path):
         alpha=1.0, beta=0.0, lm=lm)
     np.testing.assert_array_equal(st, dt)
     np.testing.assert_allclose(ss, ds, rtol=1e-6, atol=1e-6)
+
+
+def test_trie_binary_rejected_with_clear_error(tmp_path):
+    """A KenLM binary whose model_type is not PROBING (e.g. TRIE) must raise
+    a ValueError naming the unsupported layout, not FileNotFoundError."""
+    import struct
+
+    path = str(tmp_path / "lm_trie.klm")
+    magic = b"mmap lm http://kheafield.com/code format version 5\n\0"
+    body = magic
+    body += struct.pack("<fff", 0.0, 1.0, -0.5)
+    body += struct.pack("<II", 1, 0xFFFFFFFF)
+    body += struct.pack("<Q", 1)
+    # FixedWidthParameters: order=2, multiplier=1.5, model_type=2 (TRIE),
+    # has_vocab=1, search_version=1
+    body += struct.pack("<B3xfiB3xI", 2, 1.5, 2, 1, 1)
+    with open(path, "wb") as f:
+        f.write(body)
+    with pytest.raises(ValueError, match="PROBING"):
+        native.NgramLM(path, ["<blank>", "<s/e>", "<unk>", "a"])
