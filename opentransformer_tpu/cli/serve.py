@@ -187,7 +187,10 @@ class StreamingFbank:
         return feat.astype(np.float32)
 
     def feed(self, samples: np.ndarray) -> np.ndarray:
-        """int16-scale float samples → newly final fbank frames [T_new, F]."""
+        """[-1, 1]-scaled float samples → newly final fbank frames [T_new, F]
+        (callers divide int16 PCM by 32768 first — the scale the model's
+        global-CMVN stats were computed on; feeding raw int16 amplitudes
+        would offset every log-fbank bin by ~2·log 32768)."""
         self.buf = np.concatenate([self.buf, np.asarray(samples, np.float32)])
         return self._extract()
 
@@ -641,9 +644,11 @@ def _handle_pcm_stream(handler, header: str, front, extractor) -> None:
       server → `utt_id\\tPARTIAL\\ttext\\n` lines as the hypothesis grows,
                then `utt_id\\tFINAL\\ttext\\n`.
 
-    Features extract incrementally (StreamingFbank); with the batched CTC
-    front the stream joins the shared one-dispatch-per-tick batch, with the
-    session pool (transducer) it borrows a session at end-of-audio."""
+    Features extract incrementally (StreamingFbank); the stream joins the
+    multistream front's shared one-dispatch-per-tick batch. The slot is
+    released in a ``finally`` — an abrupt client disconnect (RST, truncated
+    frame) must not leak it, or ``--streams`` disconnects would exhaust the
+    pool and block every later ``open_stream`` forever."""
     import struct
 
     parts = header.split()
@@ -669,14 +674,10 @@ def _handle_pcm_stream(handler, header: str, front, extractor) -> None:
         return data
 
     sfe = StreamingFbank(extractor, sr)
-    incremental = hasattr(front, "open_stream")
     done = threading.Event()
-    slot = None
-    if incremental:
-        slot = front.open_stream(
-            utt_id, lambda t: say("PARTIAL", t),
-            lambda t: (say("FINAL", t), done.set()))
-    pending = []  # psf / pool fallback: frames accumulate until EOS
+    slot = front.open_stream(
+        utt_id, lambda t: say("PARTIAL", t),
+        lambda t: (say("FINAL", t), done.set()))
     try:
         while True:
             (n,) = struct.unpack("<I", read_exact(4))
@@ -685,24 +686,15 @@ def _handle_pcm_stream(handler, header: str, front, extractor) -> None:
             samples = np.frombuffer(read_exact(n), "<i2").astype(np.float32) / 32768.0
             frames = sfe.feed(samples)
             if len(frames):
-                if incremental:
-                    front.push(slot, frames)
-                else:
-                    pending.append(frames)
-    except EOFError:
-        pass
-    tail = sfe.finish()
-    if incremental:
+                front.push(slot, frames)
+    except (EOFError, OSError, struct.error):
+        pass  # client went away mid-stream: finalize whatever arrived
+    finally:
+        tail = sfe.finish()
         if len(tail):
             front.push(slot, tail)
         front.close(slot)
-        done.wait()
-    else:
-        if len(tail):
-            pending.append(tail)
-        feats = (np.concatenate(pending, axis=0) if pending
-                 else np.zeros((0, extractor.num_mel_bins), np.float32))
-        say("FINAL", front.run_stream(feats, lambda t: say("PARTIAL", t)))
+    done.wait(timeout=300.0)
 
 
 def _serve_tcp_streaming(args, pool,

@@ -30,6 +30,8 @@ from .datasets import AudioDataset, ESPNetDataset, KaldiDataset, TextDataset
 
 logger = logging.getLogger(__name__)
 
+_truncation_warnings = 0  # rate-limit the collate truncation warning
+
 Dataset = {
     "online": AudioDataset,
     "kaldi": KaldiDataset,
@@ -56,8 +58,22 @@ def collate_speech(samples, pad_to_frames: Optional[int] = None, target_pad_mult
     # The sampler guarantees max(tlens) <= pad_to_frames (over-long
     # utterances get quantized pseudo-boundaries, bucket.py); truncate
     # defensively rather than exceed the bucket shape and mint a fresh
-    # XLA compile per odd batch.
-    tlens = [min(t, t_max) for t in tlens]
+    # XLA compile per odd batch — but never silently: dropped frames mean
+    # the sampler saw a shorter length than the extractor produced (e.g. a
+    # rounded-down durations file), which degrades those utterances.
+    if any(t > t_max for t in tlens):
+        global _truncation_warnings
+        if _truncation_warnings < 5:
+            _truncation_warnings += 1
+            worst = max(tlens)
+            logger.warning(
+                "collate: truncating %d utterance(s) to the bucket shape "
+                "(%d > pad_to_frames=%d; e.g. %s) — sampler length metadata "
+                "is shorter than the extracted features%s",
+                sum(t > t_max for t in tlens), worst, t_max,
+                utt_ids[int(np.argmax(tlens))],
+                "" if _truncation_warnings < 5 else "; suppressing further warnings")
+        tlens = [min(t, t_max) for t in tlens]
     u_max = quantize(max(ulens) + 2, target_pad_multiple)  # BOS + y + EOS
 
     x = np.zeros((b, t_max, f), np.float32)

@@ -322,9 +322,12 @@ class CTCModel(nn.Module):
         native prefix-beam path: the host receives [B, T', k] candidate lists
         instead of the full [B, T', V] distribution (~V/k less device→host
         traffic; the host decoder pruned to its top ``prune_k`` per frame
-        anyway, so with k == prune_k results are identical — reference
+        anyway, so with k == prune_k results match — up to exact f32 ties at
+        the k-th slot, where lax.top_k's smallest-id rule and partial_sort's
+        unspecified equal-value order can pick different candidate sets, and
+        up to bf16 rounding (the fused path accumulates in f32). Reference
         semantics ``otrans/recognize/ctc.py:19-25`` via ctcdecode's
-        cutoff_top_n). Returns (vals f32[B, T', k], ids i32[B, T', k],
+        cutoff_top_n. Returns (vals f32[B, T', k], ids i32[B, T', k],
         blank_lp f32[B, T'], mask bool[B, T'])."""
         from ..data import BLK
 

@@ -462,7 +462,9 @@ class MultiStreamAttention(_MultiStreamBase):
         self.mem_bucket = max(1, int(mem_bucket))
         self.partial_every = max(1, int(partial_every))
         super().__init__(model, params, n_streams, idx2unit)
-        self._mem: list[list[np.ndarray]] = [[] for _ in range(self.n_streams)]
+        from ..utils import GrowingBuffer
+
+        self._mem = [GrowingBuffer() for _ in range(self.n_streams)]
         self._since_decode = np.zeros((self.n_streams,), np.int64)
         self.decode_dispatches = 0
 
@@ -501,7 +503,9 @@ class MultiStreamAttention(_MultiStreamBase):
             if not advance[i]:
                 continue
             if fresh[i]:
-                self._mem[i] = []
+                from ..utils import GrowingBuffer
+
+                self._mem[i] = GrowingBuffer()
                 self._since_decode[i] = 0
             v = int(chunk_mask[i].sum())
             if v:
@@ -517,17 +521,19 @@ class MultiStreamAttention(_MultiStreamBase):
         # batch shape); undecoded rows carry a 1-frame dummy memory and are
         # simply ignored on output.
         d = int(self.model.encoder_cfg.get("d_model", 256))
-        t_max = max(sum(c.shape[0] for c in self._mem[i]) for i in decode_rows)
+        t_max = max(self._mem[i].n for i in decode_rows)
         t_pad = -(-max(t_max, 1) // self.mem_bucket) * self.mem_bucket
         memory = np.zeros((self.n_streams, t_pad, d), y.dtype)
         mask = np.zeros((self.n_streams, t_pad), bool)
         mask[:, 0] = True  # dummy rows: 1 valid frame, result discarded
         for i in decode_rows:
-            m = np.concatenate(self._mem[i], axis=0)
+            self._since_decode[i] = 0
+            m = self._mem[i].view()  # O(1): no per-tick re-concatenation
+            if m is None:
+                continue  # no frames yet: keep the 1-frame dummy row
             memory[i, : m.shape[0]] = m
             mask[i] = False
             mask[i, : m.shape[0]] = True
-            self._since_decode[i] = 0
         hyp = self._search(self.params, jnp.asarray(memory), jnp.asarray(mask))
         self.decode_dispatches += 1
         toks, lens = np.asarray(hyp.tokens), np.asarray(hyp.lengths)

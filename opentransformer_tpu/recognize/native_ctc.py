@@ -179,7 +179,8 @@ def ctc_beam_decode_sparse(
     """Prefix beam search over device-pruned candidate lists (the fused
     top-k kernel's output) — only [B, T, N] crosses device→host instead of
     the full [B, T, V] distribution. With N == ``ctc_beam_decode``'s
-    ``prune_k`` the results are identical. Returns
+    ``prune_k`` the results match (up to exact f32 ties at the k-th slot,
+    where the two prunes may pick different candidate sets). Returns
     (tokens i32[B, nbest, U_max], lengths i32[B, nbest], scores f32[B, nbest])."""
     lib = _load_lib()
     lp = np.ascontiguousarray(cand_lp, np.float32)

@@ -313,7 +313,9 @@ class StreamingAttentionRecognizer(_StreamingRecognizer):
         self.penalty, self.lamda = float(penalty), float(lamda)
         self.mem_bucket = max(1, int(mem_bucket))
         self.partial_every = max(1, int(partial_every))
-        self._mem: Optional[np.ndarray] = None  # accumulated [B, T', D]
+        from ..utils import GrowingBuffer
+
+        self._mem = GrowingBuffer(axis=1)  # accumulated [B, T', D]
         self._feeds = 0
 
         from .base import make_memory_search
@@ -322,17 +324,20 @@ class StreamingAttentionRecognizer(_StreamingRecognizer):
             eos_id=eos_id)
 
     def reset(self) -> None:
+        from ..utils import GrowingBuffer
+
         super().reset()
-        self._mem = None
+        self._mem = GrowingBuffer(axis=1)
         self._feeds = 0
 
     def _redecode(self) -> None:
-        if self._mem is None or self._mem.shape[1] == 0:
+        cur = self._mem.view()  # O(1): no per-chunk re-concatenation
+        if cur is None or cur.shape[1] == 0:
             return
-        t = self._mem.shape[1]
+        t = cur.shape[1]
         t_pad = -(-t // self.mem_bucket) * self.mem_bucket
-        mem = np.zeros((self.batch, t_pad, self._mem.shape[2]), self._mem.dtype)
-        mem[:, :t] = self._mem
+        mem = np.zeros((self.batch, t_pad, cur.shape[2]), cur.dtype)
+        mem[:, :t] = cur
         mask = np.zeros((self.batch, t_pad), bool)
         mask[:, :t] = True
         hyp = self._search(self.params, jnp.asarray(mem), jnp.asarray(mask))
@@ -346,9 +351,7 @@ class StreamingAttentionRecognizer(_StreamingRecognizer):
         for y in chunks:
             if y.shape[1] == 0:
                 continue
-            arr = np.asarray(y)
-            self._mem = arr if self._mem is None else np.concatenate(
-                [self._mem, arr], axis=1)
+            self._mem.append(np.asarray(y))
             added = True
         if added:
             self._feeds += 1

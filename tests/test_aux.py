@@ -219,3 +219,21 @@ def test_async_checkpoint_save(tmp_path):
     ck.save(4, state2)
     with pytest.raises(AttributeError):
         ck.wait()
+
+
+def test_growing_buffer_matches_concatenate():
+    """GrowingBuffer.view() == incremental np.concatenate, both axes."""
+    import numpy as np
+
+    from opentransformer_tpu.utils import GrowingBuffer
+
+    rng = np.random.default_rng(0)
+    for axis, shape in ((0, lambda t: (t, 5)), (1, lambda t: (2, t, 3))):
+        buf = GrowingBuffer(axis=axis)
+        assert buf.view() is None
+        chunks = [rng.normal(size=shape(int(t))).astype(np.float32)
+                  for t in rng.integers(1, 40, 17)]
+        for i, c in enumerate(chunks):
+            buf.append(c)
+            ref = np.concatenate(chunks[: i + 1], axis=axis)
+            np.testing.assert_array_equal(buf.view(), ref)
