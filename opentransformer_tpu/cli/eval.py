@@ -49,6 +49,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="n-gram LM weight (CTC prefix beam)")
     p.add_argument("-beta", "--beta", type=float, default=0.0,
                    help="word-insertion bonus (CTC prefix beam)")
+    p.add_argument("-prune", "--prune_k", type=int, default=32,
+                   help="per-frame candidate count for the CTC prefix beam "
+                        "(ctcdecode's cutoff_top_n analog; pruned on device)")
     p.add_argument("-ctcw", "-cw", "--ctc_weight", type=float, default=0.0,
                    help="joint CTC/attention n-best rescoring weight "
                         "(model must be trained with ctc_weight > 0)")

@@ -243,7 +243,7 @@ class CTCRecognizer(Recognizer):
 
     def __init__(self, model, params, idx2unit=None, beam_width: int = 1,
                  nbest: int = 1, lm_path: str = None, alpha: float = 0.0,
-                 beta: float = 0.0):
+                 beta: float = 0.0, prune_k: int = 32):
         super().__init__(model, params, idx2unit)
         self.beam_width = int(beam_width)
         self.nbest = int(nbest)
@@ -267,8 +267,9 @@ class CTCRecognizer(Recognizer):
 
         # device-pruned candidates for the native prefix beam: ships
         # [B, T, prune_k] (+ blank lp) to the host instead of [B, T, V].
-        # 32 == ctc_beam_decode's default prune_k → identical results
-        prune_k = min(32, int(getattr(model, "vocab_size", 32)))
+        # Default 32 == ctc_beam_decode's prune_k (ctcdecode's cutoff_top_n
+        # analog, default 40 in the reference's decoder) → identical results
+        prune_k = min(int(prune_k), int(getattr(model, "vocab_size", prune_k)))
 
         @jax.jit
         def topk(params, feats, feat_mask):
@@ -445,6 +446,7 @@ def build_recognizer(model_type: str, model, params, lm=None, lm_params=None, ar
             beam_width=get("ctc_beam_width", get("beam_width", 1)),
             nbest=get("nbest", 1), lm_path=get("ngram_lm", None),
             alpha=get("alpha", 0.0), beta=get("beta", 0.0),
+            prune_k=get("prune_k", 32) or 32,
         )
     if model_type == "transducer":
         return TransducerRecognizer(
