@@ -93,6 +93,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="windowed encoding for long audio (recognize/streaming.py)")
     p.add_argument("--window", type=int, default=1200, help="long-form window frames")
     p.add_argument("--context", type=int, default=200, help="long-form context frames")
+    p.add_argument("--profile", type=str, default=None,
+                   help="write a jax.profiler trace of the decode loop to "
+                        "this directory (same as run.py --profile)")
     return p
 
 
@@ -259,6 +262,8 @@ def main(argv=None) -> int:
     total_frames = 0
     n_decoded = 0
 
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
     with open(os.path.join(decode_dir, "predict.txt"), "w", encoding="utf-8") as ftxt, open(
         os.path.join(decode_dir, "predict.log"), "w", encoding="utf-8"
     ) as flog:
@@ -306,6 +311,10 @@ def main(argv=None) -> int:
             logger.info("decoded %d utts, CER %.2f%%", n_decoded, cer.rate * 100)
             if (args.num_sample and n_decoded >= args.num_sample) or (args.debug and n_decoded >= 10):
                 break
+
+    if args.profile:
+        jax.profiler.stop_trace()
+        logger.info("profiler trace written to %s", args.profile)
 
     # RTF: frames are 10ms each; reference formula eval.py:198-202
     rtf = accu_time / max(total_frames, 1) * 100
