@@ -117,9 +117,12 @@ def make_memory_search(model, beam_width: int, max_len: int,
     # available (Pallas on TPU — no [B·K, V] log-probs in HBM). Without an
     # LM that's the model's decode_step_topk; with shallow fusion it's the
     # two-head combined kernel over the model and LM hidden states.
-    has_topk = lm is None and hasattr(type(model), "decode_step_topk")
+    fits_kernel = beam_width <= 128  # fused kernel: top-k in one lane tile
+    has_topk = (lm is None and fits_kernel
+                and hasattr(type(model), "decode_step_topk"))
     has_topk_lm = (
         lm is not None
+        and fits_kernel
         and hasattr(type(model), "decode_hidden_step")
         and hasattr(type(lm), "decode_hidden")
         and hasattr(type(lm), "vocab_head")
@@ -269,7 +272,8 @@ class CTCRecognizer(Recognizer):
         # [B, T, prune_k] (+ blank lp) to the host instead of [B, T, V].
         # Default 32 == ctc_beam_decode's prune_k (ctcdecode's cutoff_top_n
         # analog, default 40 in the reference's decoder) → identical results
-        prune_k = min(int(prune_k), int(getattr(model, "vocab_size", prune_k)))
+        # clamp to the vocab and to the fused kernel's one-lane-tile limit
+        prune_k = min(int(prune_k), int(getattr(model, "vocab_size", prune_k)), 128)
 
         @jax.jit
         def topk(params, feats, feat_mask):
