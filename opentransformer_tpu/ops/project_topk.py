@@ -144,6 +144,7 @@ def project_logp_topk_pallas(
     n, d = h.shape
     v = weight.shape[0]
     assert k <= 128, "top-k width must fit one lane tile"
+    assert k <= v, f"top-k width {k} exceeds vocabulary {v}"
     r = min(block_rows, _round_up(n, 8))
     n_pad = _round_up(n, r)
     d_pad = _round_up(d, 128)
@@ -252,6 +253,7 @@ def project2_logp_topk_pallas(
     v = w1.shape[0]
     assert w2.shape[0] == v, "fused LM fusion requires matching vocabularies"
     assert k <= 128, "top-k width must fit one lane tile"
+    assert k <= v, f"top-k width {k} exceeds vocabulary {v}"
     r = min(block_rows, _round_up(n, 8))
     n_pad = _round_up(n, r)
     d1_pad = _round_up(d1, 128)

@@ -262,3 +262,25 @@ def test_with_lse_output():
         vals, idx, lse = fn(h, w, b, 4, with_lse=True, **kw)
         np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_randomized_shape_sweep():
+    """Fuzz the kernel over random (n, d, v, k, block) geometries in
+    interpret mode — alignment edge cases (v on a tile boundary, n=1,
+    k near v, ragged d) must all match the XLA reference exactly."""
+    rng = np.random.default_rng(42)
+    for trial in range(12):
+        n = int(rng.integers(1, 40))
+        d = int(rng.integers(8, 96))
+        block_v = int(rng.choice([128, 256]))
+        # mix ragged tails with exact tile boundaries
+        v = block_v if trial % 4 == 0 else int(rng.integers(33, 700))
+        k = int(min(rng.integers(1, 17), v))
+        h, w, b = _rand(n, d, v, seed=trial)
+        ref_vals, ref_idx = project_logp_topk_xla(h, w, b, k)
+        vals, idx = project_logp_topk_pallas(
+            h, w, b, k, block_rows=8, block_v=block_v, interpret=True)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx),
+                                      err_msg=f"trial {trial}: n={n} d={d} v={v} k={k} bv={block_v}")
+        np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals),
+                                   rtol=1e-5, atol=1e-5)
