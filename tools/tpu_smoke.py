@@ -15,9 +15,13 @@ down, jax.devices() blocks — probe with a timeout first (CLAUDE.md).
 
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
+
+# runnable from anywhere: tools/ lives one level under the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _check(name, got, ref, atol, exact_idx=True):
