@@ -47,8 +47,7 @@ def main() -> None:
     params = model.init(jax.random.PRNGKey(0), feats, mask, tgt, tlen)
 
     def build_decode(fused: bool):
-        @jax.jit
-        def decode(params, feats, mask):
+        def decode_one(params, feats, mask):
             memory, memory_mask = model.apply(params, feats, mask, method="encode")
 
             def decode_step(tokens, cache, index, mem_mask, src=None):
@@ -76,18 +75,29 @@ def main() -> None:
             # decode compute
             return jnp.sum(hyp.tokens)
 
-        return decode
+        @jax.jit
+        def decode_stack(params, feats_stack, mask):
+            # all ITERS batches decode inside ONE program (lax.scan): the
+            # tunnel's per-dispatch latency (0.3-2 s, varies run to run —
+            # CLAUDE.md) amortizes over the whole stack, so the measurement
+            # is device decode throughput, mirroring the train bench's
+            # steps_per_exec approach
+            _, sums = jax.lax.scan(
+                lambda c, f: (c, decode_one(params, f, mask)), 0, feats_stack)
+            return jnp.sum(sums)
 
-    # distinct inputs per iteration (identical dispatches dedupe)
+        return decode_stack
+
+    # distinct inputs per batch (identical computations could dedupe/CSE)
     rng2 = np.random.default_rng(1)
-    iter_inputs = [
-        jnp.asarray(rng2.normal(size=(BATCH, FRAMES, 40)), jnp.float32)
-        for _ in range(ITERS)
-    ]
+    warm_stack = jnp.asarray(
+        rng2.normal(size=(ITERS, BATCH, FRAMES, 40)), jnp.float32)
+    timed_stack = jnp.asarray(
+        rng2.normal(size=(ITERS, BATCH, FRAMES, 40)), jnp.float32)
     decode = build_decode(True)
     fused_note = "fused-topk"
     try:
-        float(decode(params, feats, mask))  # warmup / compile
+        float(decode(params, warm_stack, mask))  # warmup / compile
     except Exception as e:  # Pallas regression must not take the bench down
         import sys
 
@@ -95,11 +105,11 @@ def main() -> None:
               "falling back to unfused", file=sys.stderr)
         decode = build_decode(False)
         fused_note = "unfused-topk-fallback"
-        float(decode(params, feats, mask))
+        float(decode(params, warm_stack, mask))
+    float(timed_stack[0, 0, 0, 0])  # force the timed stack resident on device
 
     t0 = time.perf_counter()
-    for x in iter_inputs:
-        float(decode(params, x, mask))
+    float(decode(params, timed_stack, mask))
     elapsed = time.perf_counter() - t0
 
     utts = BATCH * ITERS
@@ -113,7 +123,8 @@ def main() -> None:
         "unit": "x_realtime",
         "vs_baseline": round(rtfx / 20.0, 3),
         "utts_per_sec_per_chip": round(utts_per_sec, 2),
-        "config": f"B{BATCH} T{FRAMES} beam{BEAM} steps{MAX_LEN} bf16 no-early-exit {fused_note}",
+        "config": f"B{BATCH} T{FRAMES} beam{BEAM} steps{MAX_LEN} bf16 "
+                  f"no-early-exit x{ITERS}-batch-scan {fused_note}",
         "device": str(jax.devices()[0]),
     }
     try:
