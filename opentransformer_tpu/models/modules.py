@@ -698,11 +698,15 @@ class ConformerConvModule(nn.Module):
     positions zeroed before and after (reference
     ``otrans/module/conformer.py:12-57``).
 
-    ``norm_type='batch'`` reproduces the reference's BatchNorm1d; under pjit
-    batch stats would need cross-replica reduction, so the default here is
-    'group' (GroupNorm(1) ≡ LayerNorm over channels+time is avoided; we use
-    per-channel LayerNorm) which is distribution-friendly and standard in
-    modern conformer implementations.
+    ``norm_type='batch'`` reproduces the reference's BatchNorm1d. The
+    trainer runs under GSPMD jit (not shard_map/pmap), so the stat
+    reductions over the sharded batch axis are GLOBAL — multi-chip batch
+    statistics match single-chip semantics by construction
+    (tests/test_batchnorm_mesh.py pins this on data and data×model meshes;
+    SURVEY §7 hard-part #4). The default stays 'layer' (per-channel
+    LayerNorm), distribution-friendly and standard in modern conformers.
+    Note the 1F1B compute-pipeline schedule is params-only and rejects
+    batch_stats models up front (train/trainer.py grad_fn guard).
     """
 
     d_model: int
