@@ -1,20 +1,37 @@
 #!/usr/bin/env python
-"""Benchmark: batch beam-search decoding throughput on one TPU chip.
+"""Benchmark: decode + train throughput on one TPU chip, plus recognition
+quality on trained weights.
 
 North-star (BASELINE.md): decoded utts/sec/chip + RTFx at CER parity on
-AISHELL-1; throughput goal >=20x real-time per v5e chip. This bench measures
-the full decode path (conv frontend -> 12L encoder -> KV-cached 6L decoder
-beam search, beam=5, AISHELL flagship geometry d=256 / vocab 4233, bf16
-compute) on synthetic 5-second utterances, with EOS disabled so every decode
-runs the full max_len steps — a worst-case (no early exit) measurement.
+AISHELL-1; throughput goal >=20x real-time per v5e chip. Rows measured:
+
+  * headline: worst-case batch beam decode (flagship geometry d=256 /
+    vocab 4233, 12L encoder + KV-cached 6L decoder, beam=5, bf16, EOS
+    disabled so every decode runs all max_len steps) — BASELINE config #1;
+  * trained: CER + RTFx on the SAME trained weights (early exit ON) over
+    the synthetic benchmark test split (data/synth.py), weights from
+    egs/synth_bench/trained/ — the quality half of the north-star metric;
+  * conformer: worst-case decode with the conformer encoder (config #3);
+  * lm_fusion: beam decode with transformer-LM shallow fusion through the
+    fused two-head projection→top-k kernel (config #4);
+  * train: full training-step throughput (fwd+bwd+clip+adam) with MFU from
+    XLA's own FLOP count, at B16 (round-over-round continuity) and B64.
+
+Timing through the tunnel: block_until_ready is unreliable and per-dispatch
+latency is 0.3-2 s (CLAUDE.md), so every measurement scans its batches
+inside ONE jitted program, reduces to a scalar on device, fetches 8 bytes,
+and reports the MEDIAN of several timed calls (dispatch jitter shrinks to a
+fraction of one call).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": RTFx, "unit": "x_realtime", "vs_baseline": RTFx/20}
+  {"metric": ..., "value": RTFx, "unit": "x_realtime", "vs_baseline": RTFx/20, ...}
 """
 
 from __future__ import annotations
 
 import json
+import os
+import statistics
 import time
 
 import jax
@@ -26,125 +43,191 @@ FRAMES = 500  # 10ms frames -> 5.0 s of audio per utterance
 MAX_LEN = 24  # decode steps forced (no early exit); AISHELL avg ~15 chars
 BEAM = 5
 ITERS = 8
+TIMED_CALLS = 3
+TRAINED_NPZ = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "egs", "synth_bench", "trained", "flagship_synth_f16.npz")
+V5E_PEAK_BF16 = 1.97e14  # FLOP/s per chip
 
 
-def main() -> None:
-    import os
+def median_timed(fn, calls=TIMED_CALLS):
+    """fn() must end in an 8-byte device fetch; returns median elapsed."""
+    times = []
+    for _ in range(calls):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times)
 
-    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_bench_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    from __graft_entry__ import FLAGSHIP_MODEL_CFG
-    from opentransformer_tpu.models.registry import build_model
-    from opentransformer_tpu.ops.masks import length_to_mask
-    from opentransformer_tpu.recognize.beam import beam_search
 
-    model = build_model(FLAGSHIP_MODEL_CFG, dtype=jnp.bfloat16)
-    rng = np.random.default_rng(0)
-    feats = jnp.asarray(rng.normal(size=(BATCH, FRAMES, 40)), jnp.float32)
-    mask = length_to_mask(jnp.asarray([FRAMES] * BATCH), FRAMES)
-    tgt = jnp.ones((BATCH, 8), jnp.int32)
-    tlen = jnp.asarray([6] * BATCH, jnp.int32)
-    params = model.init(jax.random.PRNGKey(0), feats, mask, tgt, tlen)
+def _search_fn(model, lm=None, lm_params=None, beam=BEAM, max_len=MAX_LEN,
+               eos_id=-1, lm_weight=0.1, fused_topk=True):
+    from opentransformer_tpu.recognize.base import make_memory_search
 
-    def build_decode(fused: bool):
-        def decode_one(params, feats, mask):
-            memory, memory_mask = model.apply(params, feats, mask, method="encode")
+    return make_memory_search(model, beam, max_len, penalty=0.6,
+                              lm=lm, lm_params=lm_params, lm_weight=lm_weight,
+                              eos_id=eos_id, fused_topk=fused_topk)
 
-            def decode_step(tokens, cache, index, mem_mask, src=None):
-                return model.apply(params, tokens, cache, index, mem_mask, src,
-                                   method="decode_step")
 
-            def init_cache(mem, n, beam=1):
-                return model.apply(params, mem, n, beam, method="init_cache")
+def _decode_stack(model, search, batch, frames, iters):
+    """ONE jitted program decoding `iters` random batches (worst case)."""
 
-            def decode_topk(tokens, cache, index, mem_mask, src, k):
-                # fused projection→log-softmax→top-k (Pallas on TPU): the
-                # [B·K, V] log-prob tensor never hits HBM (ops/project_topk.py)
-                return model.apply(params, tokens, cache, index, mem_mask,
-                                   src, k, method="decode_step_topk")
+    @jax.jit
+    def run(params, keys, mask):
+        def step(c, key):
+            f = jax.random.normal(key, (batch, frames, 40), jnp.float32)
+            memory, memory_mask = model.apply(params, f, mask, method="encode")
+            hyp = search(params, memory, memory_mask)
+            return c, jnp.sum(hyp.tokens)
 
-            hyp = beam_search(
-                decode_step, init_cache, memory, memory_mask,
-                beam_width=BEAM, max_len=MAX_LEN, penalty=0.6,
-                eos_id=-1,  # force full-length decodes (worst case)
-                decode_topk=decode_topk if fused else None,
-            )
-            # reduce to a scalar so timing can fetch 8 bytes: through the
-            # remote relay block_until_ready is unreliable and full-token
-            # fetches are bandwidth-bound (~0.7 MB/s) — neither measures
-            # decode compute
-            return jnp.sum(hyp.tokens)
+        _, sums = jax.lax.scan(step, 0, keys)
+        return jnp.sum(sums)
 
-        @jax.jit
-        def decode_stack(params, keys, mask):
-            # all ITERS batches decode inside ONE program (lax.scan): the
-            # tunnel's per-dispatch latency (0.3-2 s, varies run to run —
-            # CLAUDE.md) amortizes over the whole stack, so the measurement
-            # is device decode throughput, mirroring the train bench's
-            # steps_per_exec approach. Inputs are generated on-device from
-            # per-batch PRNG keys (distinct per batch so nothing dedupes;
-            # ~82M normals across the stack, negligible next to the decode)
-            # rather than shipped over the ~96 MB/s tunnel (1.2 GB f32).
-            def step(c, key):
-                f = jax.random.normal(key, (BATCH, FRAMES, 40), jnp.float32)
-                return c, decode_one(params, f, mask)
+    return run
 
-            _, sums = jax.lax.scan(step, 0, keys)
-            return jnp.sum(sums)
 
-        return decode_stack
-
-    warm_keys = jax.random.split(jax.random.PRNGKey(1), ITERS)
-    timed_keys = jax.random.split(jax.random.PRNGKey(2), ITERS)
-    decode = build_decode(True)
-    fused_note = "fused-topk"
+def worst_case_decode(model, params, mask, batch=BATCH, frames=FRAMES,
+                      iters=ITERS, lm=None, lm_params=None):
+    keysets = [jax.random.split(jax.random.PRNGKey(s), iters)
+               for s in range(1, TIMED_CALLS + 2)]
     try:
-        float(decode(params, warm_keys, mask))  # warmup / compile
+        search = _search_fn(model, lm=lm, lm_params=lm_params)
+        run = _decode_stack(model, search, batch, frames, iters)
+        float(run(params, keysets[0], mask))  # warmup / compile
     except Exception as e:  # Pallas regression must not take the bench down
         import sys
 
         print(f"fused decode path failed ({type(e).__name__}: {e}); "
               "falling back to unfused", file=sys.stderr)
-        decode = build_decode(False)
-        fused_note = "unfused-topk-fallback"
-        float(decode(params, warm_keys, mask))
+        search = _search_fn(model, lm=lm, lm_params=lm_params, fused_topk=False)
+        run = _decode_stack(model, search, batch, frames, iters)
+        float(run(params, keysets[0], mask))
+    it = iter(keysets[1:])
+    elapsed = median_timed(lambda: float(run(params, next(it), mask)))
+    utts = batch * iters
+    audio_seconds = utts * frames * 0.01
+    return audio_seconds / elapsed, utts / elapsed
 
-    t0 = time.perf_counter()
-    float(decode(params, timed_keys, mask))
-    elapsed = time.perf_counter() - t0
 
-    utts = BATCH * ITERS
-    audio_seconds = utts * FRAMES * 0.01
-    rtfx = audio_seconds / elapsed
-    utts_per_sec = utts / elapsed
+def flagship_model(encoder_type="transformer"):
+    from __graft_entry__ import FLAGSHIP_MODEL_CFG
+    from opentransformer_tpu.models.registry import build_model
 
-    out = {
-        "metric": "aishell_flagship_beam5_decode_rtfx_per_chip",
-        "value": round(rtfx, 2),
-        "unit": "x_realtime",
-        "vs_baseline": round(rtfx / 20.0, 3),
-        "utts_per_sec_per_chip": round(utts_per_sec, 2),
-        "config": f"B{BATCH} T{FRAMES} beam{BEAM} steps{MAX_LEN} bf16 "
-                  f"no-early-exit x{ITERS}-batch-scan {fused_note}",
-        "device": str(jax.devices()[0]),
+    cfg = dict(FLAGSHIP_MODEL_CFG)
+    if encoder_type == "conformer":
+        cfg = {**cfg, "encoder_type": "conformer",
+               "encoder": {"d_model": 256, "n_heads": 4, "d_ff": 2048,
+                           "nblocks": 12, "residual_dropout": 0.1,
+                           "relative_positional": True}}
+    return build_model(cfg, dtype=jnp.bfloat16), cfg
+
+
+def init_params(model, frames=FRAMES, b=2):
+    from opentransformer_tpu.ops.masks import length_to_mask
+
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(b, frames, 40)), jnp.float32)
+    mask = length_to_mask(jnp.asarray([frames] * b), frames)
+    tgt = jnp.ones((b, 8), jnp.int32)
+    return model.init(jax.random.PRNGKey(0), feats, mask, tgt,
+                      jnp.asarray([6] * b, jnp.int32))
+
+
+def trained_quality_and_speed():
+    """CER + RTFx on the SAME trained weights, early exit ON (VERDICT r2 #1).
+
+    Regenerates the deterministic synthetic test split (data/synth.py),
+    decodes it with the trained flagship weights (egs/synth_bench/trained/),
+    scores CER against the references, and times the decode as a scanned
+    stack of row-rotations (distinct inputs per iteration so nothing CSEs
+    or dedups; same audio, realistic early-exit step counts)."""
+    if not os.path.exists(TRAINED_NPZ):
+        return {"trained": "absent (run egs/synth_bench/run.sh)"}
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from export_trained_synth import load_trained_params
+
+    from opentransformer_tpu.data import synth
+    from opentransformer_tpu.ops.levenshtein import ErrorRateAccumulator
+
+    model, _ = flagship_model()
+    params = jax.tree_util.tree_map(jnp.asarray, load_trained_params(TRAINED_NPZ))
+
+    utts = list(synth.gen_split("test"))
+    n = len(utts)
+    t_pad = synth.MAX_FRAMES + (-synth.MAX_FRAMES) % 8  # 1152
+    b_pad = n + (-n) % 128
+    feats = np.zeros((b_pad, t_pad, synth.FEAT_DIM), np.float32)
+    lengths = np.zeros((b_pad,), np.int32)
+    refs = []
+    for i, (_, x, toks) in enumerate(utts):
+        feats[i, : len(x)] = x
+        lengths[i] = len(x)
+        refs.append([t + 3 for t in toks])  # unit ids (specials offset)
+    lengths[n:] = 1
+    from opentransformer_tpu.ops.masks import length_to_mask
+
+    max_len = synth.MAX_TOKENS + 2
+    search = _search_fn(model, eos_id=1)  # early exit ON (real EOS)
+    feats_d = jnp.asarray(feats)
+    mask_d = length_to_mask(jnp.asarray(lengths), t_pad)
+
+    @jax.jit
+    def decode_tokens(params, feats, mask):
+        memory, memory_mask = model.apply(params, feats, mask, method="encode")
+        hyp = search(params, memory, memory_mask)
+        return hyp.tokens  # [B, K, L]
+
+    tokens = np.asarray(decode_tokens(params, feats_d, mask_d))
+    cer = ErrorRateAccumulator()
+    for i in range(n):
+        hyp = []
+        for tok in tokens[i, 0, 1:]:  # best beam, strip BOS
+            if tok == 1:  # EOS
+                break
+            if tok != 0:
+                hyp.append(int(tok))
+        cer.update([str(t) for t in refs[i]], [str(t) for t in hyp])
+
+    # throughput: iters distinct row-rotations of the same split in ONE scan
+    iters = 4
+
+    @jax.jit
+    def timed_stack(params, feats, mask, shifts):
+        def step(c, shift):
+            f = jnp.roll(feats, shift, axis=0)
+            m = jnp.roll(mask, shift, axis=0)
+            memory, memory_mask = model.apply(params, f, m, method="encode")
+            hyp = search(params, memory, memory_mask)
+            return c, jnp.sum(hyp.tokens)
+
+        _, sums = jax.lax.scan(step, 0, shifts)
+        return jnp.sum(sums)
+
+    shift_sets = [jnp.arange(1 + 7 * s, 1 + 7 * s + iters, dtype=jnp.int32)
+                  for s in range(TIMED_CALLS + 1)]
+    float(timed_stack(params, feats_d, mask_d, shift_sets[0]))  # compile
+    it = iter(shift_sets[1:])
+    elapsed = median_timed(
+        lambda: float(timed_stack(params, feats_d, mask_d, next(it))))
+    audio_seconds = iters * float(np.sum(lengths[:n])) * 0.01
+    return {
+        "cer_trained_pct": round(cer.rate * 100, 3),
+        "rtfx_trained": round(audio_seconds / elapsed, 2),
+        "utts_per_sec_trained": round(iters * n / elapsed, 2),
+        "trained_config": f"synth_bench test n={n} pad{t_pad} beam{BEAM} "
+                          f"early-exit-on x{iters}-scan bf16",
     }
-    try:
-        out.update(train_throughput(model))
-    except Exception as e:  # decode RTFx stays the headline metric
-        out["train_bench_error"] = f"{type(e).__name__}: {e}"[:200]
-    print(json.dumps(out))
 
 
-def train_throughput(model, b=16, t=512, u=32, iters=20):
-    """Secondary metric: full training-step throughput (fwd+bwd+clip+adam)
-    on the flagship geometry — the surface the reference's Trainer spends
-    its life in (otrans/train/trainer.py hot loop). Uses the Trainer's
-    multi-step path (steps_per_exec): all `iters` updates run as ONE
-    lax.scan program, so the measurement is device throughput, not tunnel
-    dispatch latency. Params are freshly initialized."""
-    import jax
-    import jax.numpy as jnp
-
+def train_throughput(model, b=16, t=512, u=32, iters=20, label=""):
+    """Full training-step throughput (fwd+bwd+clip+adam) on the flagship
+    geometry — the surface the reference's Trainer spends its life in
+    (otrans/train/trainer.py hot loop). All `iters` updates run as ONE
+    lax.scan program (the Trainer's steps_per_exec path) so the measurement
+    is device throughput, not tunnel dispatch. MFU uses XLA's own FLOP
+    count for the compiled program against the v5e bf16 peak."""
     from opentransformer_tpu.train.trainer import Trainer
 
     from __graft_entry__ import TRAIN_CFG
@@ -176,26 +259,122 @@ def train_throughput(model, b=16, t=512, u=32, iters=20):
         return (feats,) + rest
 
     lrs = jnp.full((iters,), 1e-4, jnp.float32)
-    keys = jax.random.split(jax.random.PRNGKey(1), iters)
-    warm = stacked_args(3)
-    timed = stacked_args(4)
-    float(timed[0][0, 0, 0, 0, 0])  # force the timed batch resident on device
-
     v, opt, ns = state.params, state.opt_state, state.nan_skips
+
+    # XLA's FLOP count for the whole N-update program (fwd+bwd+optimizer)
+    flops_per_update = None
+    try:
+        compiled = multi.lower(v, opt, ns, stacked_args(9), lrs,
+                               jax.random.split(jax.random.PRNGKey(0), iters)
+                               ).compile()
+        cost = compiled.cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops_per_update = float(cost["flops"]) / iters
+    except Exception as e:
+        import sys
+
+        print(f"cost_analysis unavailable ({type(e).__name__}: {e})",
+              file=sys.stderr)
+
+    warm = stacked_args(3)
+    timed = [stacked_args(4 + i) for i in range(TIMED_CALLS)]
+    keys = jax.random.split(jax.random.PRNGKey(1), iters)
     v, opt, ns, losses, _, _ = multi(v, opt, ns, warm, lrs, keys)  # compile
     float(losses[-1, -1])
-    keys2 = jax.random.split(jax.random.PRNGKey(5), iters)
-    t0 = time.perf_counter()
-    v, opt, ns, losses, _, gnorms = multi(v, opt, ns, timed, lrs, keys2)
-    # 8-byte fetch: program outputs materialize when the whole scan finishes
-    float(losses[-1, -1])
-    dt = time.perf_counter() - t0
-    frames_per_sec = iters * b * t / dt
-    return {
-        "train_updates_per_sec_per_chip": round(iters / dt, 3),
-        "train_audio_sec_per_sec_per_chip": round(frames_per_sec * 0.01, 1),
-        "train_config": f"B{b} T{t} U{u} x{iters}-step-scan fwd+bwd+clip+adam bf16",
+
+    results = {"v": v, "opt": opt, "ns": ns, "i": 0}
+
+    def one_call():
+        k = jax.random.split(jax.random.PRNGKey(5 + results["i"]), iters)
+        v2, o2, n2, losses, _, _ = multi(results["v"], results["opt"],
+                                         results["ns"], timed[results["i"]],
+                                         lrs, k)
+        results.update(v=v2, opt=o2, ns=n2, i=results["i"] + 1)
+        float(losses[-1, -1])  # 8-byte fetch when the whole scan finishes
+
+    dt = median_timed(one_call)
+    ups = iters / dt
+    out = {
+        f"train_updates_per_sec{label}": round(ups, 3),
+        f"train_audio_sec_per_sec{label}": round(ups * b * t * 0.01, 1),
+        f"train_config{label}": f"B{b} T{t} U{u} x{iters}-step-scan "
+                                "fwd+bwd+clip+adam bf16",
     }
+    if flops_per_update:
+        out[f"train_mfu_pct{label}"] = round(
+            100.0 * flops_per_update * ups / V5E_PEAK_BF16, 2)
+        out[f"train_tflops_per_update{label}"] = round(flops_per_update / 1e12, 3)
+    return out
+
+
+def main() -> None:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_bench_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from opentransformer_tpu.ops.masks import length_to_mask
+
+    model, _ = flagship_model()
+    params = init_params(model)
+    mask = length_to_mask(jnp.asarray([FRAMES] * BATCH), FRAMES)
+
+    rtfx, utts_per_sec = worst_case_decode(model, params, mask)
+    out = {
+        "metric": "aishell_flagship_beam5_decode_rtfx_per_chip",
+        "value": round(rtfx, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtfx / 20.0, 3),
+        "utts_per_sec_per_chip": round(utts_per_sec, 2),
+        "config": f"B{BATCH} T{FRAMES} beam{BEAM} steps{MAX_LEN} bf16 "
+                  f"no-early-exit x{ITERS}-batch-scan median-of-{TIMED_CALLS} "
+                  "fused-topk",
+        "device": str(jax.devices()[0]),
+    }
+
+    # quality + speed on the SAME trained weights (early exit ON)
+    try:
+        out.update(trained_quality_and_speed())
+    except Exception as e:
+        out["trained_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # BASELINE tracked config #3: conformer encoder (worst case, B256)
+    try:
+        conf_model, _ = flagship_model("conformer")
+        conf_params = init_params(conf_model)
+        cmask = length_to_mask(jnp.asarray([FRAMES] * 256), FRAMES)
+        c_rtfx, c_ups = worst_case_decode(conf_model, conf_params, cmask,
+                                          batch=256, iters=4)
+        out["rtfx_conformer"] = round(c_rtfx, 2)
+        out["utts_per_sec_conformer"] = round(c_ups, 2)
+    except Exception as e:
+        out["conformer_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # BASELINE tracked config #4: transformer-LM shallow fusion through the
+    # fused two-head projection→log-softmax→top-k kernel
+    try:
+        from opentransformer_tpu.models.registry import build_model
+
+        lm = build_model({"type": "transformer_lm", "vocab_size": 4233,
+                          "d_model": 256, "n_heads": 4, "d_ff": 2048,
+                          "n_blocks": 6, "residual_dropout": 0.0},
+                         dtype=jnp.bfloat16)
+        lm_params = lm.init(jax.random.PRNGKey(1), jnp.ones((2, 8), jnp.int32),
+                            jnp.ones((2, 8), jnp.int32),
+                            jnp.asarray([8, 8], jnp.int32))
+        fmask = length_to_mask(jnp.asarray([FRAMES] * 256), FRAMES)
+        f_rtfx, f_ups = worst_case_decode(model, params, fmask, batch=256,
+                                          iters=4, lm=lm, lm_params=lm_params)
+        out["rtfx_lm_fusion"] = round(f_rtfx, 2)
+        out["utts_per_sec_lm_fusion"] = round(f_ups, 2)
+    except Exception as e:
+        out["lm_fusion_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # training throughput + MFU at B16 (round continuity) and B64
+    try:
+        out.update(train_throughput(model))
+        out.update(train_throughput(model, b=64, label="_b64"))
+    except Exception as e:
+        out["train_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -14,8 +14,8 @@ export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 stage=${1:-0}
 expdir=egs/synth_bench/exp
 conf=egs/synth_bench/conf/flagship.yaml
-avg_from=110
-avg_to=119
+avg_from=60
+avg_to=69
 
 if [ "$stage" -le 0 ]; then
   echo "=== stage 0: generate corpus (deterministic seeds) ==="

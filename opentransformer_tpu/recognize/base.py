@@ -101,7 +101,8 @@ class Recognizer:
 def make_memory_search(model, beam_width: int, max_len: int,
                        penalty: float = 0.6, lamda: float = 5.0,
                        lm=None, lm_params=None, lm_weight: float = 0.1,
-                       eos_id: Optional[int] = None, force_beam: bool = False):
+                       eos_id: Optional[int] = None, force_beam: bool = False,
+                       fused_topk: bool = True):
     """Jitted ``(params, memory, memory_mask) -> BeamHypotheses`` search over
     a precomputed encoder memory: the KV-cached beam (beam=1: greedy) with
     optional LM shallow fusion. The shared decode core behind the offline
@@ -117,7 +118,9 @@ def make_memory_search(model, beam_width: int, max_len: int,
     # available (Pallas on TPU — no [B·K, V] log-probs in HBM). Without an
     # LM that's the model's decode_step_topk; with shallow fusion it's the
     # two-head combined kernel over the model and LM hidden states.
-    fits_kernel = beam_width <= 128  # fused kernel: top-k in one lane tile
+    # fused kernel: top-k in one lane tile; fused_topk=False forces the
+    # plain decode_step + lax.top_k path (benchmark fallback guard)
+    fits_kernel = fused_topk and beam_width <= 128
     has_topk = (lm is None and fits_kernel
                 and hasattr(type(model), "decode_step_topk"))
     has_topk_lm = (
