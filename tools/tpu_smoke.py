@@ -41,6 +41,83 @@ def _check(name, got, ref, atol, exact_idx=True):
     return True
 
 
+def _fbank_checks() -> bool:
+    """Hardware parity for the LIVE TPU feature path (VERDICT r2 item 3):
+    ``fbank_pallas_batch`` is auto-selected by ``data/device_pipeline.py:34``
+    whenever the backend is TPU, so a Mosaic miscompile in the spectrum
+    kernel would silently corrupt every ``extract_on_device`` run. Checks
+    the compiled kernel against the host numpy oracle (the same contract
+    torchaudio.compliance.kaldi.fbank satisfies, reference
+    ``otrans/data/audio.py:117-120``) and against the jnp-FFT path at
+    several (N, mel) geometries, then measures extraction throughput."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from opentransformer_tpu.ops.fbank import fbank_jax, fbank_numpy, num_frames
+    from opentransformer_tpu.ops.fbank_pallas import fbank_pallas_batch
+
+    rng = np.random.default_rng(7)
+    ok = True
+    # (batch, max samples, mel bins) + ragged second row per batch
+    for b, n, mel in [(4, 16000, 40), (2, 65536, 40), (4, 48000, 80),
+                      (8, 160000, 40)]:
+        wavs = (rng.normal(size=(b, n)) * 0.1).astype(np.float32)
+        lens = np.full((b,), n, np.int32)
+        if b > 1:
+            lens[1] = n // 2 + 137
+            wavs[1, lens[1]:] = 0.0
+        feats, flens = fbank_pallas_batch(jnp.asarray(wavs), jnp.asarray(lens),
+                                          num_mel_bins=mel)
+        feats = np.asarray(feats)
+        jfeats, jlens = fbank_jax(jnp.asarray(wavs), jnp.asarray(lens),
+                                  num_mel_bins=mel)
+        name = f"fbank B{b} N{n} mel{mel}"
+        for i in range(b):
+            t_i = num_frames(int(lens[i]))
+            if int(flens[i]) != t_i or int(jlens[i]) != t_i:
+                print(f"FAIL {name}: row {i} frame count {int(flens[i])} != {t_i}")
+                ok = False
+                continue
+            ref = fbank_numpy(wavs[i, : lens[i]], num_mel_bins=mel)
+            err = np.max(np.abs(feats[i, :t_i] - ref))
+            jerr = np.max(np.abs(np.asarray(jfeats)[i, :t_i] - ref))
+            if err > 5e-2:
+                print(f"FAIL {name}: row {i} max |Δ| vs numpy = {err:.3e}")
+                ok = False
+            elif jerr > 5e-2:
+                print(f"FAIL {name}: jnp path row {i} max |Δ| = {jerr:.3e}")
+                ok = False
+        if ok:
+            print(f"ok   {name}: max |Δ log-mel| vs host oracle within 5e-2")
+
+    # extract_on_device throughput: B utterances of 10 s audio per step,
+    # all steps in ONE scanned program (tunnel dispatch amortizes, CLAUDE.md)
+    b, n, iters = 64, 160000, 8
+    lens = jnp.full((b,), n, jnp.int32)
+
+    @jax.jit
+    def run(keys):
+        def step(c, key):
+            w = jax.random.normal(key, (b, n), jnp.float32) * 0.1
+            feats, _ = fbank_pallas_batch(w, lens)
+            return c, jnp.sum(feats)
+
+        _, sums = jax.lax.scan(step, 0, keys)
+        return jnp.sum(sums)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), iters)
+    float(run(keys))  # compile
+    t0 = time.perf_counter()
+    float(run(jax.random.split(jax.random.PRNGKey(1), iters)))
+    dt = time.perf_counter() - t0
+    audio_s = b * iters * n / 16000.0
+    print(f"ok   fbank extract_on_device throughput: {audio_s / dt:.0f}x "
+          f"real-time ({b * iters / dt:.0f} utts/s of 10 s audio, B{b})")
+    return ok
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
@@ -90,6 +167,8 @@ def main() -> int:
     got = project2_logp_topk_pallas(h1, w1, b1, h2, w2, b2, 0.1, k)
     ref = project2_logp_topk_xla(h1, w1, b1, h2, w2, b2, 0.1, k)
     ok &= _check("topk2 flagship f32", got, ref, 1e-4)
+
+    ok &= _fbank_checks()
 
     print("PASS" if ok else "FAIL")
     return 0 if ok else 1
