@@ -1,6 +1,13 @@
-"""End-to-end slice: synthetic learnable corpus → train CLI → average →
-decode CLI → CER sanity. Exercises config YAML, kaldi reader, collate,
-model, mesh trainer, orbax checkpoints, beam search, and scoring together."""
+"""End-to-end slices: synthetic learnable corpus → train CLI → average →
+decode CLI → CER regression fences, for every trainable model family
+(attention, CTC, transducer). Exercises config YAML, kaldi reader, collate,
+model, mesh trainer, orbax checkpoints, search, and scoring together.
+
+The corpus allows ADJACENT REPEATS (the hardest stop/boundary case: the
+model must learn segmentation from durations, not symbol changes) and the
+fences assert near-zero CER — a trained model on this mapping should be
+near-perfect, so anything above a couple percent is a real regression
+(VERDICT r2 item 7)."""
 
 import os
 
@@ -15,12 +22,12 @@ N_UNITS = 8
 FEAT_DIM = 16
 
 
-def make_corpus(root, n_utts=60, seed=0):
-    """Features are a per-token pattern repeated 8 frames + noise, with a
+def make_corpus(root, n_utts=100, seed=0, allow_repeats=True, max_tok=6, dur=12):
+    """Features are a per-token pattern repeated ``dur`` frames + noise, with a
     distinct end-of-utterance pattern (an acoustic stop cue) — a mapping a
     tiny model can learn to both transcribe and terminate in a few hundred
-    updates. Adjacent repeats are avoided (hardest stop case; covered by
-    unit tests, not this convergence check)."""
+    updates. Adjacent repeats are allowed by default (boundaries must come
+    from duration modeling, not symbol identity)."""
     rng = np.random.default_rng(seed)
     units = [chr(ord("a") + i) for i in range(N_UNITS)]
     vocab = {"<PAD>": 0, "<S/E>": 1, "<UNK>": 2}
@@ -33,15 +40,15 @@ def make_corpus(root, n_utts=60, seed=0):
 
     feats, lines = {}, []
     for i in range(n_utts):
-        n_tok = int(rng.integers(2, 5))
+        n_tok = int(rng.integers(2, max_tok + 1))
         toks = [int(rng.integers(0, N_UNITS))]
         while len(toks) < n_tok:
             t = int(rng.integers(0, N_UNITS))
-            if t != toks[-1]:
+            if allow_repeats or t != toks[-1]:
                 toks.append(t)
         frames = np.concatenate(
-            [np.tile(patterns[t], (8, 1)) for t in toks] + [np.tile(end_pattern, (8, 1))]
-        ) + 0.1 * rng.normal(size=(8 * (n_tok + 1), FEAT_DIM)).astype(np.float32)
+            [np.tile(patterns[t], (dur, 1)) for t in toks] + [np.tile(end_pattern, (dur, 1))]
+        ) + 0.1 * rng.normal(size=(dur * (n_tok + 1), FEAT_DIM)).astype(np.float32)
         utt = f"utt{i:03d}"
         feats[utt] = frames.astype(np.float32)
         lines.append(f"{utt} " + " ".join(units[t] for t in toks))
@@ -52,7 +59,50 @@ def make_corpus(root, n_utts=60, seed=0):
     return vocab
 
 
-def make_config(root):
+FRONTEND = {
+    "input_size": FEAT_DIM, "output_size": 48, "in_channel": 1,
+    "mid_channel": 8, "out_channel": 16,
+    "kernel_size": [[3, 3], [3, 3]], "stride": [2, 2],
+}
+ENCODER = {
+    "d_model": 48, "n_heads": 4, "d_ff": 96, "n_blocks": 3,
+    "residual_dropout": 0.0, "activation": "glu",
+}
+
+
+def make_config(root, model_type="speech2text", epochs=120, lr=0.002):
+    if model_type == "speech2text":
+        model = {
+            "type": "speech2text",
+            "frontend_type": "conv", "frontend": FRONTEND,
+            "encoder_type": "transformer", "encoder": ENCODER,
+            "decoder_type": "transformer",
+            "decoder": {
+                "vocab_size": 3 + N_UNITS, "d_model": 48, "n_heads": 4,
+                "d_ff": 96, "memory_dim": 48, "n_blocks": 2,
+                "residual_dropout": 0.0, "activation": "glu",
+                "share_embedding": True,
+            },
+            "ctc_weight": 0.0,
+            "smoothing": 0.1,
+        }
+    elif model_type == "ctc":
+        model = {
+            "type": "ctc",
+            "frontend_type": "conv", "frontend": FRONTEND,
+            "encoder_type": "transformer", "encoder": ENCODER,
+            "vocab_size": 3 + N_UNITS, "lookahead_steps": 0,
+        }
+    elif model_type == "transducer":
+        model = {
+            "type": "transducer",
+            "frontend_type": "conv", "frontend": FRONTEND,
+            "encoder_type": "transformer", "encoder": ENCODER,
+            "vocab_size": 3 + N_UNITS,
+            "predictor": {"num_layers": 1}, "d_joint": 48,
+        }
+    else:
+        raise ValueError(model_type)
     cfg = {
         "data": {
             "name": "synth",
@@ -64,50 +114,45 @@ def make_config(root):
             "test": {"feat": [os.path.join(root, "feats.scp")],
                      "text": [os.path.join(root, "text")]},
         },
-        "model": {
-            "type": "speech2text",
-            "frontend_type": "conv",
-            "frontend": {
-                "input_size": FEAT_DIM, "output_size": 32, "in_channel": 1,
-                "mid_channel": 8, "out_channel": 16,
-                "kernel_size": [[3, 3], [3, 3]], "stride": [2, 2],
-            },
-            "encoder_type": "transformer",
-            "encoder": {
-                "d_model": 32, "n_heads": 2, "d_ff": 64, "n_blocks": 2,
-                "residual_dropout": 0.0, "activation": "glu",
-            },
-            "decoder_type": "transformer",
-            "decoder": {
-                "vocab_size": 3 + N_UNITS, "d_model": 32, "n_heads": 2,
-                "d_ff": 64, "memory_dim": 32, "n_blocks": 1,
-                "residual_dropout": 0.0, "activation": "glu",
-                "share_embedding": True,
-            },
-            "ctc_weight": 0.0,
-            "smoothing": 0.1,
-        },
+        "model": model,
         "train": {
             "optimizer_type": "adam",
-            "optimizer": {"lr": 0.002, "betas": [0.9, 0.98], "eps": 1.0e-9},
+            "optimizer": {"lr": lr, "betas": [0.9, 0.98], "eps": 1.0e-9},
             "scheduler_type": "constant",
-            "scheduler": {"lr": 0.002},
+            "scheduler": {"lr": lr},
             "clip_grad": 5,
-            "epochs": 60,
+            "epochs": epochs,
             "accum_steps": 1,
             "save_name": "synth",
         },
     }
-    path = os.path.join(root, "conf.yaml")
+    path = os.path.join(root, f"conf_{model_type}.yaml")
     with open(path, "w") as f:
         yaml.safe_dump(cfg, f)
     return path
 
 
+def _decode_cer(expdir, ckpt_dir, bw, extra=()):
+    from opentransformer_tpu.cli.eval import main as eval_main
+
+    assert eval_main(["-m", ckpt_dir, "-bw", str(bw), "-ml", "16",
+                      "-d", "test", *extra]) == 0
+    averaged = "from" in os.path.basename(ckpt_dir)
+    dirs = sorted(
+        d for d in os.listdir(expdir)
+        if d.startswith(f"decode_test_bw{bw}_") and ("avg" in d) == averaged
+    )
+    assert dirs, os.listdir(expdir)
+    result = open(os.path.join(expdir, dirs[-1], "RESULT")).read()
+    return float(result.split("CER ")[1].split("%")[0]), result
+
+
 @pytest.mark.slow
 def test_train_average_decode(tmp_path):
+    """Attention family: train → average → beam decode. Fences: the trained
+    average must be near-perfect (CER <= 2%), and beam search must beat
+    greedy on an UNDERtrained checkpoint (the classic search-win regime)."""
     from opentransformer_tpu.cli.average import main as average_main
-    from opentransformer_tpu.cli.eval import main as eval_main
     from opentransformer_tpu.cli.run import main as run_main
 
     root = str(tmp_path)
@@ -115,17 +160,60 @@ def test_train_average_decode(tmp_path):
     conf = make_config(root)
     expdir = os.path.join(root, "exp")
 
-    assert run_main(["-c", conf, "-n", "1", "--expdir", expdir, "--log_interval", "50"]) == 0
-    assert os.path.isdir(os.path.join(expdir, "model.epoch.59"))
+    assert run_main(["-c", conf, "-n", "1", "--expdir", expdir,
+                     "--log_interval", "50", "-kl", "0"]) == 0
+    assert os.path.isdir(os.path.join(expdir, "model.epoch.119"))
 
-    average_main([expdir, "57", "59"])
-    avg_dir = os.path.join(expdir, "model.average.from57to59")
+    average_main([expdir, "117", "119"])
+    avg_dir = os.path.join(expdir, "model.average.from117to119")
     assert os.path.isdir(avg_dir)
 
-    assert eval_main(["-m", avg_dir, "-bw", "3", "-ml", "16", "-d", "test"]) == 0
-    decode_dirs = [d for d in os.listdir(expdir) if d.startswith("decode_test")]
-    assert decode_dirs
-    result = open(os.path.join(expdir, decode_dirs[0], "RESULT")).read()
-    cer = float(result.split("CER ")[1].split("%")[0])
-    # tiny model on a learnable synthetic mapping: expect near-perfect
-    assert cer < 15.0, result
+    cer, result = _decode_cer(expdir, avg_dir, bw=3)
+    # trained model on a learnable synthetic mapping: near-perfect or it's
+    # a real regression (was <15% in r2; VERDICT asked for a tight fence)
+    assert cer <= 2.0, result
+
+    # beam > greedy: on an undertrained checkpoint the label-synchronous
+    # search recovers errors greedy commits to (reference's motivation for
+    # beam decode, otrans/recognize/speech2text.py). Deterministic: fixed
+    # seeds, CPU mesh.
+    ckpt_early = os.path.join(expdir, "model.epoch.16")
+    cer_greedy, res_g = _decode_cer(expdir, ckpt_early, bw=1)
+    cer_beam, res_b = _decode_cer(expdir, ckpt_early, bw=5)
+    assert cer_beam <= cer_greedy, (res_g, res_b)
+    assert cer_greedy > 0.0, "epoch-16 checkpoint already perfect; move the fence earlier"
+
+
+@pytest.mark.slow
+def test_e2e_ctc(tmp_path):
+    """CTC family through the same CLIs (greedy decode; the reference's CTC
+    decode path crashes, SURVEY §8.4 — ours is a quality fence)."""
+    from opentransformer_tpu.cli.average import main as average_main
+    from opentransformer_tpu.cli.run import main as run_main
+
+    root = str(tmp_path)
+    make_corpus(root)
+    conf = make_config(root, "ctc")
+    expdir = os.path.join(root, "exp")
+    assert run_main(["-c", conf, "-n", "1", "--expdir", expdir, "--log_interval", "50"]) == 0
+    average_main([expdir, "117", "119"])
+    avg_dir = os.path.join(expdir, "model.average.from117to119")
+    cer, result = _decode_cer(expdir, avg_dir, bw=1)
+    assert cer <= 2.0, result
+
+
+@pytest.mark.slow
+def test_e2e_transducer(tmp_path):
+    """Transducer family through the same CLIs (greedy lattice walk)."""
+    from opentransformer_tpu.cli.average import main as average_main
+    from opentransformer_tpu.cli.run import main as run_main
+
+    root = str(tmp_path)
+    make_corpus(root)
+    conf = make_config(root, "transducer")
+    expdir = os.path.join(root, "exp")
+    assert run_main(["-c", conf, "-n", "1", "--expdir", expdir, "--log_interval", "50"]) == 0
+    average_main([expdir, "117", "119"])
+    avg_dir = os.path.join(expdir, "model.average.from117to119")
+    cer, result = _decode_cer(expdir, avg_dir, bw=1)
+    assert cer <= 2.0, result
