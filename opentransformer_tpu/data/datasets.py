@@ -195,6 +195,15 @@ class KaldiDataset:
         self.spec_augment_config = dict(params.get("spec_augment_config", {}) or {})
         self.max_target_length = int(params.get("max_target_length", 0))
         self.normalization = bool(params.get("normalization", False))
+        # train-only additive gaussian noise on the precomputed features —
+        # the online dataset's noise augmentation (reference
+        # otrans/data/audio.py:131) extended to kaldi features. Fresh noise
+        # per read means per-utterance noise cannot be memorized across
+        # epochs (the synth_bench corpus relies on this: clean train ark +
+        # load-time noise ⇒ the model must learn the mapping, not the noise).
+        self.additive_noise_std = (
+            float(params.get("additive_noise_std", 0.0)) if not is_eval else 0.0
+        )
 
         self.unit2idx = load_vocab(params["vocab"])
         self.targets_dict = read_targets(datadict["text"], self.unit2idx)
@@ -234,6 +243,11 @@ class KaldiDataset:
             feature = (feature - mean) / std
         elif self.normalization:
             feature = normalize_per_utterance(feature)
+        if self.additive_noise_std > 0.0:
+            noise_rng = self._rngs.spawn()
+            feature = feature + self.additive_noise_std * noise_rng.standard_normal(
+                feature.shape
+            ).astype(feature.dtype)
         if self.apply_spec_augment:
             feature = spec_augment(feature, rng=self._rngs.spawn(), **self.spec_augment_config)
         targets = self.targets_dict[utt_id]

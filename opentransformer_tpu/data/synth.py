@@ -18,7 +18,14 @@ regenerate any split bit-exactly without shipping feature files):
   * utterances are 8-28 tokens drawn uniformly from the 300 active units,
     adjacent repeats allowed (the hardest stop/boundary case), terminated
     by a distinct end-of-utterance cue pattern;
-  * additive Gaussian noise at sigma=0.3 on every frame (fresh per utt).
+  * additive Gaussian noise at sigma=0.3 on every frame — BAKED into the
+    dev/test arks (deterministic held-out sets) but NOT into the train ark:
+    the train split is written clean and the training config injects fresh
+    noise at load time (``data.additive_noise_std: 0.3``, KaldiDataset).
+    Baked train noise is a memorization handle: a flagship-sized model
+    (36M params) on 3k utts learns per-utterance noise fingerprints instead
+    of the pattern→unit mapping (round-3 postmortem: train acc 71%, test
+    acc at chance). Fresh per-epoch noise makes that solution impossible.
 
 The vocab still has 4233 entries (3 specials + 4230 units) so the decoder's
 output projection — the dominant decode-step matmul — matches the AISHELL
@@ -61,7 +68,8 @@ def make_patterns() -> np.ndarray:
     return (rng.normal(size=(N_ACTIVE_UNITS + 1, FEAT_DIM)) * 2.0).astype(np.float32)
 
 
-def gen_utterance(rng: np.random.Generator, patterns: np.ndarray):
+def gen_utterance(rng: np.random.Generator, patterns: np.ndarray,
+                  noise: bool = True):
     """-> (feats [T, FEAT_DIM] f32, token_unit_indices list[int])."""
     n_tok = int(rng.integers(MIN_TOKENS, MAX_TOKENS + 1))
     toks = rng.integers(0, N_ACTIVE_UNITS, n_tok).tolist()
@@ -69,17 +77,22 @@ def gen_utterance(rng: np.random.Generator, patterns: np.ndarray):
             for t in toks]
     segs.append(np.tile(patterns[N_ACTIVE_UNITS], (END_DUR, 1)))
     feats = np.concatenate(segs).astype(np.float32)
-    feats += (NOISE_SIGMA * rng.normal(size=feats.shape)).astype(np.float32)
+    if noise:
+        feats += (NOISE_SIGMA * rng.normal(size=feats.shape)).astype(np.float32)
     return feats, [int(t) for t in toks]
 
 
 def gen_split(name: str, n_utts: int | None = None):
-    """Yields (utt_id, feats, unit_indices) deterministically for a split."""
+    """Yields (utt_id, feats, unit_indices) deterministically for a split.
+
+    The train split is emitted CLEAN (noise comes from load-time
+    augmentation, see module docstring); dev/test carry baked noise so the
+    held-out sets are bit-reproducible."""
     patterns = make_patterns()
     rng = np.random.default_rng(SPLIT_SEEDS[name])
     n = SPLIT_SIZES[name] if n_utts is None else int(n_utts)
     for i in range(n):
-        feats, toks = gen_utterance(rng, patterns)
+        feats, toks = gen_utterance(rng, patterns, noise=(name != "train"))
         yield f"{name}{i:05d}", feats, toks
 
 
