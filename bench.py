@@ -221,7 +221,7 @@ def trained_quality_and_speed():
     }
 
 
-def train_throughput(model, b=16, t=512, u=32, iters=20, label=""):
+def train_throughput(model, b=16, t=512, u=32, iters=20, label="", fused=False):
     """Full training-step throughput (fwd+bwd+clip+adam) on the flagship
     geometry — the surface the reference's Trainer spends its life in
     (otrans/train/trainer.py hot loop). All `iters` updates run as ONE
@@ -232,8 +232,8 @@ def train_throughput(model, b=16, t=512, u=32, iters=20, label=""):
 
     from __graft_entry__ import TRAIN_CFG
 
-    trainer = Trainer({**TRAIN_CFG, "steps_per_exec": iters}, model,
-                      log_interval=10 ** 9)
+    trainer = Trainer({**TRAIN_CFG, "steps_per_exec": iters,
+                       "fused_update": fused}, model, log_interval=10 ** 9)
     rng = np.random.default_rng(2)
     tgt = np.ones((b, u + 2), np.int32)
     tgt[:, 1:-1] = rng.integers(3, 4000, (b, u))
@@ -298,7 +298,8 @@ def train_throughput(model, b=16, t=512, u=32, iters=20, label=""):
         f"train_updates_per_sec{label}": round(ups, 3),
         f"train_audio_sec_per_sec{label}": round(ups * b * t * 0.01, 1),
         f"train_config{label}": f"B{b} T{t} U{u} x{iters}-step-scan "
-                                "fwd+bwd+clip+adam bf16",
+                                "fwd+bwd+clip+adam bf16"
+                                + (" fused-flat-update" if fused else ""),
     }
     if flops_per_update:
         out[f"train_mfu_pct{label}"] = round(
@@ -368,10 +369,14 @@ def main() -> None:
     except Exception as e:
         out["lm_fusion_bench_error"] = f"{type(e).__name__}: {e}"[:200]
 
-    # training throughput + MFU at B16 (round continuity) and B64
+    # training throughput + MFU at B16 (round continuity) and B64, each
+    # with the default per-leaf optimizer and the fused flat-buffer update
+    # (train.fused_update: clip+noise+adam+add on one raveled vector)
     try:
         out.update(train_throughput(model))
+        out.update(train_throughput(model, label="_fused", fused=True))
         out.update(train_throughput(model, b=64, label="_b64"))
+        out.update(train_throughput(model, b=64, label="_b64_fused", fused=True))
     except Exception as e:
         out["train_bench_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(out))

@@ -130,6 +130,23 @@ class Trainer:
         self.grad_noise = float(params_cfg.get("grad_noise", 0.0))
         self.epochs = int(params_cfg.get("epochs", 1))
 
+        self.opt_cfg = params_cfg.get("optimizer", {}) or {}
+        self.opt_type = params_cfg.get("optimizer_type", "adam")
+        # fused_update: run clip + noise + Adam + the parameter add on ONE
+        # raveled [n_params] vector (see _build_update_fn_fused)
+        self.fused_update = bool(params_cfg.get("fused_update", False))
+        if self.fused_update:
+            if self.opt_type != "adam":
+                raise ValueError("train.fused_update supports optimizer_type adam only")
+            if self.pp_schedule == "1f1b":
+                raise ValueError("train.fused_update does not compose with pp_schedule=1f1b")
+            if mesh is not None and any(
+                mesh.shape.get(ax, 1) > 1 for ax in ("model", "pipe", "expert")
+            ):
+                raise ValueError(
+                    "train.fused_update needs replicated params (data-axis-only "
+                    "mesh): the flat moment buffer has no per-leaf shardings"
+                )
         self.tx = build_optimizer(params_cfg.get("optimizer", {}), params_cfg.get("optimizer_type", "adam"))
         self.schedule = build_scheduler(
             params_cfg.get("scheduler", {}), params_cfg.get("scheduler_type", "transformer")
@@ -162,8 +179,28 @@ class Trainer:
         if self.mesh is not None:
             shardings = param_shardings(params, self.mesh)
             params = _put_global(params, shardings)
-        opt_state = self.tx.init(params["params"])
+        if self.fused_update:
+            opt_state = self._init_flat_opt_state(params["params"])
+        else:
+            opt_state = self.tx.init(params["params"])
         return TrainState(params=params, opt_state=opt_state, nan_skips=jnp.zeros((), jnp.int32))
+
+    def _init_flat_opt_state(self, params):
+        """Flat-buffer Adam state: single [n_params] moment vectors instead
+        of per-leaf trees (``fused_update``). Reuses optax's ScaleByAdamState
+        container so checkpointing stays uniform."""
+        n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+        m_dtype = self.opt_cfg.get("adam_m_dtype") or jnp.float32
+        state = optax.ScaleByAdamState(
+            count=jnp.zeros((), jnp.int32),
+            mu=jnp.zeros((n,), m_dtype),
+            nu=jnp.zeros((n,), jnp.float32),
+        )
+        if self.mesh is not None:
+            state = _put_global(
+                state, jax.tree_util.tree_map(lambda _: replicated(self.mesh), state)
+            )
+        return state
 
     # ------------------------------------------------------------ jitted fns
     def _build_grad_fn(self):
@@ -261,6 +298,8 @@ class Trainer:
         return jax.jit(grad_step, donate_argnums=(1,))
 
     def _build_update_fn(self):
+        if self.fused_update:
+            return self._build_update_fn_fused()
         tx = self.tx
         clip = self.grad_clip
         noise = self.grad_noise
@@ -293,6 +332,67 @@ class Trainer:
 
             new_params, new_opt = jax.lax.cond(ok, do_update, skip, None)
             new_variables = {**variables, "params": new_params}
+            return new_variables, new_opt, nan_skips + (1 - ok.astype(jnp.int32)), gnorm
+
+        self._update_core = update  # unjitted: reused by the multi-step scan
+        return jax.jit(update, donate_argnums=(0, 1))
+
+    def _build_update_fn_fused(self):
+        """Fused flat-buffer update (``train.fused_update: true``).
+
+        Clip-by-global-norm, optional grad noise, torch-semantics Adam (L2
+        folded into the gradient before the moments, reference
+        ``otrans/train/scheduler.py``) and the parameter add all run on ONE
+        raveled [n_params] f32 vector — a handful of large HBM-friendly
+        fusions instead of ~4 small HLO ops per parameter leaf (~200 leaves
+        at the flagship geometry). Math is identical to the default per-leaf
+        optax path (parity: tests/test_fused_update.py); grad noise draws one
+        key over the flat vector instead of one per leaf (same distribution).
+        Gated in __init__ to adam without model/pipe/expert sharding — the
+        flat buffer has no per-leaf shardings to respect."""
+        from jax.flatten_util import ravel_pytree
+
+        clip = self.grad_clip
+        noise = self.grad_noise
+        accum = self.accum_steps
+        b1, b2 = (float(x) for x in self.opt_cfg.get("betas", (0.9, 0.999)))
+        eps = float(self.opt_cfg.get("eps", 1e-8))
+        wd = float(self.opt_cfg.get("weight_decay", 0.0))
+        m_dtype = self.opt_cfg.get("adam_m_dtype")
+
+        def update(variables, opt_state, grads, nan_skips, lr, rng):
+            params = variables["params"]
+            g, _ = ravel_pytree(grads)
+            g = g.astype(jnp.float32)
+            gnorm = jnp.sqrt(jnp.sum(jnp.square(g)))
+            if clip > 0:
+                g = g * jnp.minimum(1.0, clip / (gnorm + 1e-6))
+            if noise > 0:
+                g = g + jax.random.normal(rng, g.shape, g.dtype) * (noise / accum)
+            ok = jnp.isfinite(gnorm)
+            p_flat, unravel = ravel_pytree(params)
+
+            def do_update(_):
+                p32 = p_flat.astype(jnp.float32)
+                gw = g + wd * p32 if wd > 0 else g
+                count = opt_state.count + 1
+                mu = opt_state.mu.astype(jnp.float32) * b1 + gw * (1.0 - b1)
+                nu = opt_state.nu * b2 + jnp.square(gw) * (1.0 - b2)
+                c = count.astype(jnp.float32)
+                step = (mu / (1.0 - b1 ** c)) / (jnp.sqrt(nu / (1.0 - b2 ** c)) + eps)
+                new_flat = (p32 - lr * step).astype(p_flat.dtype)
+                new_state = optax.ScaleByAdamState(
+                    count=count,
+                    mu=mu.astype(m_dtype) if m_dtype else mu,
+                    nu=nu,
+                )
+                return new_flat, new_state
+
+            def skip(_):
+                return p_flat, opt_state
+
+            new_flat, new_opt = jax.lax.cond(ok, do_update, skip, None)
+            new_variables = {**variables, "params": unravel(new_flat)}
             return new_variables, new_opt, nan_skips + (1 - ok.astype(jnp.int32)), gnorm
 
         self._update_core = update  # unjitted: reused by the multi-step scan
