@@ -47,7 +47,12 @@ END_DUR = 24
 NOISE_SIGMA = 0.3
 PATTERN_SEED = 7
 SPLIT_SEEDS = {"train": 100, "dev": 200, "test": 300}
-SPLIT_SIZES = {"train": 3000, "dev": 200, "test": 500}
+# train must be LARGE relative to model capacity: at 3k utts the flagship
+# (36M params) finds the memorizing solution (utterance-identity →
+# transcript; TF-acc 81% train / 4% test even with fresh load-time noise,
+# round-3 postmortem #2) — 20k utts plus SpecAugment plus a CTC auxiliary
+# head make per-frame pattern→unit classification the cheapest solution.
+SPLIT_SIZES = {"train": 20000, "dev": 200, "test": 500}
 MAX_FRAMES = MAX_TOKENS * MAX_DUR + END_DUR  # 1144
 
 
