@@ -14,8 +14,8 @@ export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 stage=${1:-0}
 expdir=egs/synth_bench/exp
 conf=egs/synth_bench/conf/flagship.yaml
-avg_from=5
-avg_to=9
+avg_from=10
+avg_to=14
 
 if [ "$stage" -le 0 ]; then
   echo "=== stage 0: generate corpus (deterministic seeds) ==="
@@ -23,7 +23,7 @@ if [ "$stage" -le 0 ]; then
 fi
 
 if [ "$stage" -le 1 ]; then
-  echo "=== stage 1: train flagship (10 epochs x 312 steps, multi-step scan) ==="
+  echo "=== stage 1: train flagship (15 epochs x 312 steps, multi-step scan) ==="
   python run.py -c "$conf" --expdir "$expdir" --log_interval 50
 fi
 
