@@ -43,5 +43,6 @@ if [ "$stage" -le 4 ]; then
   echo "=== stage 4: export trained weights for bench.py ==="
   python tools/export_trained_synth.py \
     "$expdir/model.average.from${avg_from}to${avg_to}" \
-    egs/synth_bench/trained/flagship_synth_f16.npz
+    egs/synth_bench/trained/flagship_synth_f16.npz \
+    --result "$expdir/decode_test_bw5_pn0.6_ml32_avg${avg_from}-${avg_to}/RESULT"
 fi

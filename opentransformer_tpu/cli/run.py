@@ -157,6 +157,54 @@ def _supervise(args, argv) -> int:
                        rc, time.time() - t0, attempt, args.supervise)
 
 
+def make_dev_cer_probe(cfg, model, dev_loader, max_batches: int = 4):
+    """Per-epoch greedy-decode CER over a fixed dev subset.
+
+    Wires the quality probe the reference's (unreachable) dev loop never had
+    (``otrans/train/trainer.py:112-121``): one beam-1 recognizer whose jitted
+    search takes params as an ARGUMENT, so every epoch reuses the same
+    compiled program — only epoch 0 pays the compile. Catches a collapsed
+    run (degenerate short outputs, CER ~100%) at epoch 1 instead of after
+    hours of training + averaging + decode.
+    """
+    import jax.numpy as jnp
+
+    from ..data import load_idx2unit_map
+    from ..ops.levenshtein import ErrorRateAccumulator
+    from ..recognize.base import SpeechToTextRecognizer
+
+    idx2unit = load_idx2unit_map(cfg["data"]["vocab"])
+    recognizer = SpeechToTextRecognizer(
+        model, params=None, beam_width=1,
+        max_len=int(cfg["train"].get("dev_cer_max_len", 32)),
+        idx2unit=idx2unit,
+    )
+    batches = []
+    for i, (utt_ids, inputs, _targets) in enumerate(dev_loader):
+        if i >= max_batches:
+            break
+        batches.append((utt_ids, jnp.asarray(inputs["inputs"]),
+                        jnp.asarray(inputs["mask"])))
+    targets_dict = getattr(dev_loader.dataset, "targets_dict", {})
+
+    def probe(params, epoch):
+        recognizer.params = params
+        cer = ErrorRateAccumulator()
+        n_utts = 0
+        for utt_ids, feats, mask in batches:
+            texts, _scores = recognizer.recognize(feats, mask)
+            for i, utt in enumerate(utt_ids):
+                ref = " ".join(idx2unit.get(t, "<UNK>")
+                               for t in targets_dict.get(utt, []))
+                cer.update(ref.split(), texts[i][0].split())
+                n_utts += 1
+        logger.info("epoch %d dev greedy CER %.2f%% (%d/%d tokens, %d utts)",
+                    epoch, cer.rate * 100, cer.errors, cer.tokens, n_utts)
+        return cer.rate
+
+    return probe
+
+
 def main(argv=None) -> int:
     # test/CI escape hatch: this image's sitecustomize pins the TPU backend
     # and ignores JAX_PLATFORMS; supervised child processes (and CI) force a
@@ -244,6 +292,15 @@ def main(argv=None) -> int:
     if "dev" in cfg["data"]:
         dev_loader = FeatureLoader(cfg, "dev", is_eval=True, seed=args.seed, **shard_kw)
         logger.info("dev loader: %d batches", len(dev_loader))
+    dev_probe_fn = None
+    if (dev_loader is not None and not is_lm and preprocess_fn is None
+            and model_cfg["type"] == "speech2text"
+            and bool(cfg["train"].get("dev_cer_probe", False))
+            and jax.process_count() == 1):
+        dev_probe_fn = make_dev_cer_probe(
+            cfg, model, dev_loader,
+            max_batches=int(cfg["train"].get("dev_cer_batches", 4)))
+        logger.info("per-epoch dev greedy-CER probe enabled")
 
     ck = Checkpointer(expdir, config=cfg.raw,
                       async_save=args.async_save or bool(cfg["train"].get("async_save", False)))
@@ -256,7 +313,8 @@ def main(argv=None) -> int:
         train_cfg, model, mesh=mesh, expdir=expdir, checkpointer=ck,
         is_mixspeech=args.mixspeech, is_visual=args.visual, log_interval=args.log_interval,
         keep_last_n=args.keep_last_n_checkpoints, batch_fn=batch_fn,
-        is_debug=args.debug, dev_loader=dev_loader, preprocess_fn=preprocess_fn,
+        is_debug=args.debug, dev_loader=dev_loader, dev_probe_fn=dev_probe_fn,
+        preprocess_fn=preprocess_fn,
         pp_schedule=args.pp_schedule, pp_micro_batches=args.pp_micro_batches,
     )
 

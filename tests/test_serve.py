@@ -423,7 +423,7 @@ def test_serve_warmup_and_lm_fusion(trained_exp, tmp_path):
     from opentransformer_tpu.cli.serve import main as serve_main
 
     root, expdir = trained_exp
-    conf = os.path.join(root, "conf.yaml")
+    conf = os.path.join(root, "conf_speech2text.yaml")  # written by make_config
     cfg = _yaml.safe_load(open(conf))
     lm_cfg = {
         "data": {
