@@ -244,6 +244,12 @@ class KaldiDataset:
         elif self.normalization:
             feature = normalize_per_utterance(feature)
         if self.additive_noise_std > 0.0:
+            # NOTE: noise is added AFTER any CMVN/normalization above, i.e.
+            # it assumes UNNORMALIZED features (synth_bench keeps
+            # normalization off and bakes eval-split noise into the arks
+            # pre-normalization). Combining additive_noise_std with
+            # normalization/cmvn would normalize train features before the
+            # noise but eval features after it — don't mix them (ADVICE r3)
             noise_rng = self._rngs.spawn()
             feature = feature + self.additive_noise_std * noise_rng.standard_normal(
                 feature.shape

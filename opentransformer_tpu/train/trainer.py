@@ -144,6 +144,16 @@ class Trainer:
         if self.fused_update:
             if self.opt_type != "adam":
                 raise ValueError("train.fused_update supports optimizer_type adam only")
+            # the fused path re-derives betas/eps/weight_decay/adam_m_dtype
+            # itself; reject adam knobs it does not know about so a future
+            # build_optimizer option cannot be silently ignored here
+            known = {"lr", "betas", "eps", "weight_decay", "adam_m_dtype"}
+            unknown = set(self.opt_cfg) - known
+            if unknown:
+                raise ValueError(
+                    f"train.fused_update does not support optimizer keys "
+                    f"{sorted(unknown)}; use the default per-leaf path"
+                )
             if self.pp_schedule == "1f1b":
                 raise ValueError("train.fused_update does not compose with pp_schedule=1f1b")
             if mesh is not None and any(

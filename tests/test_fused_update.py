@@ -112,7 +112,10 @@ def test_fused_update_math_exact():
         v1, o1, _, gn1 = u1(v1, o1, copy(grads), ns, 1e-3, key)
         v2, o2, _, gn2 = u2(v2, o2, copy(grads), ns, 1e-3, key)
         grads = jax.tree_util.tree_map(lambda g: g * 0.9, grads)
-    assert float(gn1) == float(gn2)
+    # reduction-order tolerance, not bitwise identity: the two programs sum
+    # squares per-leaf vs over one flat concat, so other backends/XLA
+    # versions may differ by a few ulps (ADVICE r3)
+    np.testing.assert_allclose(float(gn1), float(gn2), rtol=1e-6)
     for (k, a), (_, b) in zip(
         jax.tree_util.tree_leaves_with_path(v1),
         jax.tree_util.tree_leaves_with_path(v2),
