@@ -5,9 +5,13 @@ quality on trained weights.
 North-star (BASELINE.md): decoded utts/sec/chip + RTFx at CER parity on
 AISHELL-1; throughput goal >=20x real-time per v5e chip. Rows measured:
 
-  * headline: worst-case batch beam decode (flagship geometry d=256 /
-    vocab 4233, 12L encoder + KV-cached 6L decoder, beam=5, bf16, EOS
-    disabled so every decode runs all max_len steps) — BASELINE config #1;
+  * headline: RTFx AT CER PARITY on the trained synth_bench weights when
+    the exported checkpoint exists and scores <= 2% CER (BASELINE.md's
+    definition); otherwise the worst-case untrained number under an
+    explicit `..._worst_case_untrained` metric name;
+  * worst case: batch beam decode on random weights (flagship geometry
+    d=256 / vocab 4233, 12L encoder + KV-cached 6L decoder, beam=5, bf16,
+    EOS disabled so every decode runs all max_len steps) — BASELINE #1;
   * trained: CER + RTFx on the SAME trained weights (early exit ON) over
     the synthetic benchmark test split (data/synth.py), weights from
     egs/synth_bench/trained/ — the quality half of the north-star metric;
@@ -15,7 +19,10 @@ AISHELL-1; throughput goal >=20x real-time per v5e chip. Rows measured:
   * lm_fusion: beam decode with transformer-LM shallow fusion through the
     fused two-head projection→top-k kernel (config #4);
   * train: full training-step throughput (fwd+bwd+clip+adam) with MFU from
-    XLA's own FLOP count, at B16 (round-over-round continuity) and B64.
+    XLA's own FLOP count — B16/B64 through the Trainer's steps_per_exec
+    path, plus large-batch rows (B256/B512/B64x4-accum) with
+    device-generated features (a host-stacked B256 input would be 4.2 GB
+    of tunnel H2D).
 
 Timing through the tunnel: block_until_ready is unreliable and per-dispatch
 latency is 0.3-2 s (CLAUDE.md), so every measurement scans its batches
@@ -308,6 +315,111 @@ def train_throughput(model, b=16, t=512, u=32, iters=20, label="", fused=False):
     return out
 
 
+def train_throughput_devgen(model, b, t, u, iters=20, accum=1, label=""):
+    """Training throughput at LARGE per-chip batch (VERDICT r3 #4).
+
+    Same math as `train_throughput` (fwd+bwd through the model, grad
+    accumulation, then the Trainer's own `_update_core`: clip + NaN-guard +
+    torch-Adam), but features are generated ON DEVICE per scan step from
+    PRNG keys — a [20, 256, 512, 40] f32 host-stacked input would be 4.2 GB
+    of H2D through the 96 MB/s tunnel and most of HBM, which is why the r3
+    bench stopped at B64. Distinct keys per step and per timed call keep the
+    dispatches from deduping."""
+    from opentransformer_tpu.train.trainer import Trainer
+
+    from __graft_entry__ import TRAIN_CFG
+
+    trainer = Trainer({**TRAIN_CFG, "accum_steps": accum}, model,
+                      log_interval=10 ** 9)
+    trainer._update_fn = trainer._build_update_fn()  # sets _update_core
+    update_core = trainer._update_core
+
+    rng0 = np.random.default_rng(2)
+    tgt = np.ones((b, u + 2), np.int32)
+    tgt[:, 1:-1] = rng0.integers(3, 4000, (b, u))
+    tgt_d = jnp.asarray(tgt)
+    tlen = jnp.asarray([u + 1] * b, jnp.int32)
+    mask = jnp.ones((b, t), bool)
+
+    def loss_fn(p, feats, kd):
+        loss, _aux = model.apply({"params": p}, feats, mask, tgt_d, tlen,
+                                 deterministic=False, rngs={"dropout": kd},
+                                 train=True)
+        return loss
+
+    @jax.jit
+    def run(variables, opt_state, nan_skips, lrs, keys):
+        def body(carry, xs):
+            variables, opt_state, nan_skips = carry
+            lr, k = xs
+            k_micro, k_upd = jax.random.split(k)
+
+            def micro(gacc, kk):
+                kf, kd = jax.random.split(kk)
+                feats = jax.random.normal(kf, (b, t, 40), jnp.float32)
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    variables["params"], feats, kd)
+                gacc = jax.tree_util.tree_map(
+                    lambda a, g: a + g.astype(a.dtype) / accum, gacc, grads)
+                return gacc, loss
+
+            gacc0 = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), variables["params"])
+            gacc, losses = jax.lax.scan(micro, gacc0,
+                                        jax.random.split(k_micro, accum))
+            variables, opt_state, nan_skips, _gnorm = update_core(
+                variables, opt_state, gacc, nan_skips, lr, k_upd)
+            return (variables, opt_state, nan_skips), losses[-1]
+
+        (variables, opt_state, nan_skips), losses = jax.lax.scan(
+            body, (variables, opt_state, nan_skips), (lrs, keys))
+        return variables, opt_state, nan_skips, losses[-1]
+
+    batch = (None, {"inputs": jnp.zeros((b, t, 40), jnp.float32), "mask": mask},
+             {"targets": tgt_d, "targets_length": tlen})
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    lrs = jnp.full((iters,), 1e-4, jnp.float32)
+    v, opt, ns = state.params, state.opt_state, state.nan_skips
+
+    flops_per_update = None
+    try:
+        keys0 = jax.random.split(jax.random.PRNGKey(0), iters)
+        cost = run.lower(v, opt, ns, lrs, keys0).compile().cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops_per_update = float(cost["flops"]) / iters
+    except Exception as e:
+        import sys
+
+        print(f"cost_analysis unavailable ({type(e).__name__}: {e})",
+              file=sys.stderr)
+
+    v, opt, ns, last = run(v, opt, ns, lrs,
+                           jax.random.split(jax.random.PRNGKey(1), iters))
+    float(last)  # compile + warm
+    results = {"v": v, "opt": opt, "ns": ns, "i": 0}
+
+    def one_call():
+        k = jax.random.split(jax.random.PRNGKey(5 + results["i"]), iters)
+        v2, o2, n2, last = run(results["v"], results["opt"], results["ns"],
+                               lrs, k)
+        results.update(v=v2, opt=o2, ns=n2, i=results["i"] + 1)
+        float(last)
+
+    dt = median_timed(one_call)
+    ups = iters / dt
+    out = {
+        f"train_updates_per_sec{label}": round(ups, 3),
+        f"train_audio_sec_per_sec{label}": round(ups * accum * b * t * 0.01, 1),
+        f"train_config{label}": f"B{b}x{accum}accum T{t} U{u} x{iters}-step-scan "
+                                "fwd+bwd+clip+adam bf16 devgen-feats",
+    }
+    if flops_per_update:
+        out[f"train_mfu_pct{label}"] = round(
+            100.0 * flops_per_update * ups / V5E_PEAK_BF16, 2)
+        out[f"train_tflops_per_update{label}"] = round(flops_per_update / 1e12, 3)
+    return out
+
+
 def main() -> None:
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/jax_bench_cache"))
@@ -319,23 +431,45 @@ def main() -> None:
     mask = length_to_mask(jnp.asarray([FRAMES] * BATCH), FRAMES)
 
     rtfx, utts_per_sec = worst_case_decode(model, params, mask)
-    out = {
-        "metric": "aishell_flagship_beam5_decode_rtfx_per_chip",
-        "value": round(rtfx, 2),
-        "unit": "x_realtime",
-        "vs_baseline": round(rtfx / 20.0, 3),
-        "utts_per_sec_per_chip": round(utts_per_sec, 2),
-        "config": f"B{BATCH} T{FRAMES} beam{BEAM} steps{MAX_LEN} bf16 "
-                  f"no-early-exit x{ITERS}-batch-scan median-of-{TIMED_CALLS} "
-                  "fused-topk",
-        "device": str(jax.devices()[0]),
-    }
+    worst_config = (f"B{BATCH} T{FRAMES} beam{BEAM} steps{MAX_LEN} bf16 "
+                    f"no-early-exit x{ITERS}-batch-scan median-of-{TIMED_CALLS} "
+                    "fused-topk")
+    out = {"device": str(jax.devices()[0])}
 
     # quality + speed on the SAME trained weights (early exit ON)
+    trained = {}
     try:
-        out.update(trained_quality_and_speed())
+        trained = trained_quality_and_speed()
+        out.update(trained)
     except Exception as e:
         out["trained_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # headline: BASELINE.md defines the metric as RTFx AT CER PARITY, so the
+    # trained-weights number is the headline whenever the trained checkpoint
+    # exists and actually recognizes (<= 2% CER on the synthetic stand-in);
+    # the random-weights worst case is reported under an explicit
+    # worst_case_untrained name either way (VERDICT r3 #5)
+    cer = trained.get("cer_trained_pct")
+    if cer is not None and cer <= 2.0:
+        headline = {
+            "metric": "aishell_flagship_beam5_decode_rtfx_at_cer_parity_per_chip",
+            "value": trained["rtfx_trained"],
+            "unit": "x_realtime",
+            "vs_baseline": round(trained["rtfx_trained"] / 20.0, 3),
+            "utts_per_sec_per_chip": trained["utts_per_sec_trained"],
+        }
+    else:
+        headline = {
+            "metric": "aishell_flagship_beam5_decode_rtfx_worst_case_untrained",
+            "value": round(rtfx, 2),
+            "unit": "x_realtime",
+            "vs_baseline": round(rtfx / 20.0, 3),
+            "utts_per_sec_per_chip": round(utts_per_sec, 2),
+        }
+    out = {**headline, **out,
+           "rtfx_worst_case_untrained": round(rtfx, 2),
+           "utts_per_sec_worst_case": round(utts_per_sec, 2),
+           "worst_case_config": worst_config}
 
     # BASELINE tracked config #3: conformer encoder (worst case, B256)
     try:
@@ -369,14 +503,21 @@ def main() -> None:
     except Exception as e:
         out["lm_fusion_bench_error"] = f"{type(e).__name__}: {e}"[:200]
 
-    # training throughput + MFU at B16 (round continuity) and B64, each
-    # with the default per-leaf optimizer and the fused flat-buffer update
-    # (train.fused_update: clip+noise+adam+add on one raveled vector)
+    # training throughput + MFU: B16/B64 through the Trainer's real
+    # steps_per_exec path (round-over-round continuity), one fused row to
+    # keep the measured fused_update regression visible (docs cite it), and
+    # the large-batch lever rows (B256, B512, B64x4-accum at fixed per-chip
+    # micro-batch memory) with device-generated features — VERDICT r3 #4
     try:
         out.update(train_throughput(model))
         out.update(train_throughput(model, label="_fused", fused=True))
         out.update(train_throughput(model, b=64, label="_b64"))
-        out.update(train_throughput(model, b=64, label="_b64_fused", fused=True))
+        out.update(train_throughput_devgen(model, b=256, t=512, u=32,
+                                           label="_b256"))
+        out.update(train_throughput_devgen(model, b=512, t=512, u=32,
+                                           iters=10, label="_b512"))
+        out.update(train_throughput_devgen(model, b=64, t=512, u=32, accum=4,
+                                           label="_b64_accum4"))
     except Exception as e:
         out["train_bench_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(out))

@@ -91,6 +91,17 @@ def test_train_throughput_reports_mfu():
     assert "train_mfu_pct_t" in out
 
 
+def test_train_throughput_devgen_with_accum():
+    """The large-batch variant (device-generated feats + grad accumulation
+    through the Trainer's update core) runs and reports the same keys."""
+    model = tiny_model()
+    out = bench.train_throughput_devgen(model, b=2, t=32, u=4, iters=2,
+                                        accum=2, label="_dg")
+    assert out["train_updates_per_sec_dg"] > 0
+    assert "x2accum" in out["train_config_dg"]
+    assert "train_mfu_pct_dg" in out
+
+
 def test_trained_block_roundtrip(tmp_path, monkeypatch):
     """Export→reload params roundtrip + CER-0 scoring on an oracle decode."""
     import sys
