@@ -190,10 +190,61 @@ def micro():
     scan_op("beam_bookkeeping x1", book, (sc, tok))
 
 
+def conformer_compare(b=256):
+    """Matched-batch transformer-vs-conformer decode decomposition.
+
+    BENCH r3 reported rtfx_conformer 5,449 vs 20,004 for the transformer —
+    but the transformer headline ran at B512 while the conformer row ran at
+    B256, so the '3.7x' conflated encoder cost with batch efficiency. This
+    times encode and search separately at the SAME batch for both encoders
+    (the decoder is identical, so any true gap must live in encode:
+    rel-pos attention + the conv module)."""
+    import bench as bench_mod
+    from opentransformer_tpu.ops.masks import length_to_mask
+    from opentransformer_tpu.recognize.base import make_memory_search
+
+    mask = length_to_mask(jnp.asarray([FRAMES] * b), FRAMES)
+    rng = np.random.default_rng(3)
+    for enc in ("transformer", "conformer"):
+        model, _ = bench_mod.flagship_model(enc)
+        params = bench_mod.init_params(model)
+
+        @jax.jit
+        def encode(p, f, m, _model=model):
+            memory, memory_mask = _model.apply(p, f, m, method="encode")
+            return jnp.sum(memory.astype(jnp.float32)), memory, memory_mask
+
+        def enc_inputs(i):
+            return (params,
+                    jnp.asarray(rng.normal(size=(b, FRAMES, 40)), jnp.float32),
+                    mask)
+
+        t_enc = timed(lambda p, f, m: encode(p, f, m)[0], enc_inputs)
+        _, memory, memory_mask = encode(*enc_inputs(0))
+        search = make_memory_search(model, BEAM, 24, eos_id=-1)
+
+        @jax.jit
+        def run(p, mem, mem_mask, _s=search):
+            return jnp.sum(_s(p, mem, mem_mask).tokens)
+
+        def s_inputs(i):
+            eps = jnp.asarray(rng.normal(size=(1, 1, memory.shape[-1])) * 1e-3,
+                              memory.dtype)
+            return params, memory + eps, memory_mask
+
+        t_search = timed(run, s_inputs)
+        audio = b * FRAMES * 0.01
+        print(f"{enc:12s} B{b}: encode {t_enc * 1e3:8.2f} ms | "
+              f"search24 {t_search * 1e3:8.2f} ms | "
+              f"RTFx {audio / (t_enc + t_search):8.0f}", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="skip surgery runs")
     ap.add_argument("--micro", action="store_true", help="micro-op timings only")
+    ap.add_argument("--conformer", action="store_true",
+                    help="matched-batch transformer vs conformer decomposition")
     args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir",
@@ -202,6 +253,8 @@ def main():
 
     if args.micro:
         return micro()
+    if args.conformer:
+        return conformer_compare()
 
     from opentransformer_tpu.recognize.base import make_memory_search
 
