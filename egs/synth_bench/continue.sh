@@ -1,18 +1,30 @@
 #!/usr/bin/env bash
-# Continue flagship training (epochs 15-27, decayed lr) from the newest
+# Continue flagship training at a decayed constant lr (1e-4) from the newest
 # checkpoint in the expdir, then average/decode/export the final window.
-#   bash egs/synth_bench/continue.sh
+#
+#   bash egs/synth_bench/continue.sh [end_epoch]
+#
+# end_epoch (default 28, exclusive — matches train.epochs semantics) is
+# parameterized so the continuation can be sized to the wall-clock that is
+# actually available: epochs cost ~1.5-16 min each depending on host vCPUs
+# (the data pipeline is host-bound on 1-vCPU machines, CLAUDE.md), and a
+# SHORT continuation that finishes beats a long one that gets killed before
+# its stage-4 export. The averaging window is the last 5 trained epochs.
 set -euo pipefail
 cd "$(dirname "$0")/../.."
 export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 
+end_epoch=${1:-28}
 expdir=egs/synth_bench/exp
 conf=egs/synth_bench/conf/flagship_cont.yaml
-avg_from=23
-avg_to=27
+avg_to=$((end_epoch - 1))
+avg_from=$((end_epoch - 5))
 
-echo "=== continue: epochs 15-27 at lr 1e-4 ==="
-python run.py -c "$conf" --expdir "$expdir" --log_interval 50 -ct
+tmpconf=$(mktemp /tmp/flagship_cont_XXXX.yaml)
+sed "s/^  epochs: .*/  epochs: ${end_epoch}/" "$conf" > "$tmpconf"
+
+echo "=== continue: epochs ..${avg_to} at lr 1e-4 (conf: $tmpconf) ==="
+python run.py -c "$tmpconf" --expdir "$expdir" --log_interval 50 -ct
 
 echo "=== average ${avg_from}-${avg_to} ==="
 python tools/average.py "$expdir" "$avg_from" "$avg_to"
