@@ -572,25 +572,51 @@ class Trainer:
         )
 
     def _flush_pending(self, pending, epoch, span_t0, final=False):
-        """Drain queued (still-on-device) per-step losses into meters/logs.
+        """Drain queued (still-on-device) per-update losses into meters/logs.
+
+        Each pending entry covers one jitted dispatch — ``(losses, auxes,
+        lrs, gsteps, progress, gnorms)`` with losses ``[n_updates, accum]``
+        (or a flat list for a single update), auxes a matching dict / list of
+        dicts, and gnorms ``[n_updates]`` — and stays ON DEVICE until here.
+        The whole queue is fetched with ONE ``jax.device_get`` (its async
+        copy pass pipelines every buffer into a single host sync). Slicing
+        per-update device scalars out of the window arrays and ``float()``ing
+        them one by one — the previous scheme — cost two transport round
+        trips per update; at ~0.3-2 s dispatch/D2H latency on a tunneled TPU
+        (CLAUDE.md) that dominated the real epoch time 3x over the math.
         Returns a fresh span start time."""
         span = time.time() - span_t0
-        last = None
-        for losses, auxes, lr, gstep, progress, gnorm in pending:
-            vals = [float(x) for x in losses]
-            step_avg = sum(vals) / max(len(vals), 1)
-            self.mean_loss.update(step_avg)
-            if self.visualizer is not None:
-                self.visualizer.add_scalar("train_loss", step_avg, gstep)
-                self.visualizer.add_scalar("lr", lr, gstep)
-                if gnorm is not None:
-                    self.visualizer.add_scalar("grad_norm", float(gnorm), gstep)
-            last = (step_avg, auxes, lr, gstep, progress, gnorm)
+        fetched = jax.device_get(pending)
         pending.clear()
+        last = None
+        for losses, auxes, lrs, gsteps, progress, gnorms in fetched:
+            loss_mat = np.atleast_2d(np.asarray(losses, dtype=np.float64))
+            n_updates = loss_mat.shape[0]
+            if isinstance(auxes, dict):
+                aux_rows = [
+                    [{k: v[i, j] for k, v in auxes.items()}
+                     for j in range(loss_mat.shape[1])]
+                    for i in range(n_updates)
+                ]
+            else:  # single update: flat list of per-micro dicts
+                aux_rows = [list(auxes)]
+            gnorm_list = (list(np.ravel(np.asarray(gnorms, dtype=np.float64)))
+                          if gnorms is not None else [None] * n_updates)
+            for i in range(n_updates):
+                step_avg = float(loss_mat[i].mean())
+                self.mean_loss.update(step_avg)
+                if self.visualizer is not None:
+                    self.visualizer.add_scalar("train_loss", step_avg, gsteps[i])
+                    self.visualizer.add_scalar("lr", float(lrs[i]), gsteps[i])
+                    if gnorm_list[i] is not None:
+                        self.visualizer.add_scalar(
+                            "grad_norm", float(gnorm_list[i]), gsteps[i])
+                last = (step_avg, aux_rows[i], float(lrs[i]), gsteps[i],
+                        progress, gnorm_list[i])
         if last is not None and not final:
-            step_avg, auxes, lr, gstep, progress, gnorm = last
+            step_avg, aux_row, lr, gstep, progress, gnorm = last
             aux_meter = AuxiliaryLossAverageMeter()
-            for aux in auxes:
+            for aux in aux_row:
                 aux_meter.update({k: float(v) for k, v in aux.items()}, 1)
             # pre-clip global grad norm + cumulative NaN-skip count: the
             # collapse/instability telltales (VERDICT r3 weak #1) — fetched
@@ -601,8 +627,8 @@ class Trainer:
             logger.info(
                 "-Training-Epoch-%d(%.5f%%), Global Step:%d, lr:%.8f, Loss:%.5f, "
                 "AvgLoss: %.5f, Run Time:%.3f%s%s%s",
-                epoch, progress, gstep, lr, step_avg, self.mean_loss.mean(),
-                span, aux_meter.avg_infos, gn, sk,
+                epoch, float(progress), gstep, lr, step_avg,
+                self.mean_loss.mean(), span, aux_meter.avg_infos, gn, sk,
             )
         return time.time()
 
@@ -666,14 +692,20 @@ class Trainer:
         carry_losses: list = []
         carry_aux: list = []
 
-        def emit_updates(per_loss, per_aux, lrs, last_step, gs0, gnorms=None):
+        def emit_updates(losses, auxes, lrs, last_step, gs0, gnorms=None):
+            # losses/auxes/gnorms stay UNSLICED device arrays (or host lists
+            # for the single-step path): slicing per-update scalars out of a
+            # window array dispatches one tiny device program per update and
+            # float()ing them later costs another round trip each — on a
+            # tunneled TPU those round trips, not the math, dominated epoch
+            # time. _flush_pending batch-fetches the whole queue in one go.
             nonlocal span_t0
             progress = min(last_step + 1, n_batches) / max(n_batches, 1) * 100
-            for i in range(len(per_loss)):
+            gsteps = []
+            for _ in range(len(lrs)):
                 self.global_step += 1
-                pending.append((per_loss[i], per_aux[i], lrs[i],
-                                self.global_step, progress,
-                                gnorms[i] if gnorms is not None else None))
+                gsteps.append(self.global_step)
+            pending.append((losses, auxes, lrs, gsteps, progress, gnorms))
             if gs0 // self.log_interval != self.global_step // self.log_interval:
                 span_t0 = self._flush_pending(pending, epoch, span_t0)
             self._maybe_fault_inject()
@@ -691,14 +723,10 @@ class Trainer:
                 jnp.asarray(lrs, jnp.float32), keys,
             )
             self._last_nan_skips = nan_skips
-            # losses [N, A]; aux leaves [N, A]: one pending entry per update
-            # carrying its window's micro losses (same contract as the
-            # single-step loop's accumulation flush)
-            per_loss = [[losses[i, j] for j in range(accum)] for i in range(n_exec)]
-            per_aux = [[{k: v[i, j] for k, v in auxes.items()} for j in range(accum)]
-                       for i in range(n_exec)]
-            emit_updates(per_loss, per_aux, lrs, last_step, gs0,
-                         gnorms=[gnorms[i] for i in range(n_exec)])
+            # losses [N, A]; aux leaves [N, A]; gnorms [N] — queued whole,
+            # one pending entry per dispatch (same meter/log semantics as the
+            # single-step loop's accumulation flush, expanded at flush time)
+            emit_updates(losses, auxes, lrs, last_step, gs0, gnorms=gnorms)
 
         def run_single(args, last_step, flush_partial=False):
             # one micro-batch through the single-step cores, updating when
@@ -723,7 +751,7 @@ class Trainer:
                     params, opt_state, carry_gacc, nan_skips, lr, k2
                 )
                 self._last_nan_skips = nan_skips
-                emit_updates([carry_losses], [carry_aux], [lr], last_step, gs0,
+                emit_updates(carry_losses, carry_aux, [lr], last_step, gs0,
                              gnorms=[gnorm])
                 carry_losses, carry_aux = [], []
                 carry_gacc = None
@@ -776,7 +804,7 @@ class Trainer:
         # dispatch (the whole point of the two-compiled-fn design).
         micro_losses: list = []
         micro_aux: list = []
-        pending: list = []  # (losses, auxes, lr, global_step, progress)
+        pending: list = []  # (losses, auxes, [lr], [gstep], progress, [gnorm])
 
         def flush(final: bool = False):
             return self._flush_pending(pending, epoch, span_t0, final)
@@ -812,8 +840,8 @@ class Trainer:
                 self._last_nan_skips = nan_skips
                 self.global_step += 1
                 progress = (step + 1) / max(n_batches, 1) * 100
-                pending.append((micro_losses, micro_aux, lr, self.global_step,
-                                progress, gnorm))
+                pending.append((micro_losses, micro_aux, [lr],
+                                [self.global_step], progress, [gnorm]))
                 micro_losses, micro_aux = [], []
                 grad_accum = self._zeros_like_grads(params)
                 micro = 0
