@@ -26,6 +26,7 @@ from ..train.trainer import (
     TrainState,
     default_speech_batch,
     lm_batch,
+    resident_speech_batch,
     wave_speech_batch,
 )
 
@@ -288,12 +289,29 @@ def main(argv=None) -> int:
         shard_kw = {"num_shards": jax.process_count(), "shard_id": jax.process_index()}
     loader = FeatureLoader(cfg, "train", seed=args.seed, **shard_kw)
     logger.info("train loader: %d batches", len(loader))
+    eval_kw = {}
+    if preprocess_fn is not None:
+        # extract_on_device: the dev loader stays on the host feature path
+        eval_kw = {"eval_batch_fn": default_speech_batch, "eval_preprocess_fn": None}
+    device_resident = getattr(loader, "device_resident", False)
+    if device_resident:
+        # corpus features live in HBM; the train step gathers rows by index
+        # and applies noise + SpecAugment on device (data/resident.py)
+        from ..data.resident import make_resident_preprocess
+
+        corpus, corpus_lens = loader.build_resident_corpus()
+        preprocess_fn, _ = make_resident_preprocess(
+            cfg["data"], corpus, corpus_lens, mesh=mesh)
+        del corpus  # host copy freed; the device copy is the working one
+        batch_fn = resident_speech_batch
+        eval_kw = {"eval_batch_fn": default_speech_batch, "eval_preprocess_fn": None}
     dev_loader = None
     if "dev" in cfg["data"]:
         dev_loader = FeatureLoader(cfg, "dev", is_eval=True, seed=args.seed, **shard_kw)
         logger.info("dev loader: %d batches", len(dev_loader))
     dev_probe_fn = None
-    if (dev_loader is not None and not is_lm and preprocess_fn is None
+    if (dev_loader is not None and not is_lm
+            and (preprocess_fn is None or device_resident)
             and model_cfg["type"] == "speech2text"
             and bool(cfg["train"].get("dev_cer_probe", False))
             and jax.process_count() == 1):
@@ -314,7 +332,7 @@ def main(argv=None) -> int:
         is_mixspeech=args.mixspeech, is_visual=args.visual, log_interval=args.log_interval,
         keep_last_n=args.keep_last_n_checkpoints, batch_fn=batch_fn,
         is_debug=args.debug, dev_loader=dev_loader, dev_probe_fn=dev_probe_fn,
-        preprocess_fn=preprocess_fn,
+        preprocess_fn=preprocess_fn, **eval_kw,
         pp_schedule=args.pp_schedule, pp_micro_batches=args.pp_micro_batches,
     )
 

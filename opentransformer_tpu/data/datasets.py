@@ -259,6 +259,13 @@ class KaldiDataset:
         targets = self.targets_dict[utt_id]
         return utt_id, feature.astype(np.float32), feature.shape[0], targets, len(targets)
 
+    def target_row(self, index: int):
+        """(utt_id, target ids) WITHOUT reading features — the
+        device-resident pipeline collates targets host-side but features
+        live in HBM (resident.py)."""
+        utt_id = self.file_list[index][0]
+        return utt_id, self.targets_dict[utt_id]
+
     def index_length_pair(self) -> list[tuple[int, int]]:
         if self.lengths_file:
             lmap = {}
@@ -312,6 +319,11 @@ class ESPNetDataset:
         if self.apply_spec_augment:
             feature = spec_augment(feature, rng=self._rngs.spawn(), **self.spec_augment_config)
         return utt_id, feature.astype(np.float32), feature.shape[0], targets, len(targets)
+
+    def target_row(self, index: int):
+        """(utt_id, target ids) without reading features (resident.py)."""
+        utt_id, _, targets, _ = self.utts[index]
+        return utt_id, targets
 
     def index_length_pair(self) -> list[tuple[int, int]]:
         return [(i, n) for i, (_, _, _, n) in enumerate(self.utts)]

@@ -44,6 +44,26 @@ def quantize(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 
 
+def collate_targets(tgts, ulens, target_pad_multiple: int = 8):
+    """Target ids → (BOS ⧺ y ⧺ EOS ⧺ PAD…, bool mask, targets_length=len+1),
+    padded to a fixed quantum — shared by the host collate and the
+    device-resident pipeline (features live in HBM, targets stay host-side)."""
+    b = len(tgts)
+    u_max = quantize(max(ulens) + 2, target_pad_multiple)  # BOS + y + EOS
+    y = np.full((b, u_max), PAD, np.int32)
+    y_mask = np.zeros((b, u_max), bool)
+    for i in range(b):
+        y[i, 0] = BOS
+        y[i, 1 : 1 + ulens[i]] = tgts[i]
+        y[i, 1 + ulens[i]] = EOS
+        y_mask[i, : ulens[i] + 2] = True
+    return {
+        "targets": y,
+        "targets_length": np.asarray(ulens, np.int32) + 1,  # + EOS, no BOS
+        "mask": y_mask,
+    }
+
+
 def collate_speech(samples, pad_to_frames: Optional[int] = None, target_pad_multiple: int = 8):
     """[(utt, feat[T,F], T, targets, U)] → (utt_ids, inputs dict, targets dict)."""
     utt_ids = [s[0] for s in samples]
@@ -74,31 +94,18 @@ def collate_speech(samples, pad_to_frames: Optional[int] = None, target_pad_mult
                 utt_ids[int(np.argmax(tlens))],
                 "" if _truncation_warnings < 5 else "; suppressing further warnings")
         tlens = [min(t, t_max) for t in tlens]
-    u_max = quantize(max(ulens) + 2, target_pad_multiple)  # BOS + y + EOS
-
     x = np.zeros((b, t_max, f), np.float32)
     x_mask = np.zeros((b, t_max), bool)
-    y = np.full((b, u_max), PAD, np.int32)
-    y_mask = np.zeros((b, u_max), bool)
     for i in range(b):
         x[i, : tlens[i]] = feats[i][: tlens[i]]
         x_mask[i, : tlens[i]] = True
-        y[i, 0] = BOS
-        y[i, 1 : 1 + ulens[i]] = tgts[i]
-        y[i, 1 + ulens[i]] = EOS
-        y_mask[i, : ulens[i] + 2] = True
 
     inputs = {
         "inputs": x,
         "inputs_length": np.asarray(tlens, np.int32),
         "mask": x_mask,
     }
-    targets = {
-        "targets": y,
-        "targets_length": np.asarray(ulens, np.int32) + 1,  # + EOS, no BOS
-        "mask": y_mask,
-    }
-    return utt_ids, inputs, targets
+    return utt_ids, inputs, collate_targets(tgts, ulens, target_pad_multiple)
 
 
 def collate_text(samples, target_pad_multiple: int = 8):
@@ -224,6 +231,19 @@ class FeatureLoader:
             and dtype_name == "online"
             and not is_eval
         )
+        # device-resident corpus (resident.py): precomputed-feature train
+        # splits ship [B] int32 gather indices instead of padded features —
+        # the corpus lives in HBM. Train-only, single-process (each multihost
+        # process would need its own shard upload — not implemented).
+        want_resident = bool(data_cfg.get("device_resident", False)) and not is_eval
+        self.device_resident = (
+            want_resident and dtype_name in ("kaldi", "espnet") and self.num_shards == 1
+        )
+        if want_resident and not self.device_resident:
+            logger.warning(
+                "device_resident requested but unsupported here "
+                "(dataset_type=%s, num_shards=%d) — using the host path",
+                dtype_name, self.num_shards)
 
         self.batch_size = int(batch_size or data_cfg.get("batch_size", 16))
         bucket_cfg = data_cfg.get("bucket", None)
@@ -254,6 +274,49 @@ class FeatureLoader:
     def __len__(self) -> int:
         return len(self.sampler)
 
+    def build_resident_corpus(self, storage_dtype: Optional[str] = None):
+        """Read the whole corpus (augmentation OFF — it moves on-device) into
+        a padded [N, T_max, D] array + [N] lengths for one-time HBM upload.
+        T_max covers the largest bucket boundary so the resident shape equals
+        the host path's padded shape (same compiled programs)."""
+        if not self.device_resident:
+            raise RuntimeError("loader is not in device_resident mode")
+        from .resident import build_corpus
+
+        storage_dtype = storage_dtype or str(
+            self.data_cfg.get("device_resident_dtype", "float16"))
+        bucket_cfg = self.data_cfg.get("bucket", None)
+        if bucket_cfg and not self.is_text:
+            boundaries = bucket_cfg.get("bucket_boundaries", DEFAULT_BOUNDARIES)
+            pad_to = max(boundaries)
+            pad_multiple = int(bucket_cfg.get("overlong_pad_multiple", 256))
+        else:
+            pad_to = 0
+            pad_multiple = int(self.data_cfg.get("frame_pad_multiple", 32))
+        ds = self.dataset
+        saved = (getattr(ds, "apply_spec_augment", False),
+                 getattr(ds, "additive_noise_std", 0.0))
+        ds.apply_spec_augment = False
+        if hasattr(ds, "additive_noise_std"):
+            ds.additive_noise_std = 0.0
+        try:
+            return build_corpus(ds, pad_to_frames=pad_to,
+                                pad_multiple=pad_multiple,
+                                storage_dtype=storage_dtype)
+        finally:
+            ds.apply_spec_augment = saved[0]
+            if hasattr(ds, "additive_noise_std"):
+                ds.additive_noise_std = saved[1]
+
+    def _resident_batch(self, idxs):
+        """(utt_ids, {corpus_idx}, target dict) — features stay in HBM."""
+        rows = [self.dataset.target_row(i) for i in idxs]
+        utt_ids = [u for u, _ in rows]
+        tgts = [t for _, t in rows]
+        ulens = [len(t) for t in tgts]
+        inputs = {"corpus_idx": np.asarray(idxs, np.int32)}
+        return utt_ids, inputs, collate_targets(tgts, ulens, self.target_pad_multiple)
+
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
         self.sampler.set_epoch(epoch)
@@ -270,6 +333,9 @@ class FeatureLoader:
                 # batch has fewer rows than hosts, repeat row 0 (rare tail)
                 sliced = idxs[self.shard_id :: self.num_shards]
                 idxs = sliced if sliced else [idxs[0]]
+            if self.device_resident:
+                yield self._resident_batch(idxs)
+                continue
             if pool is not None:
                 samples = list(pool.map(self.dataset.__getitem__, idxs))
             else:

@@ -81,13 +81,23 @@ class Trainer:
         static_kwargs: Optional[dict] = None,
         is_debug: bool = False,
         preprocess_fn=None,
+        eval_batch_fn=None,
+        eval_preprocess_fn="inherit",
         pp_schedule: Optional[str] = None,
         pp_micro_batches: Optional[int] = None,
     ):
         # optional jit-compatible device preprocessing (e.g. on-device fbank +
-        # SpecAugment, data/device_pipeline.py): maps raw batch_fn args +
-        # (rng, train) to model.apply args inside the compiled loss step.
+        # SpecAugment, data/device_pipeline.py; corpus gather, data/resident.py):
+        # maps raw batch_fn args + (rng, train) to model.apply args inside the
+        # compiled loss step.
         self.preprocess_fn = preprocess_fn
+        # dev-loss eval may consume differently-shaped batches than training
+        # (device-resident / on-device-extraction train loaders emit indices
+        # or waveforms while the dev loader stays on the host feature path):
+        # these override the train-side adapters for _eval_dev only.
+        self.eval_batch_fn = eval_batch_fn
+        self.eval_preprocess_fn = (preprocess_fn if eval_preprocess_fn == "inherit"
+                                   else eval_preprocess_fn)
         # -debug truncates an epoch after 30 steps (reference trainer.py:254-255)
         self.is_debug = is_debug
         self.model = model
@@ -104,6 +114,7 @@ class Trainer:
         self.dev_probe_fn = dev_probe_fn
         self._last_nan_skips = None
         self.batch_fn = batch_fn or default_speech_batch
+        self.eval_batch_fn = self.eval_batch_fn or self.batch_fn
         if static_kwargs is None:
             # speech models thread a static `train` flag (conformer conv norm);
             # LMs don't accept it.
@@ -539,7 +550,7 @@ class Trainer:
                 k: (False if k == "train" else v) for k, v in self.static_kwargs.items()
             }
 
-            preprocess = self.preprocess_fn
+            preprocess = self.eval_preprocess_fn
 
             @jax.jit
             def eval_step(params, args):
@@ -553,7 +564,7 @@ class Trainer:
             self._eval_fn = eval_step
         total, n = 0.0, 0
         for batch in dev_loader:
-            args = self._shard_batch(self.batch_fn(batch))
+            args = self._shard_batch(self.eval_batch_fn(batch))
             total += float(self._eval_fn(state.params, args))
             n += 1
         return total / max(n, 1)
@@ -892,6 +903,17 @@ def wave_speech_batch(batch):
     return (
         jnp.asarray(inputs["waveforms"]),
         jnp.asarray(inputs["wave_lengths"]),
+        jnp.asarray(targets["targets"]),
+        jnp.asarray(targets["targets_length"]),
+    )
+
+
+def resident_speech_batch(batch):
+    """(utt, inputs, targets) with HBM-resident features (data/resident.py):
+    inputs carry only the [B] int32 corpus gather index."""
+    _, inputs, targets = batch
+    return (
+        jnp.asarray(inputs["corpus_idx"]),
         jnp.asarray(targets["targets"]),
         jnp.asarray(targets["targets_length"]),
     )
