@@ -14,7 +14,7 @@ set -euo pipefail
 cd "$(dirname "$0")/../.."
 export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 
-end_epoch=${1:-28}
+end_epoch=${1:-40}
 expdir=egs/synth_bench/exp
 conf=egs/synth_bench/conf/flagship_cont.yaml
 avg_to=$((end_epoch - 1))

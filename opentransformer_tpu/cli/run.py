@@ -300,11 +300,15 @@ def main(argv=None) -> int:
         from ..data.resident import make_resident_preprocess
 
         corpus, corpus_lens = loader.build_resident_corpus()
-        preprocess_fn, _ = make_resident_preprocess(
+        preprocess_fn, resident_state = make_resident_preprocess(
             cfg["data"], corpus, corpus_lens, mesh=mesh)
         del corpus  # host copy freed; the device copy is the working one
         batch_fn = resident_speech_batch
-        eval_kw = {"eval_batch_fn": default_speech_batch, "eval_preprocess_fn": None}
+        eval_kw = {"eval_batch_fn": default_speech_batch,
+                   "eval_preprocess_fn": None,
+                   # threaded as a jit argument — NOT closure-captured — so
+                   # the corpus never lands in the compile payload
+                   "preprocess_state": resident_state}
     dev_loader = None
     if "dev" in cfg["data"]:
         dev_loader = FeatureLoader(cfg, "dev", is_eval=True, seed=args.seed, **shard_kw)

@@ -128,9 +128,16 @@ def make_resident_preprocess(data_cfg: Any, corpus, lens, mesh=None):
         gb * 1000 / max(dt, 1e-9),
     )
 
-    def preprocess_fn(corpus_idx, targets, targets_length, *, rng, train):
-        x = jnp.take(feats_dev, corpus_idx, axis=0).astype(jnp.float32)
-        xl = jnp.take(lens_dev, corpus_idx, axis=0)
+    def preprocess_fn(corpus_idx, targets, targets_length, *, rng, train,
+                      state=None):
+        # Inside a jitted train step the corpus MUST arrive via ``state``
+        # (Trainer.preprocess_state): a closure-captured jax.Array becomes
+        # an embedded program constant, and a ~2 GB constant overflows
+        # remote-compile transports (HTTP 413 on the tunneled TPU). The
+        # closure fallback exists for direct host-side calls only.
+        feats, flens = state if state is not None else (feats_dev, lens_dev)
+        x = jnp.take(feats, corpus_idx, axis=0).astype(jnp.float32)
+        xl = jnp.take(flens, corpus_idx, axis=0)
         mask = length_to_mask(xl, x.shape[1])
         if train and noise_std > 0.0:
             rng, r = jax.random.split(rng)

@@ -81,6 +81,7 @@ class Trainer:
         static_kwargs: Optional[dict] = None,
         is_debug: bool = False,
         preprocess_fn=None,
+        preprocess_state=None,
         eval_batch_fn=None,
         eval_preprocess_fn="inherit",
         pp_schedule: Optional[str] = None,
@@ -91,6 +92,13 @@ class Trainer:
         # maps raw batch_fn args + (rng, train) to model.apply args inside the
         # compiled loss step.
         self.preprocess_fn = preprocess_fn
+        # large device arrays the preprocess reads (e.g. the HBM-resident
+        # corpus, data/resident.py) MUST be threaded as jit ARGUMENTS, not
+        # closure captures: a captured concrete jax.Array is embedded in the
+        # lowered program as a constant, which balloons the compile payload
+        # (a 1.8 GB corpus overflows remote-compile transports outright).
+        # When set, this pytree is passed to preprocess_fn as `state=`.
+        self.preprocess_state = preprocess_state
         # dev-loss eval may consume differently-shaped batches than training
         # (device-resident / on-device-extraction train loaders emit indices
         # or waveforms while the dev loader stays on the host feature path):
@@ -201,7 +209,10 @@ class Trainer:
     def init_state(self, rng, sample_batch) -> TrainState:
         args = self.batch_fn(sample_batch)
         if self.preprocess_fn is not None:
-            args = self.preprocess_fn(*args, rng=jax.random.PRNGKey(0), train=False)
+            state_kw = ({} if self.preprocess_state is None
+                        else {"state": self.preprocess_state})
+            args = self.preprocess_fn(*args, rng=jax.random.PRNGKey(0),
+                                      train=False, **state_kw)
         params = self.model.init(rng, *args)
         if self.mesh is not None:
             shardings = param_shardings(params, self.mesh)
@@ -239,14 +250,15 @@ class Trainer:
         static_kwargs = dict(self.static_kwargs)
         preprocess = self.preprocess_fn
 
-        def loss_fn(trainable, aux_cols, args, rng):
+        def loss_fn(trainable, aux_cols, args, rng, pstate):
             # aux_cols: non-trainable collections (e.g. batch_stats for the
             # BatchNorm variants) threaded through and updated each step
             variables = {"params": trainable, **aux_cols}
             mutable = list(aux_cols.keys())
             if preprocess is not None:
                 prng, rng = jax.random.split(rng)
-                args = preprocess(*args, rng=prng, train=True)
+                args = preprocess(*args, rng=prng, train=True,
+                                  **({} if pstate is None else {"state": pstate}))
             new_cols = {}
             if mix:
                 feats, feat_mask, targets, targets_length = args
@@ -284,11 +296,11 @@ class Trainer:
                     loss, aux = out
             return loss / accum, (loss, aux, new_cols)
 
-        def grad_step(variables, grad_accum, args, rng):
+        def grad_step(variables, grad_accum, args, rng, pstate=None):
             trainable = variables["params"]
             aux_cols = {k: v for k, v in variables.items() if k != "params"}
             (scaled, (loss, aux, new_cols)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                trainable, aux_cols, args, rng
+                trainable, aux_cols, args, rng, pstate
             )
             grad_accum = jax.tree_util.tree_map(lambda a, g: a + g.astype(a.dtype), grad_accum, grads)
             new_variables = {"params": trainable, **{k: new_cols.get(k, v) for k, v in aux_cols.items()}}
@@ -306,7 +318,7 @@ class Trainer:
         accum = self.accum_steps
         preprocess = self.preprocess_fn
 
-        def grad_step(variables, grad_accum, args, rng):
+        def grad_step(variables, grad_accum, args, rng, pstate=None):
             aux_cols = {k: v for k, v in variables.items() if k != "params"}
             if aux_cols:
                 raise ValueError(
@@ -315,7 +327,8 @@ class Trainer:
                 )
             if preprocess is not None:
                 prng, rng = jax.random.split(rng)
-                args = preprocess(*args, rng=prng, train=True)
+                args = preprocess(*args, rng=prng, train=True,
+                                  **({} if pstate is None else {"state": pstate}))
             loss, grads, aux = core(variables["params"], args, rng)
             grad_accum = jax.tree_util.tree_map(
                 lambda a, g: a + g.astype(a.dtype) / accum, grad_accum, grads
@@ -438,7 +451,8 @@ class Trainer:
         update_core = self._update_core
         accum = self.accum_steps
 
-        def multi(variables, opt_state, nan_skips, stacked_args, lrs, keys):
+        def multi(variables, opt_state, nan_skips, stacked_args, lrs, keys,
+                  pstate=None):
             def body(carry, inp):
                 variables, opt_state, nan_skips = carry
                 args, lr, key = inp  # args leaves: [A, B, ...]
@@ -450,7 +464,10 @@ class Trainer:
                 def micro_body(mcarry, minp):
                     variables, gacc = mcarry
                     margs, mkey = minp
-                    variables, gacc, loss, aux = grad_core(variables, gacc, margs, mkey)
+                    # pstate rides in from the outer jit as a tracer (a scan
+                    # constant), never as an embedded program constant
+                    variables, gacc, loss, aux = grad_core(
+                        variables, gacc, margs, mkey, pstate)
                     return (variables, gacc), (loss, aux)
 
                 (variables, gacc), (losses, auxes) = jax.lax.scan(
@@ -731,7 +748,7 @@ class Trainer:
             gs0 = self.global_step
             params, opt_state, nan_skips, losses, auxes, gnorms = self._multi_fn(
                 params, opt_state, nan_skips, stack_group(group),
-                jnp.asarray(lrs, jnp.float32), keys,
+                jnp.asarray(lrs, jnp.float32), keys, self.preprocess_state,
             )
             self._last_nan_skips = nan_skips
             # losses [N, A]; aux leaves [N, A]; gnorms [N] — queued whole,
@@ -750,7 +767,7 @@ class Trainer:
                 rng, k1 = jax.random.split(rng)
                 args = self._shard_batch(args)
                 params, carry_gacc, loss, aux = self._grad_fn(
-                    params, carry_gacc, args, k1)
+                    params, carry_gacc, args, k1, self.preprocess_state)
                 carry_losses.append(loss)
                 carry_aux.append(aux)
                 carry_micro += 1
@@ -837,7 +854,8 @@ class Trainer:
                     skip = True
             if not skip:
                 rng, r1 = jax.random.split(rng)
-                params, grad_accum, loss, aux = self._grad_fn(params, grad_accum, args, r1)
+                params, grad_accum, loss, aux = self._grad_fn(
+                    params, grad_accum, args, r1, self.preprocess_state)
                 micro_losses.append(loss)
                 micro_aux.append(aux)
                 micro += 1

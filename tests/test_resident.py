@@ -47,14 +47,15 @@ def _resident_setup(cfg, mesh=None):
     loader = FeatureLoader(cfg, "train", seed=7)
     assert loader.device_resident
     corpus, lens = loader.build_resident_corpus()
-    preprocess, _ = make_resident_preprocess(cfg["data"], corpus, lens, mesh=mesh)
-    return loader, preprocess
+    preprocess, state = make_resident_preprocess(cfg["data"], corpus, lens,
+                                                 mesh=mesh)
+    return loader, preprocess, state
 
 
 def test_resident_batch_matches_host_collate(corpus_root):
     cfg = _load_cfg(corpus_root, device_resident=True,
                     device_resident_dtype="float32")
-    res_loader, preprocess = _resident_setup(cfg)
+    res_loader, preprocess, state = _resident_setup(cfg)
     host_loader = FeatureLoader(load_config(
         os.path.join(corpus_root, "conf_speech2text.yaml")), "train", seed=7)
     assert not host_loader.device_resident
@@ -73,7 +74,7 @@ def test_resident_batch_matches_host_collate(corpus_root):
             jnp.asarray(r_inputs["corpus_idx"]),
             jnp.asarray(r_targets["targets"]),
             jnp.asarray(r_targets["targets_length"]),
-            rng=jax.random.PRNGKey(0), train=False)
+            rng=jax.random.PRNGKey(0), train=False, state=state)
         t_host = h_inputs["inputs"].shape[1]
         # resident pads to the corpus max; the host batch pad never exceeds it
         assert feats.shape[1] >= t_host
@@ -90,7 +91,7 @@ def test_resident_augmentation_masked_and_fresh(corpus_root):
     noise_cfg = _load_cfg(corpus_root, device_resident=True,
                           additive_noise_std=0.3,
                           device_resident_dtype="float32")
-    loader, preprocess = _resident_setup(noise_cfg)
+    loader, preprocess, _ = _resident_setup(noise_cfg)
     batch = next(iter(loader))
     _, inputs, targets = batch
     idx = jnp.asarray(inputs["corpus_idx"])
@@ -116,7 +117,7 @@ def test_resident_augmentation_masked_and_fresh(corpus_root):
                                              "time_mask_num": 1,
                                              "freq_mask_rate": 0.2,
                                              "time_mask_rate": 0.05})
-    _, aug_preprocess = _resident_setup(aug_cfg)
+    _, aug_preprocess, _ = _resident_setup(aug_cfg)
     a1, amask, *_ = aug_preprocess(idx, y, yl, rng=jax.random.PRNGKey(1),
                                    train=True)
     a1, amask = np.asarray(a1), np.asarray(amask)
@@ -128,9 +129,10 @@ def _run_steps(cfg, resident, mesh=None, steps=4, steps_per_exec=None):
     """Train `steps` optimizer updates through the Trainer; return losses."""
     model = build_model(cfg["model"], dtype=jnp.float32)
     if resident:
-        loader, preprocess = _resident_setup(cfg, mesh=mesh)
+        loader, preprocess, state = _resident_setup(cfg, mesh=mesh)
         batch_fn = resident_speech_batch
         kw = {"preprocess_fn": preprocess,
+              "preprocess_state": state,
               "eval_batch_fn": default_speech_batch,
               "eval_preprocess_fn": None}
     else:
@@ -213,13 +215,13 @@ def test_resident_fallbacks(corpus_root):
 
 def test_resident_f16_storage_quantization(corpus_root):
     cfg = _load_cfg(corpus_root, device_resident=True)  # default float16
-    loader, preprocess = _resident_setup(cfg)
+    loader, preprocess, state = _resident_setup(cfg)
     batch = next(iter(loader))
     _, inputs, targets = batch
     feats, *_ = preprocess(jnp.asarray(inputs["corpus_idx"]),
                            jnp.asarray(targets["targets"]),
                            jnp.asarray(targets["targets_length"]),
-                           rng=jax.random.PRNGKey(0), train=False)
+                           rng=jax.random.PRNGKey(0), train=False, state=state)
     assert feats.dtype == jnp.float32
     host = FeatureLoader(load_config(
         os.path.join(corpus_root, "conf_speech2text.yaml")), "train", seed=7)
