@@ -1,44 +1,53 @@
 #!/usr/bin/env python
 """Benchmark: decode + train throughput on one TPU chip, plus recognition
-quality on trained weights.
+quality on trained weights. BUDGET-SAFE: always prints its one JSON line.
 
-North-star (BASELINE.md): decoded utts/sec/chip + RTFx at CER parity on
-AISHELL-1; throughput goal >=20x real-time per v5e chip. Rows measured:
+North-star (BASELINE.md): decoded utts/sec/chip + RTFx AT CER PARITY on
+AISHELL-1 (synthetic stand-in in this zero-egress image); throughput goal
+>=20x real-time per v5e chip. Rows, in priority order (the budget gate can
+skip the tail, never the head):
 
-  * headline: RTFx AT CER PARITY on the trained synth_bench weights when
-    the exported checkpoint exists and scores <= 2% CER (BASELINE.md's
-    definition); otherwise the worst-case untrained number under an
-    explicit `..._worst_case_untrained` metric name;
-  * worst case: batch beam decode on random weights (flagship geometry
-    d=256 / vocab 4233, 12L encoder + KV-cached 6L decoder, beam=5, bf16,
-    EOS disabled so every decode runs all max_len steps) — BASELINE #1;
-  * trained: CER + RTFx on the SAME trained weights (early exit ON) over
-    the synthetic benchmark test split (data/synth.py), weights from
-    egs/synth_bench/trained/ — the quality half of the north-star metric;
-  * conformer: worst-case decode with the conformer encoder (config #3);
-  * lm_fusion: beam decode with transformer-LM shallow fusion through the
-    fused two-head projection→top-k kernel (config #4);
-  * train: full training-step throughput (fwd+bwd+clip+adam) with MFU from
-    XLA's own FLOP count — B16/B64 through the Trainer's steps_per_exec
-    path, plus large-batch rows (B256/B512/B64x4-accum) with
-    device-generated features (a host-stacked B256 input would be 4.2 GB
-    of tunnel H2D).
+  1. trained PARITY row: CER + RTFx on the trained flagship weights
+     (egs/synth_bench/trained/, sha256-verified against the manifest),
+     decoded at parity precision — the headline whenever CER <= 2%;
+  2. anchor PARITY row: a small TRACKED checkpoint (committed npz) decoded
+     the same way — a fresh `git clone` always produces an at-parity
+     number even though the 74 MB flagship npz is gitignored;
+  3. worst case: batch beam decode on random weights (flagship geometry,
+     beam=5, bf16, EOS disabled so every decode runs all max_len steps);
+  4. trained f32 row (numerics cross-check: bf16 and f32 decode agree at
+     0.045% CER once max_len covers the corpus — ROADMAP "bf16 decode
+     numerics" has the measured bisect; the r4 "cliff" was truncation);
+  5. conformer + LM-fusion worst case at MATCHED batch (VERDICT r4 #5);
+  6. train rows: full training-step throughput with MFU from XLA's FLOP
+     count — B16/B64 (Trainer steps_per_exec path), B256/B512/B1024 and
+     B64x4-accum with device-generated features.
+
+Budget safety (VERDICT r4 #1 — the r4 artifact was NULL because the bench
+timed out before printing): a wall-clock budget (OT_BENCH_BUDGET_S, default
+600 s) is checked between rows; optional rows past the threshold are
+recorded in "skipped_rows". SIGTERM/SIGINT (the driver's timeout) and a
+SIGALRM backstop at budget+120 s print whatever has completed and exit 0,
+so a stuck compile can no longer null the round.
 
 Timing through the tunnel: block_until_ready is unreliable and per-dispatch
 latency is 0.3-2 s (CLAUDE.md), so every measurement scans its batches
 inside ONE jitted program, reduces to a scalar on device, fetches 8 bytes,
-and reports the MEDIAN of several timed calls (dispatch jitter shrinks to a
-fraction of one call).
+and reports the MEDIAN of several timed calls with DISTINCT inputs per call
+(identical dispatches dedup).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": RTFx, "unit": "x_realtime", "vs_baseline": RTFx/20, ...}
+  {"metric": "..._at_cer_parity...", "value": RTFx, "unit": "x_realtime", ...}
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import signal
 import statistics
+import sys
 import time
 
 import jax
@@ -51,10 +60,74 @@ MAX_LEN = 24  # decode steps forced (no early exit); AISHELL avg ~15 chars
 BEAM = 5
 ITERS = 8
 TIMED_CALLS = 3
-TRAINED_NPZ = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)),
-    "egs", "synth_bench", "trained", "flagship_synth_f16.npz")
+REPO = os.path.dirname(os.path.abspath(__file__))
+TRAINED_DIR = os.path.join(REPO, "egs", "synth_bench", "trained")
+TRAINED_NPZ = os.path.join(TRAINED_DIR, "flagship_synth_f16.npz")
+ANCHOR_NPZ = os.path.join(TRAINED_DIR, "anchor_synth_f16.npz")
 V5E_PEAK_BF16 = 1.97e14  # FLOP/s per chip
+
+# Parity-precision decode configuration. The r4 "bf16 decode CER cliff"
+# (0.045% f32 vs 2.545% bf16) was NOT numerics: the r4 bench built the
+# trained row's search with max_len=24 (the worst-case constant) while synth
+# utterances run to 28 tokens — pure truncation (expected 238/8958 = 2.66%
+# vs 2.545% observed). The measured bisect at max_len=30 (ROADMAP "bf16
+# decode numerics") scores 0.045% CER for EVERY precision config (bf16,
+# f32, enc/dec mixed, bf16-rounded params), so the parity row decodes at
+# full bf16 speed.
+PARITY_ENC = "bfloat16"
+PARITY_DEC = "bfloat16"
+
+BUDGET_S = float(os.environ.get("OT_BENCH_BUDGET_S", "600"))
+T0 = time.time()
+OUT: dict = {}
+_EMITTED = False
+
+
+def emit(final: bool = False) -> None:
+    """Print the single JSON line exactly once."""
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
+    OUT.setdefault("metric", "aishell_flagship_beam5_decode_rtfx_unmeasured")
+    OUT.setdefault("value", 0.0)
+    OUT.setdefault("unit", "x_realtime")
+    OUT.setdefault("vs_baseline", 0.0)
+    OUT["bench_wall_s"] = round(time.time() - T0, 1)
+    print(json.dumps(OUT), flush=True)
+
+
+def _on_signal(signum, frame):
+    OUT["terminated_early"] = signal.Signals(signum).name
+    emit()
+    os._exit(0)
+
+
+signal.signal(signal.SIGTERM, _on_signal)
+signal.signal(signal.SIGINT, _on_signal)
+signal.signal(signal.SIGALRM, _on_signal)
+signal.alarm(int(BUDGET_S) + 120)  # backstop: one stuck compile != null round
+
+
+def remaining() -> float:
+    return BUDGET_S - (time.time() - T0)
+
+
+def run_row(name: str, fn, *, min_budget_s: float = 0.0, mandatory: bool = False):
+    """Run one bench row; record outcome + wall time; never raise."""
+    if not mandatory and remaining() < min_budget_s:
+        OUT.setdefault("skipped_rows", []).append(
+            f"{name} (budget: {remaining():.0f}s left < {min_budget_s:.0f}s)")
+        return None
+    t = time.time()
+    try:
+        res = fn()
+        OUT.setdefault("row_seconds", {})[name] = round(time.time() - t, 1)
+        return res
+    except Exception as e:  # a broken row must not take the bench down
+        OUT[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
+        OUT.setdefault("row_seconds", {})[name] = round(time.time() - t, 1)
+        return None
 
 
 def median_timed(fn, calls=TIMED_CALLS):
@@ -102,8 +175,6 @@ def worst_case_decode(model, params, mask, batch=BATCH, frames=FRAMES,
         run = _decode_stack(model, search, batch, frames, iters)
         float(run(params, keysets[0], mask))  # warmup / compile
     except Exception as e:  # Pallas regression must not take the bench down
-        import sys
-
         print(f"fused decode path failed ({type(e).__name__}: {e}); "
               "falling back to unfused", file=sys.stderr)
         search = _search_fn(model, lm=lm, lm_params=lm_params, fused_topk=False)
@@ -116,7 +187,7 @@ def worst_case_decode(model, params, mask, batch=BATCH, frames=FRAMES,
     return audio_seconds / elapsed, utts / elapsed
 
 
-def flagship_model(encoder_type="transformer"):
+def flagship_model(encoder_type="transformer", dtype=jnp.bfloat16):
     from __graft_entry__ import FLAGSHIP_MODEL_CFG
     from opentransformer_tpu.models.registry import build_model
 
@@ -126,7 +197,7 @@ def flagship_model(encoder_type="transformer"):
                "encoder": {"d_model": 256, "n_heads": 4, "d_ff": 2048,
                            "nblocks": 12, "residual_dropout": 0.1,
                            "relative_positional": True}}
-    return build_model(cfg, dtype=jnp.bfloat16), cfg
+    return build_model(cfg, dtype=dtype), cfg
 
 
 def init_params(model, frames=FRAMES, b=2):
@@ -140,26 +211,28 @@ def init_params(model, frames=FRAMES, b=2):
                       jnp.asarray([6] * b, jnp.int32))
 
 
-def trained_quality_and_speed():
-    """CER + RTFx on the SAME trained weights, early exit ON (VERDICT r2 #1).
+def verify_manifest(npz_path: str) -> tuple[bool, str]:
+    """sha256-check an exported npz against its tracked manifest (r4 #7)."""
+    man_path = os.path.splitext(npz_path)[0] + ".manifest.json"
+    if not os.path.exists(npz_path):
+        return False, "absent"
+    if not os.path.exists(man_path):
+        return True, "no-manifest"
+    with open(man_path) as f:
+        man = json.load(f)
+    h = hashlib.sha256()
+    with open(npz_path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    if h.hexdigest() != man.get("sha256"):
+        return False, "sha256-mismatch (stale weights; regenerate: %s)" % (
+            man.get("regenerate", "?"))
+    return True, "verified"
 
-    Regenerates the deterministic synthetic test split (data/synth.py),
-    decodes it with the trained flagship weights (egs/synth_bench/trained/),
-    scores CER against the references, and times the decode as a scanned
-    stack of row-rotations (distinct inputs per iteration so nothing CSEs
-    or dedups; same audio, realistic early-exit step counts)."""
-    if not os.path.exists(TRAINED_NPZ):
-        return {"trained": "absent (run egs/synth_bench/run.sh)"}
-    import sys
 
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
-    from export_trained_synth import load_trained_params
-
+def _load_test_split():
     from opentransformer_tpu.data import synth
-    from opentransformer_tpu.ops.levenshtein import ErrorRateAccumulator
-
-    model, _ = flagship_model()
-    params = jax.tree_util.tree_map(jnp.asarray, load_trained_params(TRAINED_NPZ))
+    from opentransformer_tpu.ops.masks import length_to_mask
 
     utts = list(synth.gen_split("test"))
     n = len(utts)
@@ -173,16 +246,50 @@ def trained_quality_and_speed():
         lengths[i] = len(x)
         refs.append([t + 3 for t in toks])  # unit ids (specials offset)
     lengths[n:] = 1
-    from opentransformer_tpu.ops.masks import length_to_mask
+    return (jnp.asarray(feats), length_to_mask(jnp.asarray(lengths), t_pad),
+            lengths, n, refs, synth.MAX_TOKENS + 2)
 
-    max_len = synth.MAX_TOKENS + 2
-    search = _search_fn(model, eos_id=1)  # early exit ON (real EOS)
-    feats_d = jnp.asarray(feats)
-    mask_d = length_to_mask(jnp.asarray(lengths), t_pad)
+
+_SPLIT_CACHE = {}
+
+
+def test_split():
+    if "v" not in _SPLIT_CACHE:
+        _SPLIT_CACHE["v"] = _load_test_split()
+    return _SPLIT_CACHE["v"]
+
+
+def trained_quality_and_speed(npz_path, model_cfg=None, *, enc_dtype=PARITY_ENC,
+                              dec_dtype=PARITY_DEC, suffix="", iters=3,
+                              calls=2):
+    """CER + RTFx on trained weights over the synthetic test split, early
+    exit ON, at a configurable decode precision (VERDICT r4 #1/#2: the
+    parity row decodes at a precision that meets the <= 2% CER gate; the
+    bf16 row is kept as an explicitly non-parity extra).
+
+    Timing: a scanned stack of row-rotations (distinct inputs per iteration
+    so nothing CSEs or dedups; same audio, realistic early-exit steps)."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from export_trained_synth import load_trained_params
+
+    from opentransformer_tpu.models.registry import build_model
+    from opentransformer_tpu.ops.levenshtein import ErrorRateAccumulator
+
+    if model_cfg is None:
+        from __graft_entry__ import FLAGSHIP_MODEL_CFG
+        model_cfg = FLAGSHIP_MODEL_CFG
+    enc_m = build_model(model_cfg, dtype=jnp.dtype(enc_dtype))
+    dec_m = (enc_m if dec_dtype == enc_dtype
+             else build_model(model_cfg, dtype=jnp.dtype(dec_dtype)))
+    params = jax.tree_util.tree_map(jnp.asarray, load_trained_params(npz_path))
+
+    feats_d, mask_d, lengths, n, refs, max_len = test_split()
+    search = _search_fn(dec_m, eos_id=1, max_len=max_len)  # early exit ON
 
     @jax.jit
     def decode_tokens(params, feats, mask):
-        memory, memory_mask = model.apply(params, feats, mask, method="encode")
+        memory, memory_mask = enc_m.apply(params, feats, mask, method="encode")
+        memory = memory.astype(jnp.dtype(dec_dtype))
         hyp = search(params, memory, memory_mask)
         return hyp.tokens  # [B, K, L]
 
@@ -198,14 +305,13 @@ def trained_quality_and_speed():
         cer.update([str(t) for t in refs[i]], [str(t) for t in hyp])
 
     # throughput: iters distinct row-rotations of the same split in ONE scan
-    iters = 4
-
     @jax.jit
     def timed_stack(params, feats, mask, shifts):
         def step(c, shift):
             f = jnp.roll(feats, shift, axis=0)
             m = jnp.roll(mask, shift, axis=0)
-            memory, memory_mask = model.apply(params, f, m, method="encode")
+            memory, memory_mask = enc_m.apply(params, f, m, method="encode")
+            memory = memory.astype(jnp.dtype(dec_dtype))
             hyp = search(params, memory, memory_mask)
             return c, jnp.sum(hyp.tokens)
 
@@ -213,18 +319,20 @@ def trained_quality_and_speed():
         return jnp.sum(sums)
 
     shift_sets = [jnp.arange(1 + 7 * s, 1 + 7 * s + iters, dtype=jnp.int32)
-                  for s in range(TIMED_CALLS + 1)]
+                  for s in range(calls + 1)]
     float(timed_stack(params, feats_d, mask_d, shift_sets[0]))  # compile
     it = iter(shift_sets[1:])
     elapsed = median_timed(
-        lambda: float(timed_stack(params, feats_d, mask_d, next(it))))
+        lambda: float(timed_stack(params, feats_d, mask_d, next(it))), calls)
     audio_seconds = iters * float(np.sum(lengths[:n])) * 0.01
+    prec = (dec_dtype if enc_dtype == dec_dtype
+            else f"enc-{enc_dtype}/dec-{dec_dtype}")
     return {
-        "cer_trained_pct": round(cer.rate * 100, 3),
-        "rtfx_trained": round(audio_seconds / elapsed, 2),
-        "utts_per_sec_trained": round(iters * n / elapsed, 2),
-        "trained_config": f"synth_bench test n={n} pad{t_pad} beam{BEAM} "
-                          f"early-exit-on x{iters}-scan bf16",
+        f"cer_trained{suffix}_pct": round(cer.rate * 100, 3),
+        f"rtfx_trained{suffix}": round(audio_seconds / elapsed, 2),
+        f"utts_per_sec_trained{suffix}": round(iters * n / elapsed, 2),
+        f"trained{suffix}_config": f"synth_bench test n={n} beam{BEAM} "
+                                   f"early-exit-on x{iters}-scan {prec}",
     }
 
 
@@ -278,8 +386,6 @@ def train_throughput(model, b=16, t=512, u=32, iters=20, label="", fused=False):
         cost = cost[0] if isinstance(cost, (list, tuple)) else cost
         flops_per_update = float(cost["flops"]) / iters
     except Exception as e:
-        import sys
-
         print(f"cost_analysis unavailable ({type(e).__name__}: {e})",
               file=sys.stderr)
 
@@ -388,8 +494,6 @@ def train_throughput_devgen(model, b, t, u, iters=20, accum=1, label=""):
         cost = cost[0] if isinstance(cost, (list, tuple)) else cost
         flops_per_update = float(cost["flops"]) / iters
     except Exception as e:
-        import sys
-
         print(f"cost_analysis unavailable ({type(e).__name__}: {e})",
               file=sys.stderr)
 
@@ -420,72 +524,114 @@ def train_throughput_devgen(model, b, t, u, iters=20, accum=1, label=""):
     return out
 
 
+def _update_headline() -> None:
+    """Headline preference: flagship parity > anchor parity > worst-case.
+
+    BASELINE.md defines the metric as RTFx AT CER PARITY, so a trained row
+    is the headline whenever its checkpoint verifies and scores <= 2% CER
+    on the synthetic stand-in; the random-weights worst case is reported
+    under an explicit worst_case_untrained name either way (VERDICT r3 #5)."""
+    cer = OUT.get("cer_trained_pct")
+    if cer is not None and cer <= 2.0:
+        head = {
+            "metric": "aishell_flagship_beam5_decode_rtfx_at_cer_parity_per_chip",
+            "value": OUT["rtfx_trained"],
+            "unit": "x_realtime",
+            "vs_baseline": round(OUT["rtfx_trained"] / 20.0, 3),
+            "utts_per_sec_per_chip": OUT["utts_per_sec_trained"],
+        }
+    elif (OUT.get("cer_anchor_pct") is not None
+          and OUT["cer_anchor_pct"] <= 2.0):
+        head = {
+            "metric": "synth_anchor_beam5_decode_rtfx_at_cer_parity_per_chip",
+            "value": OUT["rtfx_anchor"],
+            "unit": "x_realtime",
+            "vs_baseline": round(OUT["rtfx_anchor"] / 20.0, 3),
+            "utts_per_sec_per_chip": OUT["utts_per_sec_anchor"],
+        }
+    elif "rtfx_worst_case_untrained" in OUT:
+        head = {
+            "metric": "aishell_flagship_beam5_decode_rtfx_worst_case_untrained",
+            "value": OUT["rtfx_worst_case_untrained"],
+            "unit": "x_realtime",
+            "vs_baseline": round(OUT["rtfx_worst_case_untrained"] / 20.0, 3),
+            "utts_per_sec_per_chip": OUT["utts_per_sec_worst_case"],
+        }
+    else:
+        return
+    OUT.update(head)
+
+
 def main() -> None:
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/jax_bench_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from opentransformer_tpu.ops.masks import length_to_mask
 
+    OUT["device"] = str(jax.devices()[0])
+    OUT["budget_s"] = BUDGET_S
+
+    # -- row 1: trained flagship at PARITY precision (the headline) --------
+    ok, status = verify_manifest(TRAINED_NPZ)
+    OUT["trained_weights"] = status
+    if ok:
+        def row_trained():
+            OUT.update(trained_quality_and_speed(TRAINED_NPZ))
+            _update_headline()
+        run_row("trained_parity", row_trained, mandatory=True)
+
+    # -- row 2: tracked anchor at PARITY precision (fresh-checkout headline)
+    ok_a, status_a = verify_manifest(ANCHOR_NPZ)
+    OUT["anchor_weights"] = status_a
+    if ok_a:
+        def row_anchor():
+            with open(os.path.splitext(ANCHOR_NPZ)[0] + ".manifest.json") as f:
+                anchor_cfg = json.load(f)["model_cfg"]
+            OUT.update(trained_quality_and_speed(
+                ANCHOR_NPZ, anchor_cfg, suffix="_anchor_tmp"))
+            # rename to the anchor_* keys _update_headline reads
+            for k in list(OUT):
+                if "_anchor_tmp" in k:
+                    OUT[k.replace("trained_anchor_tmp", "anchor")] = OUT.pop(k)
+            _update_headline()
+        run_row("anchor_parity", row_anchor, mandatory=not ok)
+
+    # -- row 3: worst-case untrained decode (continuity row) ---------------
     model, _ = flagship_model()
     params = init_params(model)
-    mask = length_to_mask(jnp.asarray([FRAMES] * BATCH), FRAMES)
 
-    rtfx, utts_per_sec = worst_case_decode(model, params, mask)
-    worst_config = (f"B{BATCH} T{FRAMES} beam{BEAM} steps{MAX_LEN} bf16 "
-                    f"no-early-exit x{ITERS}-batch-scan median-of-{TIMED_CALLS} "
-                    "fused-topk")
-    out = {"device": str(jax.devices()[0])}
+    def row_worst():
+        mask = length_to_mask(jnp.asarray([FRAMES] * BATCH), FRAMES)
+        rtfx, ups = worst_case_decode(model, params, mask)
+        OUT["rtfx_worst_case_untrained"] = round(rtfx, 2)
+        OUT["utts_per_sec_worst_case"] = round(ups, 2)
+        OUT["worst_case_config"] = (
+            f"B{BATCH} T{FRAMES} beam{BEAM} steps{MAX_LEN} bf16 "
+            f"no-early-exit x{ITERS}-batch-scan median-of-{TIMED_CALLS} "
+            "fused-topk")
+        _update_headline()
+    run_row("worst_case", row_worst, min_budget_s=60.0,
+            mandatory="metric" not in OUT)
 
-    # quality + speed on the SAME trained weights (early exit ON)
-    trained = {}
-    try:
-        trained = trained_quality_and_speed()
-        out.update(trained)
-    except Exception as e:
-        out["trained_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+    # -- row 4: trained f32 (numerics cross-check; bf16 IS the parity row) -
+    if ok:
+        run_row("trained_f32", lambda: OUT.update(trained_quality_and_speed(
+            TRAINED_NPZ, enc_dtype="float32", dec_dtype="float32",
+            suffix="_f32", iters=2)), min_budget_s=150.0)
 
-    # headline: BASELINE.md defines the metric as RTFx AT CER PARITY, so the
-    # trained-weights number is the headline whenever the trained checkpoint
-    # exists and actually recognizes (<= 2% CER on the synthetic stand-in);
-    # the random-weights worst case is reported under an explicit
-    # worst_case_untrained name either way (VERDICT r3 #5)
-    cer = trained.get("cer_trained_pct")
-    if cer is not None and cer <= 2.0:
-        headline = {
-            "metric": "aishell_flagship_beam5_decode_rtfx_at_cer_parity_per_chip",
-            "value": trained["rtfx_trained"],
-            "unit": "x_realtime",
-            "vs_baseline": round(trained["rtfx_trained"] / 20.0, 3),
-            "utts_per_sec_per_chip": trained["utts_per_sec_trained"],
-        }
-    else:
-        headline = {
-            "metric": "aishell_flagship_beam5_decode_rtfx_worst_case_untrained",
-            "value": round(rtfx, 2),
-            "unit": "x_realtime",
-            "vs_baseline": round(rtfx / 20.0, 3),
-            "utts_per_sec_per_chip": round(utts_per_sec, 2),
-        }
-    out = {**headline, **out,
-           "rtfx_worst_case_untrained": round(rtfx, 2),
-           "utts_per_sec_worst_case": round(utts_per_sec, 2),
-           "worst_case_config": worst_config}
-
-    # BASELINE tracked config #3: conformer encoder (worst case, B256)
-    try:
+    # -- row 5: conformer + LM fusion at MATCHED batch (VERDICT r4 #5) -----
+    def row_conformer():
         conf_model, _ = flagship_model("conformer")
         conf_params = init_params(conf_model)
-        cmask = length_to_mask(jnp.asarray([FRAMES] * 256), FRAMES)
+        cmask = length_to_mask(jnp.asarray([FRAMES] * BATCH), FRAMES)
         c_rtfx, c_ups = worst_case_decode(conf_model, conf_params, cmask,
-                                          batch=256, iters=4)
-        out["rtfx_conformer"] = round(c_rtfx, 2)
-        out["utts_per_sec_conformer"] = round(c_ups, 2)
-    except Exception as e:
-        out["conformer_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+                                          batch=BATCH, iters=4)
+        OUT["rtfx_conformer"] = round(c_rtfx, 2)
+        OUT["utts_per_sec_conformer"] = round(c_ups, 2)
+        OUT["conformer_config"] = f"B{BATCH} (matched to worst-case batch)"
+    run_row("conformer", row_conformer, min_budget_s=120.0)
 
-    # BASELINE tracked config #4: transformer-LM shallow fusion through the
-    # fused two-head projection→log-softmax→top-k kernel
-    try:
+    def row_lm_fusion():
         from opentransformer_tpu.models.registry import build_model
 
         lm = build_model({"type": "transformer_lm", "vocab_size": 4233,
@@ -495,33 +641,43 @@ def main() -> None:
         lm_params = lm.init(jax.random.PRNGKey(1), jnp.ones((2, 8), jnp.int32),
                             jnp.ones((2, 8), jnp.int32),
                             jnp.asarray([8, 8], jnp.int32))
-        fmask = length_to_mask(jnp.asarray([FRAMES] * 256), FRAMES)
-        f_rtfx, f_ups = worst_case_decode(model, params, fmask, batch=256,
+        fmask = length_to_mask(jnp.asarray([FRAMES] * BATCH), FRAMES)
+        f_rtfx, f_ups = worst_case_decode(model, params, fmask, batch=BATCH,
                                           iters=4, lm=lm, lm_params=lm_params)
-        out["rtfx_lm_fusion"] = round(f_rtfx, 2)
-        out["utts_per_sec_lm_fusion"] = round(f_ups, 2)
-    except Exception as e:
-        out["lm_fusion_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+        OUT["rtfx_lm_fusion"] = round(f_rtfx, 2)
+        OUT["utts_per_sec_lm_fusion"] = round(f_ups, 2)
+        OUT["lm_fusion_config"] = f"B{BATCH} (matched to worst-case batch)"
+    run_row("lm_fusion", row_lm_fusion, min_budget_s=120.0)
 
-    # training throughput + MFU: B16/B64 through the Trainer's real
-    # steps_per_exec path (round-over-round continuity), one fused row to
-    # keep the measured fused_update regression visible (docs cite it), and
-    # the large-batch lever rows (B256, B512, B64x4-accum at fixed per-chip
-    # micro-batch memory) with device-generated features — VERDICT r3 #4
-    try:
-        out.update(train_throughput(model))
-        out.update(train_throughput(model, label="_fused", fused=True))
-        out.update(train_throughput(model, b=64, label="_b64"))
-        out.update(train_throughput_devgen(model, b=256, t=512, u=32,
-                                           label="_b256"))
-        out.update(train_throughput_devgen(model, b=512, t=512, u=32,
-                                           iters=10, label="_b512"))
-        out.update(train_throughput_devgen(model, b=64, t=512, u=32, accum=4,
-                                           label="_b64_accum4"))
-    except Exception as e:
-        out["train_bench_error"] = f"{type(e).__name__}: {e}"[:200]
-    print(json.dumps(out))
+    # -- row 6: training throughput + MFU ----------------------------------
+    # B16/B64 through the Trainer's real steps_per_exec path (continuity),
+    # large-batch lever rows (B256/B512/B1024 devgen, B64x4-accum), one
+    # fused row to keep the documented fused_update regression visible
+    run_row("train_b16", lambda: OUT.update(train_throughput(model)),
+            min_budget_s=60.0)
+    run_row("train_b64", lambda: OUT.update(
+        train_throughput(model, b=64, label="_b64")), min_budget_s=60.0)
+    run_row("train_b256", lambda: OUT.update(train_throughput_devgen(
+        model, b=256, t=512, u=32, label="_b256")), min_budget_s=60.0)
+    run_row("train_b512", lambda: OUT.update(train_throughput_devgen(
+        model, b=512, t=512, u=32, iters=10, label="_b512")), min_budget_s=60.0)
+    run_row("train_b1024", lambda: OUT.update(train_throughput_devgen(
+        model, b=1024, t=512, u=32, iters=5, label="_b1024")), min_budget_s=60.0)
+    run_row("train_b64_accum4", lambda: OUT.update(train_throughput_devgen(
+        model, b=64, t=512, u=32, accum=4, label="_b64_accum4")),
+        min_budget_s=60.0)
+    run_row("train_fused", lambda: OUT.update(
+        train_throughput(model, label="_fused", fused=True)), min_budget_s=60.0)
+
+    _update_headline()
+    emit(final=True)
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 — the JSON line must print
+        if not _EMITTED:
+            OUT["fatal_error"] = f"{type(e).__name__}: {e}"[:300]
+            emit()
+        raise SystemExit(0)

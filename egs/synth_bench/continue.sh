@@ -4,7 +4,7 @@
 #
 #   bash egs/synth_bench/continue.sh [end_epoch]
 #
-# end_epoch (default 28, exclusive — matches train.epochs semantics) is
+# end_epoch (default 40, exclusive — matches train.epochs semantics) is
 # parameterized so the continuation can be sized to the wall-clock that is
 # actually available: epochs cost ~1.5-16 min each depending on host vCPUs
 # (the data pipeline is host-bound on 1-vCPU machines, CLAUDE.md), and a

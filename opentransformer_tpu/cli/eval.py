@@ -167,6 +167,10 @@ def load_model_and_lm(load_model: str, config: str | None = None,
 
 
 def main(argv=None) -> int:
+    # test/CI escape hatch, same as cli/run.py: sitecustomize pins the TPU
+    # backend and ignores JAX_PLATFORMS; force a platform via the config
+    if os.environ.get("OT_FORCE_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["OT_FORCE_PLATFORM"])
     from . import enable_persistent_compile_cache
 
     enable_persistent_compile_cache()

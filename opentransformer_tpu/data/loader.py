@@ -277,8 +277,10 @@ class FeatureLoader:
     def build_resident_corpus(self, storage_dtype: Optional[str] = None):
         """Read the whole corpus (augmentation OFF — it moves on-device) into
         a padded [N, T_max, D] array + [N] lengths for one-time HBM upload.
-        T_max covers the largest bucket boundary so the resident shape equals
-        the host path's padded shape (same compiled programs)."""
+        T_max covers the largest bucket boundary, so resident batches share
+        ONE compile signature at that corpus-max shape (the host path pads
+        per bucket boundary — different programs; masks make the padded
+        frames inert either way)."""
         if not self.device_resident:
             raise RuntimeError("loader is not in device_resident mode")
         from .resident import build_corpus

@@ -63,12 +63,13 @@ def build_corpus(dataset, pad_to_frames: int | None = None,
     first = dataset[0]
     dim = first[1].shape[1]
     lens = np.zeros((n,), np.int32)
-    feats_list = [None] * n
+    # two-pass build: scan lengths first, then fill the preallocated padded
+    # array one utterance at a time — holding every unpadded f32 feature
+    # AND the padded corpus simultaneously costs ~5.5 GB transient host RAM
+    # at flagship geometry, which small build hosts don't have
     t_max = 0
     for i in range(n):
-        item = first if i == 0 else dataset[i]
-        f = item[1]
-        feats_list[i] = f
+        f = (first if i == 0 else dataset[i])[1]
         lens[i] = f.shape[0]
         t_max = max(t_max, f.shape[0])
     if pad_to_frames and t_max <= int(pad_to_frames):
@@ -78,8 +79,9 @@ def build_corpus(dataset, pad_to_frames: int | None = None,
         # over-long corpus: quantize like the sampler's pseudo-boundaries
         t_max = ((t_max + pad_multiple - 1) // pad_multiple) * pad_multiple
     corpus = np.zeros((n, t_max, dim), np_dtype)
-    for i, f in enumerate(feats_list):
-        corpus[i, : lens[i]] = f.astype(np_dtype)
+    for i in range(n):
+        f = (first if i == 0 else dataset[i])[1]
+        corpus[i, : f.shape[0]] = f.astype(np_dtype)
     return corpus, lens
 
 
