@@ -103,10 +103,13 @@ def _on_signal(signum, frame):
     os._exit(0)
 
 
-signal.signal(signal.SIGTERM, _on_signal)
-signal.signal(signal.SIGINT, _on_signal)
-signal.signal(signal.SIGALRM, _on_signal)
-signal.alarm(int(BUDGET_S) + 120)  # backstop: one stuck compile != null round
+def install_guards() -> None:
+    """Called from main() ONLY — importing bench (tests do) must not leave
+    an armed alarm behind to kill the host process 12 minutes later."""
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+    signal.signal(signal.SIGALRM, _on_signal)
+    signal.alarm(int(BUDGET_S) + 120)  # a stuck compile != null round
 
 
 def remaining() -> float:
@@ -563,6 +566,7 @@ def _update_headline() -> None:
 
 
 def main() -> None:
+    install_guards()
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/jax_bench_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
