@@ -379,7 +379,11 @@ def train_throughput(model, b=16, t=512, u=32, iters=20, label="", fused=False):
     lrs = jnp.full((iters,), 1e-4, jnp.float32)
     v, opt, ns = state.params, state.opt_state, state.nan_skips
 
-    # XLA's FLOP count for the whole N-update program (fwd+bwd+optimizer)
+    # XLA's FLOP count. cost_analysis counts scan/while BODIES ONCE, not
+    # x trip count (verified on this backend by tools/probe_cost_analysis.py:
+    # scan-of-20 == single update to 5 digits; unrolled accum-4 == 4.00x),
+    # so the compiled N-step program's flops ARE one update's flops — r1-r4
+    # divided by iters here and under-reported MFU by exactly iters x.
     flops_per_update = None
     try:
         compiled = multi.lower(v, opt, ns, stacked_args(9), lrs,
@@ -387,7 +391,7 @@ def train_throughput(model, b=16, t=512, u=32, iters=20, label="", fused=False):
                                ).compile()
         cost = compiled.cost_analysis()
         cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-        flops_per_update = float(cost["flops"]) / iters
+        flops_per_update = float(cost["flops"])
     except Exception as e:
         print(f"cost_analysis unavailable ({type(e).__name__}: {e})",
               file=sys.stderr)
@@ -490,12 +494,16 @@ def train_throughput_devgen(model, b, t, u, iters=20, accum=1, label=""):
     lrs = jnp.full((iters,), 1e-4, jnp.float32)
     v, opt, ns = state.params, state.opt_state, state.nan_skips
 
+    # cost_analysis counts loop bodies once (see train_throughput): the
+    # program's flops = ONE inner-scan micro-batch + one update_core, so an
+    # update's flops are ~ accum x that (the update_core tail, ~0.04% of a
+    # micro at flagship geometry, is over-multiplied — negligible)
     flops_per_update = None
     try:
         keys0 = jax.random.split(jax.random.PRNGKey(0), iters)
         cost = run.lower(v, opt, ns, lrs, keys0).compile().cost_analysis()
         cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-        flops_per_update = float(cost["flops"]) / iters
+        flops_per_update = float(cost["flops"]) * accum
     except Exception as e:
         print(f"cost_analysis unavailable ({type(e).__name__}: {e})",
               file=sys.stderr)

@@ -36,3 +36,27 @@ def test_splits_disjoint_content():
     tr = [t for _, _, t in synth.gen_split("train", 3)]
     te = [t for _, _, t in synth.gen_split("test", 3)]
     assert tr != te
+
+
+def test_recipe_configs_build():
+    """egs/synth_bench configs stay loadable and consistent with the corpus:
+    the models build, vocab matches synth.VOCAB_SIZE, the single bucket
+    boundary covers MAX_FRAMES, and decode max_len (the CLI's -ml 32 /
+    bench's corpus max_len) covers MAX_TOKENS + BOS/EOS — the r4 bench
+    regression was exactly a max_len shorter than the corpus."""
+    import os
+
+    import yaml
+
+    from opentransformer_tpu.models.registry import build_model
+
+    root = os.path.join(os.path.dirname(__file__), "..", "egs", "synth_bench",
+                        "conf")
+    for name in ("flagship.yaml", "flagship_cont.yaml", "anchor.yaml"):
+        cfg = yaml.safe_load(open(os.path.join(root, name)))
+        model = build_model(cfg["model"])
+        assert model.decoder_cfg["vocab_size"] == synth.VOCAB_SIZE
+        bounds = cfg["data"]["bucket"]["bucket_boundaries"]
+        assert max(bounds) >= synth.MAX_FRAMES
+        assert cfg["data"].get("device_resident") is True
+        assert synth.MAX_TOKENS + 2 <= 32  # the recipes decode with -ml 32

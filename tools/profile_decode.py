@@ -239,12 +239,84 @@ def conformer_compare(b=256):
               f"RTFx {audio / (t_enc + t_search):8.0f}", flush=True)
 
 
+def lm_compare(b=BATCH):
+    """Matched-batch LM shallow-fusion overhead attribution (VERDICT r4 #5).
+
+    Times the beam search on one precomputed memory with no LM, a 1-block
+    LM, and the full 6-block LM (all through the fused two-head
+    projection→top-k kernel). Deltas attribute the fusion overhead:
+      (1L − none)  ≈ two-head kernel + LM embedding/cache plumbing
+      (6L − 1L)/5  ≈ per-LM-block decode step cost
+    """
+    from opentransformer_tpu.models.registry import build_model
+    from opentransformer_tpu.recognize.base import make_memory_search
+
+    model, params, feats, mask = build()
+
+    @jax.jit
+    def encode(p, f, m):
+        memory, memory_mask = model.apply(p, f, m, method="encode")
+        return jnp.sum(memory.astype(jnp.float32)), memory, memory_mask
+
+    _, memory, memory_mask = encode(params, feats[:b], mask[:b])
+    memory = jax.block_until_ready(memory)
+
+    def lm_of(n_blocks):
+        lm = build_model({"type": "transformer_lm", "vocab_size": 4233,
+                          "d_model": 256, "n_heads": 4, "d_ff": 2048,
+                          "n_blocks": n_blocks, "residual_dropout": 0.0},
+                         dtype=jnp.bfloat16)
+        lm_params = lm.init(jax.random.PRNGKey(1),
+                            jnp.ones((2, 8), jnp.int32),
+                            jnp.ones((2, 8), jnp.int32),
+                            jnp.asarray([8, 8], jnp.int32))
+        return lm, lm_params
+
+    results = {}
+    for label, lm_args in [("no-LM", None), ("LM-1L", lm_of(1)),
+                           ("LM-6L", lm_of(6))]:
+        lm, lm_params = lm_args if lm_args else (None, None)
+        times = {}
+        for max_len in (24, 4):
+            search = make_memory_search(model, BEAM, max_len, eos_id=-1,
+                                        lm=lm, lm_params=lm_params)
+
+            @jax.jit
+            def run(p, mem, mem_mask):
+                return jnp.sum(search(p, mem, mem_mask).tokens)
+
+            rng2 = np.random.default_rng(max_len * 7 + 13)
+
+            def inputs(i):
+                eps = jnp.asarray(
+                    rng2.normal(size=(1, 1, memory.shape[-1])) * 1e-3,
+                    memory.dtype)
+                return params, memory + eps, memory_mask
+
+            t = timed(run, inputs)
+            times[max_len] = t
+            print(f"search B{b} max_len={max_len:3d} {label:6s}: "
+                  f"{t * 1e3:8.2f} ms", flush=True)
+        per_step = (times[24] - times[4]) / 20.0
+        results[label] = per_step
+        print(f"  -> per-step ({label})  : {per_step * 1e3:8.3f} ms",
+              flush=True)
+    base, one, six = (results["no-LM"], results["LM-1L"], results["LM-6L"])
+    print(f"\nfusion overhead per step : {(six - base) * 1e3:8.3f} ms "
+          f"({six / base:.2f}x no-LM)")
+    print(f"  two-head kernel + LM plumbing (1L - none): {(one - base) * 1e3:8.3f} ms")
+    print(f"  per-LM-block cost ((6L - 1L)/5)          : {(six - one) / 5 * 1e3:8.3f} ms")
+    return 0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="skip surgery runs")
     ap.add_argument("--micro", action="store_true", help="micro-op timings only")
     ap.add_argument("--conformer", action="store_true",
                     help="matched-batch transformer vs conformer decomposition")
+    ap.add_argument("--lm", action="store_true",
+                    help="matched-batch LM shallow-fusion attribution")
     args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir",
@@ -255,6 +327,8 @@ def main():
         return micro()
     if args.conformer:
         return conformer_compare()
+    if args.lm:
+        return lm_compare()
 
     from opentransformer_tpu.recognize.base import make_memory_search
 
