@@ -285,3 +285,28 @@ def test_trained_quality_and_speed_tiny(tmp_path, monkeypatch):
     assert 0.0 <= out["cer_trained_x_pct"] <= 100.0
     assert out["rtfx_trained_x"] > 0
     assert "float32" in out["trained_x_config"]
+
+
+def test_tracked_anchor_checkpoint_loads():
+    """The committed anchor npz (fresh-checkout at-parity headline) must
+    verify against its manifest, build its model from the embedded cfg, and
+    produce a full param tree the model accepts."""
+    if not os.path.exists(bench.ANCHOR_NPZ):
+        pytest.skip("anchor npz not present (pre-export tree)")
+    ok, status = bench.verify_manifest(bench.ANCHOR_NPZ)
+    assert ok, status
+
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(bench.__file__), "tools"))
+    from export_trained_synth import load_trained_params
+
+    with open(os.path.splitext(bench.ANCHOR_NPZ)[0] + ".manifest.json") as f:
+        man = json.load(f)
+    model = build_model(man["model_cfg"])
+    params = jax.tree_util.tree_map(jnp.asarray,
+                                    load_trained_params(bench.ANCHOR_NPZ))
+    feats = jnp.zeros((1, 64, 40), jnp.float32)
+    mask = jnp.ones((1, 64), bool)
+    memory, memory_mask = model.apply(params, feats, mask, method="encode")
+    assert memory.shape[0] == 1 and memory.ndim == 3
