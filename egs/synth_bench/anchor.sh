@@ -1,5 +1,5 @@
 #!/usr/bin/env bash
-# Train the tracked ANCHOR model (tiny d64 speech2text, conf/anchor.yaml)
+# Train the tracked ANCHOR model (small d128 speech2text, conf/anchor.yaml)
 # on the synthetic corpus, average the last checkpoints, decode the test
 # split, and export the f16 npz that IS committed to git — a fresh checkout
 # then always produces an at-parity bench headline (bench.py row 2) without
@@ -11,7 +11,7 @@ cd "$(dirname "$0")/../.."
 export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 
 stage=${1:-0}
-end_epoch=${2:-20}
+end_epoch=${2:-80}
 expdir=egs/synth_bench/exp_anchor
 conf=egs/synth_bench/conf/anchor.yaml
 avg_to=$((end_epoch - 1))
@@ -39,6 +39,6 @@ if [ "$stage" -le 2 ]; then
     "$expdir/model.average.from${avg_from}to${avg_to}" \
     egs/synth_bench/trained/anchor_synth_f16.npz \
     --result "$expdir/decode_test_bw5_pn0.6_ml32_avg${avg_from}-${avg_to}/RESULT" \
-    --embed-model-cfg
+    --embed-model-cfg --regenerate "bash egs/synth_bench/anchor.sh"
   echo "=== commit egs/synth_bench/trained/anchor_synth_f16.npz (+manifest) ==="
 fi
