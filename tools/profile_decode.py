@@ -273,8 +273,8 @@ def lm_compare(b=BATCH):
         return lm, lm_params
 
     results = {}
-    for label, lm_args in [("no-LM", None), ("LM-1L", lm_of(1)),
-                           ("LM-6L", lm_of(6))]:
+    for label, lm_args in [("no-LM", None), ("LM-0L", lm_of(0)),
+                           ("LM-1L", lm_of(1)), ("LM-6L", lm_of(6))]:
         lm, lm_params = lm_args if lm_args else (None, None)
         times = {}
         for max_len in (24, 4):
@@ -301,11 +301,13 @@ def lm_compare(b=BATCH):
         results[label] = per_step
         print(f"  -> per-step ({label})  : {per_step * 1e3:8.3f} ms",
               flush=True)
-    base, one, six = (results["no-LM"], results["LM-1L"], results["LM-6L"])
+    base, zero, one, six = (results["no-LM"], results["LM-0L"],
+                            results["LM-1L"], results["LM-6L"])
     print(f"\nfusion overhead per step : {(six - base) * 1e3:8.3f} ms "
           f"({six / base:.2f}x no-LM)")
-    print(f"  two-head kernel + LM plumbing (1L - none): {(one - base) * 1e3:8.3f} ms")
-    print(f"  per-LM-block cost ((6L - 1L)/5)          : {(six - one) / 5 * 1e3:8.3f} ms")
+    print(f"  second head + embedding, NO LM cache (0L - none): {(zero - base) * 1e3:8.3f} ms")
+    print(f"  first block's cache + attn (1L - 0L)            : {(one - zero) * 1e3:8.3f} ms")
+    print(f"  per-LM-block cost ((6L - 1L)/5)                 : {(six - one) / 5 * 1e3:8.3f} ms")
     return 0
 
 
