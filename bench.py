@@ -646,9 +646,12 @@ def main() -> None:
     def row_lm_fusion():
         from opentransformer_tpu.models.registry import build_model
 
+        # LM field is num_blocks (reference transformer_lm.yaml key) — an
+        # n_blocks key would be silently dropped, defaulting to 6 anyway,
+        # but say what we mean
         lm = build_model({"type": "transformer_lm", "vocab_size": 4233,
                           "d_model": 256, "n_heads": 4, "d_ff": 2048,
-                          "n_blocks": 6, "residual_dropout": 0.0},
+                          "num_blocks": 6, "residual_dropout": 0.0},
                          dtype=jnp.bfloat16)
         lm_params = lm.init(jax.random.PRNGKey(1), jnp.ones((2, 8), jnp.int32),
                             jnp.ones((2, 8), jnp.int32),

@@ -89,10 +89,11 @@ class TransformerLMLayer(nn.Module):
             return x, moe_aux
         return x
 
-    def decode_step(self, x_t, cache, index):
+    def decode_step(self, x_t, cache, index, src_onehot=None):
         h = self.norm1(x_t) if self.normalize_before else x_t
         residual = h if self.normalize_before else x_t
-        out, new_k, new_v = self.slf_attn.decode_step(h, cache["k"], cache["v"], index)
+        out, new_k, new_v = self.slf_attn.decode_step(h, cache["k"], cache["v"], index,
+                                                      src_onehot=src_onehot)
         x = residual + out
         if not self.normalize_before:
             x = self.norm1(x)
@@ -219,9 +220,19 @@ class TransformerLanguageModel(nn.Module):
         logits = self._project(h[:, None, :])[:, 0, :]
         return jax.nn.log_softmax(logits, axis=-1), new_cache
 
-    def decode_hidden(self, token_t, cache, index):
+    def decode_hidden(self, token_t, cache, index, src=None):
         """Pre-projection hidden of one step: (h [B, D], new cache). Feeds the
-        fused two-head shallow-fusion top-k (``ops.project_topk``)."""
+        fused two-head shallow-fusion top-k (``ops.project_topk``).
+
+        ``src``: optional i32[B, K, U] beam-ancestry map (B·K = rows) — the
+        same map the decoder threads through ``decode_hidden_step``. When
+        given, the LM's KV caches are UNORDERED append-only buffers selected
+        inside the attention (``modules.ancestral_decode_context``) and the
+        beam search never physically gathers them: the LM consumes exactly
+        the decoder's token sequence, so the decoder's ancestry is the LM's.
+        Measured (r5, B512 beam5 on v5e): the per-step tree_map gather of a
+        6-block LM cache was the whole 12 ms/step shallow-fusion overhead.
+        Scalar ``index`` only (lockstep beam)."""
         x = self._embed(token_t[:, None], start=0)
         index = jnp.asarray(index, jnp.int32)
         pe0 = sinusoid_position_encoding(jnp.zeros((1,), jnp.int32), self.d_model)[None]  # [1,1,D]
@@ -230,9 +241,13 @@ class TransformerLanguageModel(nn.Module):
         else:
             pe_t = sinusoid_position_encoding(index, self.d_model)[:, None]  # [B,1,D]
         x = x + (pe_t - pe0).astype(self.dtype)
+        src_onehot = None
+        if src is not None:
+            # one-hot once for every block; exact 0/1 so selection is exact
+            src_onehot = jax.nn.one_hot(src, src.shape[1], dtype=jnp.float32)
         new_cache = []
         for blk, lc in zip(self.blocks, cache):
-            x, nlc = blk.decode_step(x, lc, index)
+            x, nlc = blk.decode_step(x, lc, index, src_onehot=src_onehot)
             new_cache.append(nlc)
         return x[:, 0, :], new_cache
 

@@ -62,14 +62,33 @@ def build_model(model_cfg: Any, dtype=jnp.float32) -> nn.Module:
             dtype=dtype,
         )
     if mtype == "transformer_lm":
-        keys = TransformerLanguageModel.__dataclass_fields__
-        kw = {k: v for k, v in _as_dict(model_cfg).items() if k in keys and k != "dtype"}
+        kw = _lm_kwargs(model_cfg, TransformerLanguageModel)
         return TransformerLanguageModel(dtype=dtype, **kw)
     if mtype == "rnn_lm":
-        keys = RecurrentLanguageModel.__dataclass_fields__
-        kw = {k: v for k, v in _as_dict(model_cfg).items() if k in keys and k != "dtype"}
+        kw = _lm_kwargs(model_cfg, RecurrentLanguageModel)
         return RecurrentLanguageModel(dtype=dtype, **kw)
     raise KeyError(f"unknown model type: {mtype!r}")
+
+
+def _lm_kwargs(model_cfg: Any, cls) -> dict:
+    """Field-filtered LM kwargs, WARNING on silently dropped config keys.
+
+    The LM field is ``num_blocks`` (reference ``egs/aishell/conf/
+    transformer_lm.yaml:14``) while encoders use ``n_blocks`` — a config
+    that mixes them up would otherwise silently build the default-depth LM
+    (this bit the decode profiler in round 5)."""
+    keys = cls.__dataclass_fields__
+    cfg = _as_dict(model_cfg)
+    kw = {k: v for k, v in cfg.items() if k in keys and k != "dtype"}
+    dropped = sorted(k for k in cfg if k not in keys and k not in ("type", "dtype"))
+    if dropped:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s config keys %s are not model fields and were IGNORED "
+            "(valid: %s)", cls.__name__, dropped,
+            sorted(k for k in keys if k != "parent"))
+    return kw
 
 
 LM_TYPES = ("rnn_lm", "transformer_lm")

@@ -132,6 +132,11 @@ def make_memory_search(model, beam_width: int, max_len: int,
         and getattr(model, "decoder_cfg", {}).get("vocab_size")
         == getattr(lm, "vocab_size", None)
     )
+    # transformer LMs accept the beam ancestry map: their KV caches stay
+    # unordered append-only (like the decoder's) and the beam loop skips the
+    # per-step physical lm_state gather. RNN LM state has no positional
+    # cache — it must still be gathered.
+    lm_ancestral = has_topk_lm and isinstance(lm, TransformerLanguageModel)
 
     @jax.jit
     def search(params, memory, memory_mask) -> BeamHypotheses:
@@ -164,8 +169,15 @@ def make_memory_search(model, beam_width: int, max_len: int,
                 h, new_cache = model.apply(params, tokens, cache, index,
                                            mem_mask, src,
                                            method="decode_hidden_step")
-                h_l, new_state = lm.apply(lm_params, tokens, lm_state, index,
-                                          method="decode_hidden")
+                if lm_ancestral:
+                    # unordered LM caches: the decoder's ancestry map selects
+                    # LM cache rows too — no per-step lm_state gather (the
+                    # gather was the whole 12 ms/step fusion overhead, r5)
+                    h_l, new_state = lm.apply(lm_params, tokens, lm_state,
+                                              index, src, method="decode_hidden")
+                else:
+                    h_l, new_state = lm.apply(lm_params, tokens, lm_state, index,
+                                              method="decode_hidden")
                 vals, idx = project2_logp_topk(
                     h, w_m, b_m, h_l, w_l, b_l, lm_weight, k)
                 return vals, idx, new_cache, new_state
@@ -177,7 +189,8 @@ def make_memory_search(model, beam_width: int, max_len: int,
             decode_step, init_cache, memory, memory_mask,
             beam_width=beam_width, max_len=max_len, penalty=penalty,
             lamda=lamda, lm_step=lm_s, lm_init=lm_i, lm_weight=lm_weight,
-            eos_id=eos, decode_topk=decode_topk, decode_topk_lm=decode_topk_lm)
+            eos_id=eos, decode_topk=decode_topk, decode_topk_lm=decode_topk_lm,
+            lm_ancestral=lm_ancestral)
 
     return search
 

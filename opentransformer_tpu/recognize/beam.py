@@ -58,6 +58,7 @@ def beam_search(
     eos_id: int = EOS,
     decode_topk: Optional[Callable] = None,  # (tokens, cache, index, mem_mask, src, k) -> (vals, idx, cache)
     decode_topk_lm: Optional[Callable] = None,  # (tokens, cache, lm_state, index, mem_mask, src, k) -> (vals, idx, cache, lm_state)
+    lm_ancestral: bool = False,
 ) -> BeamHypotheses:
     """Run batched beam search fully on device. All shapes static.
 
@@ -72,6 +73,12 @@ def beam_search(
     ``decode_topk_lm``: the shallow-fusion counterpart — one fused step
     returning the top-k of ``logp_model + lm_weight·logp_lm`` from the two
     pre-projection hidden states (neither distribution materializes).
+
+    ``lm_ancestral``: the ``decode_topk_lm`` closure threads the beam
+    ancestry map into the LM, so the LM's KV caches are unordered
+    append-only buffers (like the decoder's) and must NOT be physically
+    gathered per step — the gather was measured as the entire 12 ms/step
+    LM-fusion overhead at B512 beam5 (r5, ``tools/profile_decode.py --lm``).
     """
     b, t, _ = memory.shape
     k = beam_width
@@ -140,7 +147,7 @@ def beam_search(
         # own K/V there next iteration.
         src = jnp.take_along_axis(src, parent[:, :, None], axis=1)
         src = jax.lax.dynamic_update_index_in_dim(src, ident, step + 1, axis=2)
-        if lm_state is not None:
+        if lm_state is not None and not lm_ancestral:
             lm_state = jax.tree_util.tree_map(lambda x: jnp.take(x, flat_parent, axis=0), lm_state)
         end_flag = jnp.take(end_flag.reshape(-1), flat_parent).reshape(b, k)
         end_flag = jnp.logical_or(end_flag, tok == eos_id)

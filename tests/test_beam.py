@@ -387,3 +387,23 @@ def test_fused_lm_beam_matches_unfused(model_and_params, lm_family):
     np.testing.assert_allclose(np.asarray(fused.scores), np.asarray(base.scores),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(fused.lengths), np.asarray(base.lengths))
+
+    if lm_family == "transformer":
+        # ancestral LM caches: the beam never gathers lm_state; the decoder's
+        # ancestry map selects LM cache rows inside the attention instead
+        # (the production make_memory_search path for transformer LMs)
+        def decode_topk_lm_anc(tokens, cache, lm_state, index, mem_mask, src, k):
+            h, new_cache = model.apply(params, tokens, cache, index, mem_mask,
+                                       src, method="decode_hidden_step")
+            h_l, new_state = lm.apply(lm_params, tokens, lm_state, index, src,
+                                      method="decode_hidden")
+            vals, idx = project2_logp_topk(h, w_m, b_m, h_l, w_l, b_l, w, k)
+            return vals, idx, new_cache, new_state
+
+        anc = beam_search(decode_step, init_cache, memory, memory_mask,
+                          decode_topk_lm=decode_topk_lm_anc,
+                          lm_ancestral=True, **common)
+        np.testing.assert_array_equal(np.asarray(anc.tokens), np.asarray(base.tokens))
+        np.testing.assert_allclose(np.asarray(anc.scores), np.asarray(base.scores),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(anc.lengths), np.asarray(base.lengths))

@@ -262,9 +262,13 @@ def lm_compare(b=BATCH):
     memory = jax.block_until_ready(memory)
 
     def lm_of(n_blocks):
+        # NB the LM field is num_blocks (reference transformer_lm.yaml key);
+        # an "n_blocks" key here would be silently dropped by the registry's
+        # field filter and every variant would be the 6-block default — that
+        # bug produced r5's first (wrong) "LM depth is free" attribution
         lm = build_model({"type": "transformer_lm", "vocab_size": 4233,
                           "d_model": 256, "n_heads": 4, "d_ff": 2048,
-                          "n_blocks": n_blocks, "residual_dropout": 0.0},
+                          "num_blocks": n_blocks, "residual_dropout": 0.0},
                          dtype=jnp.bfloat16)
         lm_params = lm.init(jax.random.PRNGKey(1),
                             jnp.ones((2, 8), jnp.int32),
